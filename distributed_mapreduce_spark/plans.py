@@ -1,0 +1,49 @@
+"""Physical-plan inspection helpers.
+
+The reference has no optimizer (SURVEY.md §4.1) — its plan is a fixed
+scan→map→shuffle→sort→reduce pipeline. Here the plan is Catalyst's, and
+these helpers let tests *assert* the optimizations happened: partial
+(map-side) aggregation — the single biggest win over the reference,
+which ships one ("word","1") pair per occurrence
+(/root/reference/src/mrapps/wc.go:29-33) — broadcast joins, and
+filter/column pushdown into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def assert_partial_agg(df: DataFrame) -> None:
+    """Map-side combine present (partial_* agg before the shuffle)."""
+    plan = physical_plan(df)
+    assert "partial" in plan.lower(), f"no partial aggregation in plan:\n{plan}"
+
+
+def assert_broadcast_join(df: DataFrame) -> None:
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        f"no broadcast join in plan:\n{plan}"
+    )
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, f"cartesian product in plan:\n{plan}"
+
+
+def assert_pushed_filters(df: DataFrame) -> None:
+    """Some filter reached the parquet scan (predicate pushdown)."""
+    plan = physical_plan(df)
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan, (
+        f"no pushed filters in plan:\n{plan}"
+    )
+
+
+def assert_wholestage_codegen(df: DataFrame) -> None:
+    plan = physical_plan(df)
+    assert "WholeStageCodegen" in plan, f"no whole-stage codegen in plan:\n{plan}"

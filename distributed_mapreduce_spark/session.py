@@ -1,0 +1,77 @@
+"""SparkSession factory and tuning.
+
+Replaces the reference's hand-rolled master/worker runtime
+(/root/reference/src/mr/master.go:116-254, worker.go:51-59): Spark's
+DAG scheduler, shuffle service, task retry and speculation subsume the
+scheduler operators O8-O12 of SURVEY.md §2.1 with zero custom code.
+
+Scale notes (100 TB design point):
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace any static plan choice.
+- shuffle partitions sized to cores locally; on a real cluster this is
+  governed by AQE advisory partition sizes, not a fixed N=10 like the
+  reference (src/main/mrmaster.go:25).
+- session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle and are cluster-invariant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf that must be set at JVM launch (builder-time only).
+_BUILD_CONF = {
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+# Conf that is runtime-settable — safe to apply to an externally
+# provided session (the driver hands us one in __spark_entry__).
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # documents.text rows are long; keep Arrow batches bounded.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+}
+
+
+def get_spark(
+    app_name: str = "distributed-mapreduce-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned local SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default all cores).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.master(master).appName(app_name)
+    for k, v in _BUILD_CONF.items():
+        builder = builder.config(k, v)
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune_session(spark)
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to any session (incl. driver-provided).
+
+    Never raises: unknown/static conf keys are skipped so this is safe
+    against Spark version drift.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark

@@ -1,0 +1,39 @@
+"""Every registered query must match its DuckDB oracle at sf0.001.
+
+This emulates the driver's CORRECTNESS gate so mismatches are caught
+locally before a round ends. (The driver runs the same comparison at
+sf0.01; tests/README: run scripts/parity.py for the full-scale check.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from distributed_mapreduce_spark.registry import all_oracles, all_queries
+from distributed_mapreduce_spark.testing import check_query
+
+_QUERIES = all_queries()
+_ORACLES = all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_parity(spark, sf_dir, name):
+    res = check_query(spark, name, _QUERIES[name], _ORACLES[name], sf_dir)
+    assert res.ok, f"{name}: {res.detail}"
+
+
+def test_all_queries_return_rows(spark, sf_dir):
+    """Rows-only smoke for queries without an oracle (driver's weak check)."""
+    for name, fn in _QUERIES.items():
+        if name in _ORACLES:
+            continue
+        df = fn(spark, sf_dir)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(q for q in e.oracle_sql()) <= set(e.queries())
