@@ -1,0 +1,257 @@
+"""KV-store semantics (SURVEY.md §2.3, K1-K8) as Spark batch operators.
+
+The reference *declares* a replicated, sharded KV store (Labs 2-4
+client APIs + the porcupine model) but its server bodies are skeletons;
+the normative semantics live in /root/reference/src/models/kv.go:40-54:
+state is one string per key, initial "" — `get` reads, `put` replaces,
+`append` concatenates — with exactly-once appends under client retries
+(/root/reference/src/kvraft/test_test.go:80-97) and per-client order.
+
+Spark re-expression: the server's op stream becomes an *op-log table*
+`(key, seq, op, value)` and the state is a deterministic fold over it.
+The whole fold is relational (no per-row loop): the last `put` per key
+is a max(); the state is that put's value concatenated with every
+later `append`, in seq order.
+
+Scale notes: one shuffle on `key` (the groupBy); a 100 TB op-log folds
+with partial aggregation on the max() side and an ordered collect_list
+bounded by per-key mutation count. The consensus layer itself (Raft,
+labrpc) is an intentional non-goal — Spark's reliability model
+replaces job-level fault tolerance (SURVEY.md §7.3 hard spot 3).
+
+Shard management (K4-K8): `key2shard` is a partitioning expression;
+`rebalance` reproduces the shardmaster's invariant — max−min ≤ 1 with
+minimal shard movement (/root/reference/src/shardmaster/test_test.go:35-52)
+— as a pure, property-tested function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NSHARDS = 10  # /root/reference/src/shardmaster/common.go:21
+
+
+# ---------------------------------------------------------------------------
+# K1-K3: state fold over an op log
+# ---------------------------------------------------------------------------
+
+
+def fold_kv_log(ops: DataFrame) -> DataFrame:
+    """Fold an op-log `(key, seq, op, value)` into final state `(key, value)`.
+
+    Semantics (models/kv.go:40-54): put replaces, append concatenates,
+    get is a read (no state change). Exactly-once: duplicate (key, seq)
+    deliveries — the reference's retried RPCs — are dropped before the
+    fold, the analog of its (clientId, seq) dedup.
+    """
+    muts = (
+        ops.where(F.col("op") != F.lit("get"))
+        .dropDuplicates(["key", "seq"])  # exactly-once under retries (K3)
+    )
+    last_put = (
+        muts.where(F.col("op") == "put")
+        .groupBy("key")
+        .agg(F.max("seq").alias("pseq"))
+    )
+    # Keep the winning put plus every append after it (all appends when
+    # no put ever happened), then concatenate in seq order.
+    live = muts.join(last_put, "key", "left").where(
+        (
+            (F.col("op") == "append")
+            & (F.col("pseq").isNull() | (F.col("seq") > F.col("pseq")))
+        )
+        | ((F.col("op") == "put") & (F.col("seq") == F.col("pseq")))
+    )
+    ordered_concat = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seq", "value"))),
+            lambda s: s["value"],
+        ),
+        "",
+    )
+    return live.groupBy("key").agg(ordered_concat.alias("value"))
+
+
+def kv_get(state: DataFrame, spark: SparkSession, key: str) -> DataFrame:
+    """K1 Get: point lookup; absent key reads as ""
+    (/root/reference/src/kvraft/client.go:27-31)."""
+    probe = spark.createDataFrame([(key,)], "key string")
+    return probe.join(state, "key", "left").select(
+        "key", F.coalesce("value", F.lit("")).alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K4: shard routing
+# ---------------------------------------------------------------------------
+
+
+def key2shard(key: Column) -> Column:
+    """shard = first byte of key mod NSHARDS
+    (/root/reference/src/shardkv/client.go:22-29), as a partitioning
+    expression usable in repartition()/groupBy()."""
+    return F.pmod(F.ascii(F.substring(key, 1, 1)), F.lit(NSHARDS)).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# K5-K8: shard→group configuration (pure functions, property-tested)
+# ---------------------------------------------------------------------------
+
+
+def rebalance(shards: list[int], gids: list[int]) -> list[int]:
+    """Reassign shards to groups: max−min ≤ 1 load spread with minimal
+    moves from the current assignment (shardmaster/test_test.go:35-52).
+
+    `shards[i]` is the owning gid (0 = unassigned); `gids` the live
+    groups. Deterministic: ties broken by sorted gid.
+    """
+    if not gids:
+        return [0] * len(shards)
+    gids_sorted = sorted(set(gids))
+    n, g = len(shards), len(gids_sorted)
+    base, rem = divmod(n, g)
+    # Deterministic targets: first `rem` gids (sorted) get base+1.
+    target = {gid: base + (1 if i < rem else 0) for i, gid in enumerate(gids_sorted)}
+
+    counts = {gid: 0 for gid in gids_sorted}
+    out = list(shards)
+    # Pass 1: keep shards already on a live, under-target group.
+    for i, gid in enumerate(out):
+        if gid in counts and counts[gid] < target[gid]:
+            counts[gid] += 1
+        else:
+            out[i] = 0  # must move (dead group, over target, or unassigned)
+    # Pass 2: hand the moving shards to under-target groups in gid order.
+    recipients = [gid for gid in gids_sorted for _ in range(target[gid] - counts[gid])]
+    it = iter(recipients)
+    for i, gid in enumerate(out):
+        if gid == 0:
+            out[i] = next(it)
+    return out
+
+
+class ShardMaster:
+    """K5-K8 config state machine: versioned shard→group assignments
+    (/root/reference/src/shardmaster/common.go:25-29). Join/Leave
+    rebalance with minimal movement; Move pins; Query(-1) = latest."""
+
+    def __init__(self, nshards: int = NSHARDS):
+        self.configs: list[dict] = [{"num": 0, "shards": [0] * nshards, "groups": {}}]
+
+    def _push(self, shards: list[int], groups: dict[int, list[str]]) -> None:
+        self.configs.append(
+            {"num": len(self.configs), "shards": shards, "groups": dict(groups)}
+        )
+
+    def join(self, new_groups: dict[int, list[str]]) -> None:
+        cur = self.configs[-1]
+        groups = {**cur["groups"], **new_groups}
+        self._push(rebalance(cur["shards"], list(groups)), groups)
+
+    def leave(self, gids: list[int]) -> None:
+        cur = self.configs[-1]
+        groups = {g: s for g, s in cur["groups"].items() if g not in set(gids)}
+        shards = [0 if g in set(gids) else g for g in cur["shards"]]
+        self._push(rebalance(shards, list(groups)), groups)
+
+    def move(self, shard: int, gid: int) -> None:
+        cur = self.configs[-1]
+        shards = list(cur["shards"])
+        shards[shard] = gid
+        self._push(shards, cur["groups"])
+
+    def query(self, num: int = -1) -> dict:
+        return self.configs[num if 0 <= num < len(self.configs) else -1]
+
+
+# ---------------------------------------------------------------------------
+# queries() entries: op log derived deterministically from `events`
+# (FIXTURES.md §C: user_id→key, event_id→seq).
+# ---------------------------------------------------------------------------
+
+
+def _ops_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_mapreduce_spark.sources import table
+
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        F.pmod("user_id", F.lit(100)).cast("string").alias("key"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 10 < 6, "append")
+        .when(F.col("event_id") % 10 < 9, "put")
+        .otherwise("get")
+        .alias("op"),
+        F.concat(F.lit("v"), F.col("event_id").cast("string")).alias("value"),
+    )
+
+
+_OPS_SQL = """
+        SELECT CAST(user_id % 100 AS VARCHAR) AS key,
+               event_id AS seq,
+               CASE WHEN event_id % 10 < 6 THEN 'append'
+                    WHEN event_id % 10 < 9 THEN 'put'
+                    ELSE 'get' END AS op,
+               'v' || CAST(event_id AS VARCHAR) AS value
+        FROM events
+"""
+
+_FOLD_SQL = f"""
+        WITH ops AS ({_OPS_SQL}),
+        muts AS (SELECT * FROM ops WHERE op <> 'get'),
+        last_put AS (
+            SELECT key, max(seq) AS pseq FROM muts WHERE op = 'put' GROUP BY key
+        ),
+        live AS (
+            SELECT m.key, m.seq, m.value
+            FROM muts m LEFT JOIN last_put lp ON m.key = lp.key
+            WHERE (m.op = 'append' AND (lp.pseq IS NULL OR m.seq > lp.pseq))
+               OR (m.op = 'put' AND m.seq = lp.pseq)
+        )
+        SELECT key, string_agg(value, '' ORDER BY seq) AS value
+        FROM live
+        GROUP BY key
+"""
+
+
+def kv_q1_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1-K3: full state fold of the derived op log."""
+    return fold_kv_log(_ops_from_events(spark, sf_dir))
+
+
+def kv_q2_key2shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: shard-routing distribution of the op-log keys."""
+    ops = _ops_from_events(spark, sf_dir)
+    return (
+        ops.select(key2shard(F.col("key")).alias("shard"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_ops"))
+    )
+
+
+def kv_q3_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: point Get('7') with absent-key ⇒ "" semantics."""
+    return kv_get(kv_q1_state_fold(spark, sf_dir), spark, "7")
+
+
+ORACLES = {
+    "kv_q1_state_fold": _FOLD_SQL,
+    "kv_q2_key2shard": f"""
+        WITH ops AS ({_OPS_SQL})
+        SELECT CAST(ascii(substr(key, 1, 1)) % {NSHARDS} AS INTEGER) AS shard,
+               count(*) AS n_ops
+        FROM ops
+        GROUP BY 1
+    """,
+    "kv_q3_get": f"""
+        SELECT '7' AS key,
+               coalesce((SELECT value FROM ({_FOLD_SQL}) WHERE key = '7'), '') AS value
+    """,
+}
+
+QUERIES = {
+    "kv_q1_state_fold": kv_q1_state_fold,
+    "kv_q2_key2shard": kv_q2_key2shard,
+    "kv_q3_get": kv_q3_get,
+}

@@ -16,6 +16,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES = (
     "distributed_mapreduce_spark.queries.mapreduce_queries",
+    "distributed_mapreduce_spark.operators.mapreduce",
+    "distributed_mapreduce_spark.operators.kv",
 )
 
 

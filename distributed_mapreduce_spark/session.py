@@ -38,6 +38,9 @@ _RUNTIME_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # documents.text rows are long; keep Arrow batches bounded.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+    # events.parquet carries TIMESTAMP(NANOS); Spark has no ns type —
+    # read as long and convert in the catalog (sources/catalog.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -44,7 +45,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table as a DataFrame (parquet, pushdown-capable)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # TIMESTAMP(NANOS) read as long (see session._RUNTIME_CONF);
+        # truncate to µs — the same truncation DuckDB applies — so
+        # timestamp semantics agree with the oracle.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

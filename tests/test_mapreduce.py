@@ -1,0 +1,63 @@
+"""Generic map/reduce surface vs the sequential pure-Python oracle —
+the reference's own test strategy (distributed output `sort|cmp`'d
+against mrsequential, /root/reference/src/main/test-mr.sh:59-67)."""
+
+from __future__ import annotations
+
+import pytest
+
+from distributed_mapreduce_spark.operators.mapreduce import (
+    crash_map,
+    crash_reduce,
+    indexer_map,
+    indexer_reduce,
+    run_mapreduce,
+    run_mapreduce_sequential,
+    wc_map,
+    wc_reduce,
+)
+from distributed_mapreduce_spark.sources import whole_documents
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    df = whole_documents(spark, sf_dir)
+    rows = [(r.filename, r.contents) for r in df.collect()]
+    return df, rows
+
+
+@pytest.mark.parametrize(
+    "mapf,reducef",
+    [(wc_map, wc_reduce), (indexer_map, indexer_reduce), (crash_map, crash_reduce)],
+    ids=["wc", "indexer", "crash"],
+)
+def test_distributed_matches_sequential(spark, corpus, mapf, reducef):
+    df, rows = corpus
+    got = sorted((r.key, r.value) for r in run_mapreduce(df, mapf, reducef).collect())
+    want = sorted(run_mapreduce_sequential(rows, mapf, reducef))
+    assert got == want
+
+
+def test_partitioning_groups_keys(spark, corpus):
+    """O3: every distinct key lands in exactly one output partition
+    (the invariant behind the reference's ihash%n routing)."""
+    df, _ = corpus
+    out = run_mapreduce(df, wc_map, wc_reduce, num_partitions=5)
+    keys = [r.key for r in out.collect()]
+    assert len(keys) == len(set(keys))
+
+
+def test_custom_udfs(spark, corpus):
+    """Arbitrary user closures — the pluggable-UDF contract
+    (worker.go:25-26), not just the shipped apps."""
+    df, rows = corpus
+
+    def mapf(fname, contents):
+        return [(w[:2], str(len(w))) for w in contents.split()]
+
+    def reducef(key, values):
+        return str(sum(int(v) for v in values))
+
+    got = sorted((r.key, r.value) for r in run_mapreduce(df, mapf, reducef).collect())
+    want = sorted(run_mapreduce_sequential(rows, mapf, reducef))
+    assert got == want
