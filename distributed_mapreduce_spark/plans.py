@@ -14,8 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def physical_plan(df: DataFrame) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
 
 
 def assert_partial_agg(df: DataFrame) -> None:
@@ -45,5 +45,8 @@ def assert_pushed_filters(df: DataFrame) -> None:
 
 
 def assert_wholestage_codegen(df: DataFrame) -> None:
-    plan = physical_plan(df)
-    assert "WholeStageCodegen" in plan, f"no whole-stage codegen in plan:\n{plan}"
+    # AQE prints codegen ids ("*(n)") only on the finalized plan, so
+    # execute THIS plan (collect, not count — count builds a new plan).
+    df.collect()
+    plan = physical_plan(df, "simple")
+    assert "*(" in plan, f"no whole-stage codegen in plan:\n{plan}"

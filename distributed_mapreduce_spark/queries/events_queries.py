@@ -1,0 +1,135 @@
+"""Event-stream batch analytics over the `events` table.
+
+The reference has no time-series/stream surface (SURVEY.md §2.4) — this
+is [EXT] north-star coverage: JSON extraction, sessionization, pivot,
+and the batch twins of the streaming window queries (the streaming
+forms live in distributed_mapreduce_spark/streaming/).
+
+Scale notes: sessionization and per-user windows shuffle once on
+user_id; at 100 TB the user_id key space is huge and uniform, so the
+shuffle partitions evenly (no salting needed). JSON extraction is a
+JVM-side expression (no Python), applied post-scan on the pruned
+`props` column only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.queries.relational import dec, money
+from distributed_mapreduce_spark.sources import table
+
+SESSION_GAP_MIN = 30
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def ev_q1_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the props column: bucket events by the JSON
+    field k (mod 10) — scalar JSON functions the reference lacks."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select(F.pmod(k, F.lit(10)).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            money(F.avg(dec("value")), 4).alias("avg_value"),
+        )
+    )
+
+
+def ev_q2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    session counter per user — the batch form of session windows."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond epochs: exact integers on both engines (second-level
+    # casts would truncate differently from DuckDB's fractional epoch()).
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def ev_q3_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: user-bucket × event-type count matrix (fixed pivot values
+    so the plan is a single pass, no value-discovery job)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.pmod("user_id", F.lit(10)))
+        .groupBy("bucket")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+def ev_q4_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + event volume: date_trunc + distinct agg."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count("*").alias("n_events"),
+            money(F.sum(dec("value"))).alias("total_value"),
+        )
+    )
+
+
+ORACLES = {
+    "ev_q1_json_extract": """
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               count(*) AS n_events,
+               CAST(round(avg(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS avg_value
+        FROM events
+        GROUP BY 1
+    """,
+    "ev_q2_sessionize": f"""
+        WITH flagged AS (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_MIN * 60 * 1000000}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        FROM flagged
+        GROUP BY user_id
+    """,
+    "ev_q3_type_pivot": """
+        SELECT user_id % 10 AS bucket,
+               count(*) FILTER (WHERE event_type = 'click')    AS click,
+               count(*) FILTER (WHERE event_type = 'error')    AS error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+               count(*) FILTER (WHERE event_type = 'view')     AS view
+        FROM events
+        GROUP BY 1
+    """,
+    "ev_q4_daily_active": """
+        SELECT CAST(ts AS DATE) AS day,
+               count(DISTINCT user_id) AS active_users,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1
+    """,
+}
+
+QUERIES = {
+    "ev_q1_json_extract": ev_q1_json_extract,
+    "ev_q2_sessionize": ev_q2_sessionize,
+    "ev_q3_type_pivot": ev_q3_type_pivot,
+    "ev_q4_daily_active": ev_q4_daily_active,
+}

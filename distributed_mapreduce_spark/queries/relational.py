@@ -1,0 +1,447 @@
+"""Relational query layer over the star schema (SURVEY.md §7.1 step 4).
+
+The reference has no relational operators at all (§2.4's explicit gap
+list: no joins, windows, set ops, grouping sets, limits, scalar
+functions, SQL). This layer is the generalization of its scan→map→
+shuffle→reduce pipeline (O1-O7) into the full idiomatic Catalyst
+surface, graded query-by-query against DuckDB.
+
+Engine-parity discipline (applies to every query here):
+- Raw double *columns* pass through untouched (fixture doubles are
+  2-decimal clean, so stored bits agree across engines).
+- Double *aggregates* are computed in DECIMAL(18,4) — exact, engine
+  order-independent — then rounded and cast back to double, which is
+  bit-identical in Spark and DuckDB (verified empirically). Plain
+  double sums would drift by accumulation order at scale.
+- Computed integers are cast to BIGINT on both sides.
+
+Scale notes per query are inline; the common ones: dimension joins
+broadcast (region/nation/supplier/part/customer stay small or bounded
+at 100 TB — see sources.BROADCAST_TABLES), fact-fact joins shuffle on
+the join key with AQE skew handling, aggregations are partial-agg
+eligible, and every filter is expressed on base columns so Catalyst
+pushes it into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.sources import load, table
+
+
+def dec(col: str | Column) -> Column:
+    """Exact-arithmetic staging for double aggregates (see module doc)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,4)")
+
+
+def money(agg: Column, scale: int = 2) -> Column:
+    """Finalize an exact decimal aggregate back to a stable double."""
+    return F.round(agg, scale).cast("double")
+
+
+# --- q1: TPC-H Q1-style pricing summary (scan→filter→agg) -------------------
+
+
+def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide aggregate with 8 simultaneous measures; the filter is a raw
+    column predicate so it pushes into the parquet scan. Partial agg
+    (map-side combine) keeps the shuffle at group-cardinality — the
+    optimization the reference's wc lacks entirely (wc.go:29-33)."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2000-12-01"))
+    disc_price = dec("l_extendedprice") * (1 - dec("l_discount"))
+    charge = disc_price.cast("decimal(18,4)") * (1 + dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            money(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+            money(F.sum(disc_price)).alias("sum_disc_price"),
+            money(F.sum(charge)).alias("sum_charge"),
+            money(F.avg(dec("l_quantity"))).alias("avg_qty"),
+            money(F.avg(dec("l_extendedprice"))).alias("avg_price"),
+            money(F.avg(dec("l_discount")), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- q2: multi-way dimension join (TPC-H Q5 shape) --------------------------
+
+
+def rel_q2_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region. The dimension
+    chain is broadcast (no shuffle on the probe side); the only shuffle
+    is lineitem⋈orders on orderkey + the final group-by. At 100 TB the
+    orders join is the skew-sensitive one — AQE skew-join splits it."""
+    t = load(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            money(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- q3: top-k with deterministic order (limit) -----------------------------
+
+
+def rel_q3_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by revenue. Order on the *rounded* aggregate with
+    a key tiebreak so ordering is engine-stable. Spark executes this as
+    TakeOrderedAndProject — no global sort of the full aggregate."""
+    t = load(spark, sf_dir, "lineitem", "orders", "customer")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(money(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# --- q4: existential semi-join with a non-equi condition --------------------
+
+
+def rel_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one line shipped >60 days after the order
+    date, counted by priority — EXISTS as a left-semi join (equi key +
+    range predicate)."""
+    t = load(spark, sf_dir, "lineitem", "orders")
+    late = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        t["orders"]
+        .join(
+            late,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# --- q5: window ranking (top-k per group) -----------------------------------
+
+
+def rel_q5_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price: one shuffle on the partition
+    key, ranking inside the partition, no self-join."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn", "o_totalprice")
+    )
+
+
+# --- q6: running aggregate window -------------------------------------------
+
+
+def rel_q6_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running revenue in order-date order. The window sum
+    runs over decimals, so the running accumulation is exact and
+    order-stable across engines."""
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        money(F.sum(dec("o_totalprice")).over(w)).alias("running_total"),
+    )
+
+
+# --- q7: set operators ------------------------------------------------------
+
+
+def rel_q7_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT over nation membership, union-tagged into
+    one result. Spark plans both as hash semi/anti joins over the
+    distinct sets — broadcastable here."""
+    t = load(spark, sf_dir, "customer", "supplier", "nation")
+    cust_nations = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+    )
+    supp_nations = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+    )
+    both = cust_nations.intersect(supp_nations).select(F.lit("both").alias("tag"), "n_name")
+    # subtract = set EXCEPT; exceptAll would be multiset subtraction and
+    # leak nations whose customer-count exceeds their supplier-count.
+    cust_only = cust_nations.subtract(supp_nations).select(
+        F.lit("cust_only").alias("tag"), "n_name"
+    )
+    return both.unionByName(cust_only)
+
+
+# --- q8: rollup (grouping sets) ---------------------------------------------
+
+
+def rel_q8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with subtotal levels
+    rendered as 'ALL' so the grouping-null convention is engine-neutral."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            money(F.sum(dec("l_quantity"))).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+# --- q9: conditional aggregation + HAVING -----------------------------------
+
+
+def rel_q9_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("n_debt"),
+            money(F.avg(dec("c_acctbal"))).alias("avg_bal"),
+            money(F.max(dec("c_acctbal"))).alias("max_bal"),
+        )
+        .where(F.col("n_customers") > 10)
+    )
+
+
+# --- q10: date/time scalar functions ----------------------------------------
+
+
+def rel_q10_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.quarter("o_orderdate").cast("bigint").alias("o_quarter"),
+            F.month("o_orderdate").cast("bigint").alias("o_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum(dec("o_totalprice"))).alias("total"),
+        )
+    )
+
+
+# --- q11: string scalar functions + distinct agg ----------------------------
+
+
+def rel_q11_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return (
+        part.withColumn(
+            "brand_num",
+            F.regexp_extract("p_brand", "#([0-9]+)", 1).cast("bigint"),
+        )
+        .groupBy("brand_num")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.countDistinct("p_type").alias("n_types"),
+            F.min("p_size").cast("bigint").alias("min_size"),
+            F.max("p_size").cast("bigint").alias("max_size"),
+            money(F.avg(dec("p_retailprice"))).alias("avg_price"),
+        )
+    )
+
+
+# --- q12: anti join ---------------------------------------------------------
+
+
+def rel_q12_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join, aggregated per nation: customers
+    with no order since 2000-01-01 (every customer has *some* order in
+    the fixtures, so the recency predicate keeps the result non-trivial)."""
+    t = load(spark, sf_dir, "customer", "orders", "nation")
+    recent = t["orders"].where(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    return (
+        t["customer"]
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_idle_customers"))
+    )
+
+
+ORACLES = {
+    "rel_q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_charge,
+               CAST(round(avg(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_qty,
+               CAST(round(avg(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_price,
+               CAST(round(avg(CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "rel_q2_region_revenue": """
+        SELECT r_name, n_name,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY r_name, n_name
+    """,
+    "rel_q3_top_customers": """
+        SELECT c_custkey, c_name,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 10
+    """,
+    "rel_q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority
+    """,
+    "rel_q5_window_topk": """
+        SELECT o_custkey, o_orderkey, rn, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS BIGINT) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    "rel_q6_running_total": """
+        SELECT o_custkey, o_orderkey,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS DOUBLE) AS running_total
+        FROM orders
+    """,
+    "rel_q7_setops": """
+        WITH cust_nations AS (
+            SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ),
+        supp_nations AS (
+            SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        )
+        SELECT 'both' AS tag, n_name FROM (
+            SELECT n_name FROM cust_nations INTERSECT SELECT n_name FROM supp_nations
+        )
+        UNION ALL
+        SELECT 'cust_only' AS tag, n_name FROM (
+            SELECT n_name FROM cust_nations EXCEPT SELECT n_name FROM supp_nations
+        )
+    """,
+    "rel_q8_rollup": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n_items,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "rel_q9_segment_stats": """
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               count(CASE WHEN c_acctbal < 0 THEN 1 END) AS n_debt,
+               CAST(round(avg(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_bal,
+               CAST(round(max(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS max_bal
+        FROM customer
+        GROUP BY c_mktsegment
+        HAVING count(*) > 10
+    """,
+    "rel_q10_orders_by_month": """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+               CAST(month(o_orderdate) AS BIGINT) AS o_month,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY 1, 2, 3
+    """,
+    "rel_q11_brand_stats": """
+        SELECT CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS BIGINT) AS brand_num,
+               count(*) AS n_parts,
+               count(DISTINCT p_type) AS n_types,
+               CAST(min(p_size) AS BIGINT) AS min_size,
+               CAST(max(p_size) AS BIGINT) AS max_size,
+               CAST(round(avg(CAST(p_retailprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_price
+        FROM part
+        GROUP BY 1
+    """,
+    "rel_q12_customers_without_orders": """
+        SELECT n_name, count(*) AS n_idle_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        )
+        GROUP BY n_name
+    """,
+}
+
+QUERIES = {
+    "rel_q1_pricing_summary": rel_q1_pricing_summary,
+    "rel_q2_region_revenue": rel_q2_region_revenue,
+    "rel_q3_top_customers": rel_q3_top_customers,
+    "rel_q4_order_priority": rel_q4_order_priority,
+    "rel_q5_window_topk": rel_q5_window_topk,
+    "rel_q6_running_total": rel_q6_running_total,
+    "rel_q7_setops": rel_q7_setops,
+    "rel_q8_rollup": rel_q8_rollup,
+    "rel_q9_segment_stats": rel_q9_segment_stats,
+    "rel_q10_orders_by_month": rel_q10_orders_by_month,
+    "rel_q11_brand_stats": rel_q11_brand_stats,
+    "rel_q12_customers_without_orders": rel_q12_customers_without_orders,
+}

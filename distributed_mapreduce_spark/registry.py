@@ -18,6 +18,8 @@ _MODULES = (
     "distributed_mapreduce_spark.queries.mapreduce_queries",
     "distributed_mapreduce_spark.operators.mapreduce",
     "distributed_mapreduce_spark.operators.kv",
+    "distributed_mapreduce_spark.queries.relational",
+    "distributed_mapreduce_spark.queries.events_queries",
 )
 
 

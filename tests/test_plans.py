@@ -1,0 +1,44 @@
+"""Physical-plan assertions: the optimizations the reference lacks
+(SURVEY.md §4) must actually appear in Catalyst's plans — map-side
+partial aggregation, broadcast dimension joins, predicate pushdown
+into the parquet scan, whole-stage codegen, top-k as TakeOrdered."""
+
+from __future__ import annotations
+
+from distributed_mapreduce_spark import plans
+from distributed_mapreduce_spark.queries.mapreduce_queries import mr_q1_wordcount
+from distributed_mapreduce_spark.queries.relational import (
+    rel_q1_pricing_summary,
+    rel_q2_region_revenue,
+    rel_q3_top_customers,
+    rel_q12_customers_without_orders,
+)
+
+
+def test_wordcount_has_partial_agg(spark, sf_dir):
+    """The single biggest win over the reference: wc.go ships one KV
+    pair per word occurrence with no combiner (wc.go:29-33)."""
+    df = mr_q1_wordcount(spark, sf_dir)
+    plans.assert_partial_agg(df)
+    plans.assert_wholestage_codegen(df)
+
+
+def test_pricing_summary_pushdown_and_partial(spark, sf_dir):
+    df = rel_q1_pricing_summary(spark, sf_dir)
+    plans.assert_pushed_filters(df)
+    plans.assert_partial_agg(df)
+
+
+def test_region_revenue_broadcasts_dims(spark, sf_dir):
+    df = rel_q2_region_revenue(spark, sf_dir)
+    plans.assert_broadcast_join(df)
+    plans.assert_no_cartesian(df)
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    p = plans.physical_plan(rel_q3_top_customers(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_anti_join_no_cartesian(spark, sf_dir):
+    plans.assert_no_cartesian(rel_q12_customers_without_orders(spark, sf_dir))
