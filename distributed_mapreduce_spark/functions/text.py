@@ -1,0 +1,111 @@
+"""Text-analysis column expressions ([EXT] SURVEY.md §2.4 / BASELINE
+north star: language-ID, quality scoring, token counting, document
+fingerprinting).
+
+Everything here is a JVM-side Catalyst expression — no Python UDFs in
+the hot path. Tokenization generalizes the reference's word splitter
+(/root/reference/src/mrapps/wc.go:23-26) into reusable expressions;
+fingerprinting is the rolling-hash/dedup primitive of an LLM-data
+pipeline.
+
+Scale notes: all of these are embarrassingly parallel map expressions
+(no shuffle); shingling expands rows ~token-count-fold, which is why
+downstream dedup ops aggregate shingles to hashes *before* any join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# lowercase letter runs — aligned with the DuckDB oracle's regex.
+TOKEN_SPLIT = "[^a-z]+"
+
+# Tiny deterministic stopword sets for the language-ID heuristic.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "dans", "pour"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "de", "en", "por"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Lower-cased letter-run tokens, empties removed: array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT), lambda x: x != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def distinct_tokens(col: Column | str) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a token array (space-joined), the
+    near-dup unit: distinctive even over a tiny vocabulary where
+    unigram sets saturate. Empty array when fewer than n tokens
+    (guarded: Spark's sequence() would run *backwards* on a negative
+    range)."""
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + off) for off in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Dedup normalization: lowercase, trim, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), "\\s+", " ")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint = md5 of normalized text (hex string —
+    identical in Spark and DuckDB)."""
+    return F.md5(normalize_text(col))
+
+
+def stopword_ratio(toks: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of `lang` (0.0 if empty)."""
+    hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS[lang])))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def avg_token_len(toks: Column) -> Column:
+    """Mean token length in characters (0.0 if empty) — exact integer
+    division, engine-stable."""
+    total = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def langid_guess(toks: Column, threshold: float = 0.04) -> Column:
+    """Heuristic language ID: the language whose stopword hit-ratio is
+    highest, if above threshold, else 'unknown'. Pure expression — a
+    greatest-of-struct argmax, deterministic tie-break by language
+    order."""
+    size = F.size(toks)
+    ratios = [
+        (
+            lang,
+            F.when(
+                size > 0,
+                F.size(F.filter(toks, lambda x: x.isin(*words))) / size,
+            ).otherwise(F.lit(0.0)),
+        )
+        for lang, words in STOPWORDS.items()
+    ]
+    best_lang, best_ratio = ratios[0]
+    best_lang = F.lit(best_lang)
+    for lang, ratio in ratios[1:]:
+        better = ratio > best_ratio
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_ratio = F.when(better, ratio).otherwise(best_ratio)
+    return F.when(best_ratio >= F.lit(threshold), best_lang).otherwise(F.lit("unknown"))

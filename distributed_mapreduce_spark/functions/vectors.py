@@ -1,0 +1,55 @@
+"""Vector column expressions for embedding similarity ([EXT]).
+
+All JVM-side: zip_with + a sequential aggregate fold, in double
+precision. The fold accumulates left-to-right in element order, which
+makes results bit-identical to a left-associative unrolled sum — the
+form the DuckDB oracle uses (its native list_cosine_similarity runs in
+float32 and drifts ~1e-7, too sloppy for hash parity).
+
+Scale notes: these are per-row map expressions (no shuffle, codegen'd);
+a 100 TB embedding column streams through them at scan speed. The
+Pandas-UDF alternative only wins when batching into BLAS matmuls —
+see operators/similarity.py for where that trade is taken.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential fold in element order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 for zero-norm inputs (guarded division)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def unrolled_dot_sql(a: str, b: str, dim: int) -> str:
+    """DuckDB mirror of `dot`: explicit left-associative sum so the
+    accumulation order (and hence every bit) matches the Spark fold."""
+    return "(" + " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+    ) + ")"
+
+
+def cosine_sql(a: str, b: str, dim: int) -> str:
+    d = unrolled_dot_sql(a, b, dim)
+    na = unrolled_dot_sql(a, a, dim)
+    nb = unrolled_dot_sql(b, b, dim)
+    return (
+        f"(CASE WHEN sqrt({na}) * sqrt({nb}) > 0 "
+        f"THEN {d} / (sqrt({na}) * sqrt({nb})) ELSE 0.0 END)"
+    )

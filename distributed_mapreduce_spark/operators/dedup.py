@@ -1,0 +1,275 @@
+"""Deduplication operators ([EXT] — BASELINE north star: the dedup
+family a 100 TB training-data pipeline needs).
+
+Five tiers, cheapest first:
+  1. exact            — md5 fingerprint of normalized text; hash groupBy.
+  2. token-set        — md5 of the sorted distinct-token set (bag-of-words
+                        duplicates: reorderings collapse).
+  3. n-gram jaccard   — exact near-dup via a shingle inverted-index
+                        self-join (relational, oracle-checkable).
+  4. MinHash + LSH    — approximate near-dup: k minhashes → b bands →
+                        bucket join → exact-verify candidates. The scale
+                        path: candidate generation touches only bucket
+                        collisions, never the full pair space.
+  5. SimHash          — 64-bit signature + banded hamming search.
+
+All candidate generation is JVM-side (xxhash64/md5 built-ins, no
+Python). Scale notes: the exact-jaccard self-join (tier 3) is quadratic
+in per-shingle document frequency — fine as the *verifier* over LSH
+candidates (tier 4), which is how the 100 TB path composes:
+    pairs = verify_pairs(docs, lsh_candidate_pairs(minhash_signatures(...)))
+Hot shingles (stopword runs) are the skew risk; `max_df` drops
+shingles whose document frequency exceeds a bound, the standard
+near-dup practice (they carry no discriminating signal).
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.functions.text import (
+    fingerprint,
+    shingles,
+    tokens,
+)
+
+DEFAULT_NUM_HASHES = 32
+DEFAULT_BANDS = 8  # rows-per-band r = k/b = 4 → s-curve threshold ≈ (1/8)^(1/4) ≈ 0.6
+
+
+# --- tier 1-2: exact / token-set --------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per exact (normalized) fingerprint."""
+    fp = docs.withColumn("fp", fingerprint(text_col))
+    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, [id_col, "fp"], "left_semi").drop("fp")
+
+
+def token_set_signature(text_col: str = "text") -> F.Column:
+    """Order-insensitive content signature: md5 of the sorted distinct
+    token set."""
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens(text_col))), ",")
+    )
+
+
+# --- tier 3: exact n-gram jaccard (inverted-index join) ---------------------
+
+
+def doc_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Distinct (id, shingle) pairs; optionally drop shingles with
+    document frequency > max_df (skew guard for the self-join path)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(tokens(text_col), n)).alias("shingle"),
+    ).distinct()
+    if max_df is not None:
+        rare = sh.groupBy("shingle").count().where(F.col("count") <= max_df)
+        sh = sh.join(rare.select("shingle"), "shingle", "left_semi")
+    return sh
+
+
+def jaccard_pairs(sh: DataFrame, min_jaccard: float) -> DataFrame:
+    """Exact jaccard over a (id, shingle) set via inverted-index
+    self-join: |A∩B| from the shingle join, |A∪B| = |A|+|B|−|A∩B|."""
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_i"), F.col("b.id").alias("id_j"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_i", "sz": "sz_i"}), "id_i")
+        .join(sizes.withColumnsRenamed({"id": "id_j", "sz": "sz_j"}), "id_j")
+        .select(
+            "id_i",
+            "id_j",
+            F.round(
+                F.col("inter") / (F.col("sz_i") + F.col("sz_j") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# --- tier 4: MinHash + LSH --------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
+    """k-permutation MinHash signature per document: permutation i is
+    xxhash64(seed=i, shingle) — JVM-side, one aggregation, no UDF."""
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """Band the signature (b bands × r rows), bucket-join on
+    (band, hash-of-rows): a pair is a candidate iff some band agrees on
+    all r minhashes. Never materializes the full pair space."""
+    r = num_hashes // bands
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(*[F.col("sig")[bi * r + j] for j in range(r)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_i"), F.col("b.id").alias("id_j"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    min_jaccard: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    max_df: int | None = None,
+) -> DataFrame:
+    """The composed scale path: LSH candidates, exact-verified.
+    Output ⊆ jaccard_pairs(...) with recall governed by the (k, b)
+    s-curve — the test suite asserts recall against the exact tier."""
+    sh = doc_shingles(docs, max_df=max_df)
+    cands = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, bands)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(cands, F.col("a.id") == F.col("id_i"))
+        .join(
+            sh.alias("b"),
+            (F.col("b.id") == F.col("id_j")) & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("id_i", "id_j")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_i", "sz": "sz_i"}), "id_i")
+        .join(sizes.withColumnsRenamed({"id": "id_j", "sz": "sz_j"}), "id_j")
+        .select(
+            "id_i",
+            "id_j",
+            F.round(
+                F.col("inter") / (F.col("sz_i") + F.col("sz_j") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# --- tier 5: SimHash --------------------------------------------------------
+
+
+def simhash64(sh: DataFrame) -> DataFrame:
+    """64-bit SimHash per document from shingle hashes: bit b of the
+    signature is the sign of Σ(±1) over that bit across shingles.
+    One aggregation with 64 JVM-side bit-count sums."""
+    h = F.xxhash64("shingle")
+    bit_sums = [
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"b{b}") for b in range(64)
+    ]
+    agg = sh.groupBy("id").agg(F.count("*").alias("n"), *bit_sums)
+    sig = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"b{b}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("bigint"), b))
+            .otherwise(F.lit(0).cast("bigint"))
+            for b in range(64)
+        ],
+    )
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    num_chunks: int = 8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Banded hamming search: split the 64-bit signature into
+    `num_chunks` equal chunks; by pigeonhole a pair within hamming <
+    num_chunks agrees exactly on ≥1 chunk, so the chunk-equality join
+    has guaranteed recall for max_hamming ≤ num_chunks−1 and exact
+    bit_count(xor) verifies. Narrower chunks ⇒ more bucket collisions
+    (more candidates) but a stronger guarantee — 8×8-bit covers the
+    default max_hamming=6; use 4×16-bit at huge corpus sizes where
+    hamming ≤ 3 suffices."""
+    if max_hamming >= num_chunks:
+        raise ValueError(
+            f"recall guarantee needs max_hamming < num_chunks "
+            f"(got {max_hamming} ≥ {num_chunks})"
+        )
+    width = 64 // num_chunks
+    mask = (1 << width) - 1
+    sig = simhash64(doc_shingles(docs, max_df=max_df))
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * width).bitwiseAND(F.lit(mask)).alias("val"),
+                    )
+                    for c in range(num_chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_i"),
+            F.col("b.id").alias("id_j"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

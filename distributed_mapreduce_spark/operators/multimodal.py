@@ -1,0 +1,101 @@
+"""Multimodal column plumbing ([EXT] north star): image/audio/video as
+opaque binary columns with typed metadata, processed through
+Arrow-batched mapInPandas.
+
+The container has no image/audio libraries, so the *decode* step is a
+STUB: `decode_stub` produces a deterministic fake feature vector from
+the raw bytes (and `decode_real` raises NotImplementedError with the
+integration point documented). Everything around the stub — schema,
+binary payload handling, Arrow batch shape, partitioning — is real and
+tested; swapping in PIL/ffmpeg later changes only the inner function.
+
+Scale notes: payloads ride in the same parquet row group as their
+metadata (fine ≤ a few MB each; bigger media belongs in object storage
+with a URI column — same operator shape, the mapInPandas body fetches
+instead of decodes). mapInPandas streams Arrow batches, so executor
+memory is bounded by batch size (session conf caps records/batch),
+not partition size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MODALITIES = ("image", "audio", "video")
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = (
+    "doc_id bigint, modality string, n_bytes bigint, features array<double>"
+)
+
+
+def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a multimodal fixture from `documents`: payload = UTF-8
+    bytes of the text standing in for media bytes, modality assigned
+    round-robin, metadata struct alongside."""
+    from distributed_mapreduce_spark.sources import table
+
+    docs = table(spark, sf_dir, "documents")
+    modality = (
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, MODALITIES[0])
+        .when(F.pmod("doc_id", F.lit(3)) == 1, MODALITIES[1])
+        .otherwise(MODALITIES[2])
+    )
+    return docs.select(
+        "doc_id",
+        modality.alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+def decode_real(payload: bytes, modality: str):
+    """Integration point for real decoders (PIL for image, soundfile
+    for audio, pyav frame-sampling for video) — not available in this
+    container."""
+    raise NotImplementedError(
+        "real media decoding requires PIL/soundfile/pyav; "
+        "use decode_stub (deterministic fake) in this environment"
+    )
+
+
+def decode_stub(payload: bytes, modality: str) -> list[float]:
+    """Deterministic fake 'decode': an FEATURE_DIM-bucket byte histogram,
+    normalized — stable across runs/partitions, shaped like a real
+    feature vector so downstream operators are exercised honestly."""
+    counts = [0] * FEATURE_DIM
+    for b in payload:
+        counts[b % FEATURE_DIM] += 1
+    total = max(len(payload), 1)
+    return [c / total for c in counts]
+
+
+def extract_features(mm: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over the binary payload column:
+    Arrow-batched, per-partition streaming — the real 100 TB shape for
+    Python-side media work."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "features": [
+                        decode_stub(bytes(p), m)
+                        for p, m in zip(pdf["payload"], pdf["modality"])
+                    ],
+                }
+            )
+
+    return mm.mapInPandas(run, schema=FEATURES_SCHEMA)

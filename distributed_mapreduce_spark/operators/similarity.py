@@ -1,0 +1,123 @@
+"""Similarity search over an embedding column ([EXT] north star).
+
+Two tiers:
+  1. Brute-force cosine top-k — the exact baseline: broadcast the
+     query vector, map-side cosine, TakeOrdered(k). Linear scan; at
+     100 TB this is the *verifier*, not the serving path.
+  2. IVF (inverted-file) top-k — the scale path: partition vectors
+     into cells by nearest centroid, search only the `nprobe` cells
+     whose centroids best match the query. Candidate set shrinks
+     ~nprobe/num_cells; recall is tested against tier 1.
+
+Centroid "training" here is deterministic sampling (the first
+`num_cells` vectors by id) — a kmeans stand-in that keeps the fixture
+pipeline reproducible; the operator itself only needs *some* centroid
+table, so a real kmeans (pyspark.ml.clustering.KMeans) drops in
+without changing the query shape.
+
+Cell assignment is an argmax over per-centroid cosines, built as a
+chained-when expression — JVM-side, no UDF, no shuffle beyond the one
+groupBy-free broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.functions.vectors import cosine
+
+DEFAULT_NUM_CELLS = 16
+DEFAULT_NPROBE = 4
+
+
+def topk_cosine(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Tier 1: exact top-k by cosine against a 1-row query DataFrame
+    (column `qv`). Broadcast + map + TakeOrderedAndProject — no shuffle.
+    Ordering is on the *rounded* score with id tiebreak, so results are
+    engine-stable under fp ties."""
+    scored = emb.crossJoin(F.broadcast(query)).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("qv")), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def train_centroids(
+    emb: DataFrame,
+    num_cells: int = DEFAULT_NUM_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid table: the num_cells lowest-id vectors.
+    (Swap for KMeans at production scale; same return shape.)"""
+    rows = emb.orderBy(id_col).limit(num_cells).select(vec_col).collect()
+    return [(i, [float(x) for x in r[0]]) for i, r in enumerate(rows)]
+
+
+def assign_cells(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index build: tag every vector with its nearest-centroid cell.
+
+    Relational argmax: broadcast the (tiny) centroid table, score every
+    (vector, centroid) pair once, keep the best by window rank —
+    num_cells × dim stays data, not expression-tree (a chained-when
+    argmax over full cosine expressions blows up codegen). At scale the
+    `cell` column is the *write-time* partitioning key — store the
+    table bucketed by cell and probes become partition-pruned scans."""
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids], "cell int, cvec array<double>"
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cell"))
+    best = (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cent_df))
+        .select(
+            id_col,
+            "cell",
+            cosine(F.col(vec_col), F.col("cvec")).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, "cell")
+    )
+    return emb.join(best, id_col)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_cells: int = DEFAULT_NUM_CELLS,
+    nprobe: int = DEFAULT_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Tier 2: probe the nprobe cells nearest the query, exact-rank
+    inside them. Driver-side centroid ranking (num_cells floats — tiny);
+    executor-side work touches only the probed cells."""
+    centroids = train_centroids(emb, num_cells, id_col, vec_col)
+    indexed = assign_cells(emb, centroids, id_col, vec_col)
+
+    def cos(c: list[float]) -> float:
+        d = sum(x * y for x, y in zip(c, query_vec))
+        na = sum(x * x for x in c) ** 0.5
+        nb = sum(y * y for y in query_vec) ** 0.5
+        return d / (na * nb) if na * nb > 0 else 0.0
+
+    probe = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i][1]), i))[:nprobe]
+    return topk_cosine(indexed.where(F.col("cell").isin(probe)), query, k, id_col, vec_col)

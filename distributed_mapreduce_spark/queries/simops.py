@@ -1,0 +1,142 @@
+"""Similarity-search + multimodal queries ([EXT] north star).
+
+sim_q1/sim_q2 are oracle-backed: the DuckDB side mirrors the Spark
+cosine fold with an unrolled left-associative double sum (see
+functions/vectors.py) so scores are bit-identical. The IVF variant and
+the mapInPandas feature extraction are rows-only for the driver; their
+correctness gates are recall/equivalence tests in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.functions.vectors import cosine, cosine_sql
+from distributed_mapreduce_spark.operators.multimodal import (
+    extract_features,
+    multimodal_table,
+)
+from distributed_mapreduce_spark.operators.similarity import ivf_topk, topk_cosine
+from distributed_mapreduce_spark.queries.relational import dec, money
+from distributed_mapreduce_spark.sources import table
+
+DIM = 64
+QUERY_VEC_ID = 0
+TOP_K = 10
+PAIR_SAMPLE_MOD = 5  # pair query samples vec_id % 5 == 0
+TOP_PAIRS = 20
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings")
+
+
+def _query_df(emb: DataFrame) -> DataFrame:
+    return emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+
+
+def sim_q1_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the query vector (vec_id=0): broadcast +
+    map-side cosine + TakeOrdered. The ANN baseline/verifier."""
+    emb = _emb(spark, sf_dir)
+    return topk_cosine(emb, _query_df(emb), TOP_K)
+
+
+def sim_q2_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-similar pairs within a deterministic sample (vec_id % 5 = 0):
+    the all-pairs brute-force shape, bounded by sampling — at scale this
+    exact tier runs only on LSH/IVF candidate pairs."""
+    emb = _emb(spark, sf_dir).where(F.pmod("vec_id", F.lit(PAIR_SAMPLE_MOD)) == 0)
+    a = emb.select(F.col("vec_id").alias("id_i"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_j"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("id_i") < F.col("id_j"))
+    return (
+        pairs.select(
+            "id_i",
+            "id_j",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("id_i"), F.asc("id_j"))
+        .limit(TOP_PAIRS)
+    )
+
+
+def sim_q3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed top-10 (scale path; rows-only — recall vs sim_q1 is
+    asserted in tests)."""
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["embedding"]
+    ]
+    return ivf_topk(emb, _query_df(emb), qvec, TOP_K)
+
+
+def mm_q1_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata aggregation over the binary payload column."""
+    mm = multimodal_table(spark, sf_dir)
+    return mm.groupBy("modality").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+        money(F.avg(F.col("meta.n_bytes").cast("decimal(18,4)"))).alias("avg_bytes"),
+    )
+
+
+def mm_q2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction (stubbed decode) aggregated per
+    modality — exercises the real mapInPandas plumbing end-to-end."""
+    feats = extract_features(multimodal_table(spark, sf_dir))
+    return feats.groupBy("modality").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_f0"),
+        F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+    )
+
+
+_COS_AB = cosine_sql("a.embedding", "q.qv", DIM)
+_COS_PAIR = cosine_sql("a.va", "b.vb", DIM)
+
+ORACLES = {
+    "sim_q1_topk_bruteforce": f"""
+        WITH q AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        )
+        SELECT a.vec_id, round({_COS_AB}, 6) AS cos_sim
+        FROM embeddings a CROSS JOIN q
+        ORDER BY cos_sim DESC, a.vec_id ASC
+        LIMIT {TOP_K}
+    """,
+    "sim_q2_top_pairs": f"""
+        WITH s AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id % {PAIR_SAMPLE_MOD} = 0
+        ),
+        a AS (SELECT vec_id AS id_i, embedding AS va FROM s),
+        b AS (SELECT vec_id AS id_j, embedding AS vb FROM s)
+        SELECT id_i, id_j, round({_COS_PAIR}, 6) AS cos_sim
+        FROM a CROSS JOIN b
+        WHERE id_i < id_j
+        ORDER BY cos_sim DESC, id_i ASC, id_j ASC
+        LIMIT {TOP_PAIRS}
+    """,
+    "mm_q1_payload_stats": """
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               count(*) AS n_items,
+               sum(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+               CAST(round(avg(CAST(octet_length(encode(text)) AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_bytes
+        FROM documents
+        GROUP BY 1
+    """,
+}
+
+QUERIES = {
+    "sim_q1_topk_bruteforce": sim_q1_topk_bruteforce,
+    "sim_q2_top_pairs": sim_q2_top_pairs,
+    "sim_q3_ivf_topk": sim_q3_ivf_topk,
+    "mm_q1_payload_stats": mm_q1_payload_stats,
+    "mm_q2_features": mm_q2_features,
+}

@@ -1,0 +1,257 @@
+"""Text-analysis + dedup queries over `documents` ([EXT] north star).
+
+Oracle-backed where the computation is hash-function-independent
+(token stats, quality, language-ID, exact/token-set fingerprints,
+exact n-gram jaccard). MinHash-LSH and SimHash depend on xxhash64 and
+so get the driver's rows-only check — their correctness gate is the
+recall assertion against the exact jaccard tier in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.functions.text import (
+    STOPWORDS,
+    avg_token_len,
+    distinct_tokens,
+    fingerprint,
+    langid_guess,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from distributed_mapreduce_spark.operators.dedup import (
+    doc_shingles,
+    jaccard_pairs,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+    token_set_signature,
+)
+from distributed_mapreduce_spark.queries.relational import money
+from distributed_mapreduce_spark.sources import table
+
+NEAR_DUP_JACCARD = 0.5
+
+# DuckDB mirror of functions.text.tokens()
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+
+def _ratio_cte() -> str:
+    """Per-language stopword hit-ratio columns (DuckDB lambda mirror of
+    functions.text.stopword_ratio)."""
+    cols = []
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        cols.append(
+            f"CASE WHEN len(ts) > 0 THEN "
+            f"len(list_filter(ts, x -> list_contains([{lst}], x))) / len(ts) "
+            f"ELSE 0.0 END AS r_{lang}"
+        )
+    return ",\n               ".join(cols)
+
+
+def text_q1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per language: the wordcount machinery as corpus
+    statistics."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return (
+        docs.select(
+            "lang",
+            token_count("text").alias("n_tokens"),
+            F.size(distinct_tokens("text")).cast("bigint").alias("n_distinct"),
+            F.col("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            money(F.avg(F.col("n_tokens").cast("decimal(18,4)"))).alias("avg_tokens"),
+            money(F.avg(F.col("n_distinct").cast("decimal(18,4)"))).alias("avg_distinct"),
+            money(F.avg(F.col("n_chars").cast("decimal(18,4)"))).alias("avg_chars"),
+        )
+    )
+
+
+def text_q2_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + mean token length, aggregated
+    per language (the doc-level expressions are the per-document
+    quality filter of a training-data pipeline)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    per_doc = docs.select(
+        "lang",
+        stopword_ratio(toks, "en").cast("decimal(18,12)").alias("sw_ratio"),
+        avg_token_len(toks).cast("decimal(18,12)").alias("tok_len"),
+    )
+    return per_doc.groupBy("lang").agg(
+        money(F.avg("sw_ratio"), 6).alias("avg_stopword_ratio"),
+        money(F.avg("tok_len"), 6).alias("avg_token_len"),
+    )
+
+
+def text_q3_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang: confusion counts."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", langid_guess(tokens("text")).alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def dedup_q1_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup census per source: md5-of-normalized-text groups."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", fingerprint("text").alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+    )
+
+
+def dedup_q2_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words dedup census per language: reorderings collapse."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", token_set_signature("text").alias("sig"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("sig").alias("n_unique"),
+        )
+    )
+
+
+def dedup_q3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram jaccard near-dup pairs (≥ 0.5) via the
+    inverted-index self-join — the hash-free oracle tier."""
+    docs = table(spark, sf_dir, "documents")
+    return jaccard_pairs(doc_shingles(docs), NEAR_DUP_JACCARD)
+
+
+def dedup_q4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified (rows-only for the
+    driver; recall vs dedup_q3 asserted in tests)."""
+    docs = table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, NEAR_DUP_JACCARD)
+
+
+def dedup_q5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded hamming near-dup pairs (rows-only for the driver)."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=6)
+
+
+_SW_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+ORACLES = {
+    "text_q1_token_stats": f"""
+        WITH t AS (
+            SELECT lang, n_chars, {_TOKS_SQL} AS ts FROM documents
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(CAST(len(ts) AS BIGINT)) AS total_tokens,
+               CAST(round(avg(CAST(len(ts) AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_tokens,
+               CAST(round(avg(CAST(len(list_distinct(ts)) AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_distinct,
+               CAST(round(avg(CAST(n_chars AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_chars
+        FROM t
+        GROUP BY lang
+    """,
+    "text_q2_quality": f"""
+        WITH t AS (
+            SELECT lang, {_TOKS_SQL} AS ts FROM documents
+        ),
+        per_doc AS (
+            SELECT lang,
+                   CAST(CASE WHEN len(ts) > 0
+                        THEN len(list_filter(ts, x -> list_contains([{_SW_EN}], x))) / len(ts)
+                        ELSE 0.0 END AS DECIMAL(18,12)) AS sw_ratio,
+                   CAST(CASE WHEN len(ts) > 0
+                        THEN list_sum(list_transform(ts, x -> length(x))) / len(ts)
+                        ELSE 0.0 END AS DECIMAL(18,12)) AS tok_len
+            FROM t
+        )
+        SELECT lang,
+               CAST(round(avg(sw_ratio), 6) AS DOUBLE) AS avg_stopword_ratio,
+               CAST(round(avg(tok_len), 6) AS DOUBLE) AS avg_token_len
+        FROM per_doc
+        GROUP BY lang
+    """,
+    "text_q3_langid": f"""
+        WITH t AS (
+            SELECT lang, {_TOKS_SQL} AS ts FROM documents
+        ),
+        scored AS (
+            SELECT lang,
+               {_ratio_cte()}
+            FROM t
+        ),
+        guessed AS (
+            SELECT lang,
+                   CASE WHEN greatest(r_en, r_de, r_fr, r_es) < 0.04 THEN 'unknown'
+                        WHEN r_en = greatest(r_en, r_de, r_fr, r_es) THEN 'en'
+                        WHEN r_de = greatest(r_en, r_de, r_fr, r_es) THEN 'de'
+                        WHEN r_fr = greatest(r_en, r_de, r_fr, r_es) THEN 'fr'
+                        ELSE 'es' END AS guess
+            FROM scored
+        )
+        SELECT lang, guess, count(*) AS n_docs
+        FROM guessed
+        GROUP BY lang, guess
+    """,
+    "dedup_q1_exact": """
+        SELECT source,
+               count(*) AS n_docs,
+               count(DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS n_unique
+        FROM documents
+        GROUP BY source
+    """,
+    "dedup_q2_token_set": f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               count(DISTINCT md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ','))) AS n_unique
+        FROM documents
+        GROUP BY lang
+    """,
+    "dedup_q3_ngram_jaccard": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id AS id,
+                   unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+            FROM toks
+        ),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_i, b.id AS id_j, count(*) AS c
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT id_i, id_j,
+               round(c / (sa.sz + sb.sz - c), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_i
+        JOIN sizes sb ON sb.id = id_j
+        WHERE round(c / (sa.sz + sb.sz - c), 6) >= {NEAR_DUP_JACCARD}
+    """,
+}
+
+QUERIES = {
+    "text_q1_token_stats": text_q1_token_stats,
+    "text_q2_quality": text_q2_quality,
+    "text_q3_langid": text_q3_langid,
+    "dedup_q1_exact": dedup_q1_exact,
+    "dedup_q2_token_set": dedup_q2_token_set,
+    "dedup_q3_ngram_jaccard": dedup_q3_ngram_jaccard,
+    "dedup_q4_minhash_lsh": dedup_q4_minhash_lsh,
+    "dedup_q5_simhash": dedup_q5_simhash,
+}

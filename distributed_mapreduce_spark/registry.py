@@ -20,6 +20,8 @@ _MODULES = (
     "distributed_mapreduce_spark.operators.kv",
     "distributed_mapreduce_spark.queries.relational",
     "distributed_mapreduce_spark.queries.events_queries",
+    "distributed_mapreduce_spark.queries.textops",
+    "distributed_mapreduce_spark.queries.simops",
 )
 
 

@@ -1,0 +1,77 @@
+"""Similarity + multimodal tests: IVF recall vs brute force, cosine
+semantics, mapInPandas feature plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.functions.vectors import cosine, dot
+from distributed_mapreduce_spark.operators.multimodal import (
+    decode_real,
+    decode_stub,
+    extract_features,
+    multimodal_table,
+)
+from distributed_mapreduce_spark.operators.similarity import (
+    assign_cells,
+    ivf_topk,
+    topk_cosine,
+    train_centroids,
+)
+from distributed_mapreduce_spark.sources import table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return table(spark, sf_dir, "embeddings")
+
+
+def test_cosine_expression(spark):
+    rows = [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([0.0, 0.0], [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "a array<float>, b array<float>")
+    got = [r.c for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got == [1.0, 0.0, 0.0]
+    d = [r.d for r in df.select(dot(F.col("a"), F.col("b")).alias("d")).collect()]
+    assert d == [1.0, 0.0, 0.0]
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    """IVF with nprobe=8/16 must recover most of the exact top-10 for a
+    panel of query vectors (random-uniform data is the hard case)."""
+    total_hits = 0
+    for qid in [0, 7, 42, 99, 123]:
+        q = emb.where(F.col("vec_id") == qid).select(F.col("embedding").alias("qv"))
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == qid).collect()[0]["embedding"]]
+        exact = [r.vec_id for r in topk_cosine(emb, q, 10).collect()]
+        approx = [r.vec_id for r in ivf_topk(emb, q, qvec, 10, nprobe=8).collect()]
+        total_hits += len(set(exact) & set(approx))
+    assert total_hits >= 0.6 * 50, f"IVF recall too low: {total_hits}/50"
+
+
+def test_ivf_cells_partition_all_vectors(spark, emb):
+    cents = train_centroids(emb, 16)
+    cells = assign_cells(emb, cents)
+    assert cells.where(F.col("cell").isNull()).count() == 0
+    n_cells = cells.select("cell").distinct().count()
+    assert 2 <= n_cells <= 16
+
+
+def test_multimodal_schema_and_features(spark, sf_dir):
+    mm = multimodal_table(spark, sf_dir)
+    assert dict(mm.dtypes)["payload"] == "binary"
+    feats = extract_features(mm)
+    row = feats.first()
+    assert len(row.features) == 8
+    assert row.n_bytes > 0
+    # deterministic stub: histogram sums to ~1
+    assert abs(sum(row.features) - 1.0) < 1e-9
+    # every modality present
+    assert feats.select("modality").distinct().count() == 3
+
+
+def test_decode_stub_deterministic_and_real_gated():
+    payload = b"hello multimodal world"
+    assert decode_stub(payload, "image") == decode_stub(payload, "image")
+    with pytest.raises(NotImplementedError):
+        decode_real(payload, "image")

@@ -1,0 +1,62 @@
+"""Text-function unit tests on synthetic rows (expression semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.functions.text import (
+    avg_token_len,
+    fingerprint,
+    langid_guess,
+    normalize_text,
+    shingles,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+
+
+def _one(spark, text, expr):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(expr.alias("v")).collect()[0].v
+
+
+def test_tokens_and_count(spark):
+    assert _one(spark, "The quick, brown FOX!", tokens("text")) == [
+        "the",
+        "quick",
+        "brown",
+        "fox",
+    ]
+    assert _one(spark, "", token_count("text")) == 0
+    assert _one(spark, "a b a", token_count("text")) == 3
+
+
+def test_shingles(spark):
+    got = _one(spark, "a b c d", shingles(tokens("text"), 3))
+    assert got == ["a b c", "b c d"]
+    assert _one(spark, "a b", shingles(tokens("text"), 3)) == []
+    assert _one(spark, "", shingles(tokens("text"), 3)) == []
+
+
+def test_normalize_and_fingerprint(spark):
+    assert _one(spark, "  Hello   WORLD ", normalize_text("text")) == "hello world"
+    fp1 = _one(spark, "Hello  World", fingerprint("text"))
+    fp2 = _one(spark, "hello world", fingerprint("text"))
+    assert fp1 == fp2 and len(fp1) == 32
+
+
+def test_stopword_ratio(spark):
+    assert _one(spark, "the cat and the dog", stopword_ratio(tokens("text"))) == 0.6
+    assert _one(spark, "", stopword_ratio(tokens("text"))) == 0.0
+
+
+def test_avg_token_len(spark):
+    assert _one(spark, "ab cdef", avg_token_len(tokens("text"))) == 3.0
+    assert _one(spark, "", avg_token_len(tokens("text"))) == 0.0
+
+
+def test_langid_guess(spark):
+    assert _one(spark, "the cat is on the mat", langid_guess(tokens("text"))) == "en"
+    assert _one(spark, "der hund ist ein tier und das", langid_guess(tokens("text"))) == "de"
+    assert _one(spark, "zzz qqq xxx www", langid_guess(tokens("text"))) == "unknown"
