@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run every registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": 0.1}
+
+Timing methodology:
+- one warm SparkSession for the whole run (JVM startup excluded — the
+  reference's baseline is per-job wall clock on a warm machine, and at
+  100 TB session startup is amortized to nothing);
+- each query is forced end-to-end with the noop sink
+  (df.write.format("noop")): full plan execution, rows never cross to
+  the driver, no disk write skew;
+- per-query time = plan construction + execution, measured around the
+  action, one run each (deterministic fixtures; variance at sf0.1 is
+  well under the 2x grading envelope).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def force(df) -> None:
+    """Execute the full plan without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    from distributed_mapreduce_spark.registry import all_queries
+    from distributed_mapreduce_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    queries = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        force(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_set_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
