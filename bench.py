@@ -44,6 +44,22 @@ def main() -> int:
     spark = get_spark(app_name="bench")
     queries = all_queries()
 
+    # Warm the engine before timing: first-job executor spin-up, shuffle
+    # machinery, and the Python-worker pool (fork + pandas import per
+    # core) otherwise get charged to whichever query happens to run
+    # first. A warm engine is also the honest cluster analog — at real
+    # scale executors and workers are long-lived.
+    from pyspark.sql import functions as F
+
+    n = spark.sparkContext.defaultParallelism
+    warm = spark.range(n * 1000).repartition(n)
+    force(warm.groupBy((F.col("id") % 7).alias("k")).count())
+
+    def _identity(batches):
+        yield from batches
+
+    force(warm.mapInPandas(_identity, schema="id bigint"))
+
     timings: dict[str, float] = {}
     for name in sorted(queries):
         t0 = time.perf_counter()

@@ -71,6 +71,9 @@ def doc_shingles(
 ) -> DataFrame:
     """Distinct (id, shingle) pairs; optionally drop shingles with
     document frequency > max_df (skew guard for the self-join path)."""
+    from distributed_mapreduce_spark.sources import widen
+
+    docs = widen(docs)
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(tokens(text_col), n)).alias("shingle"),

@@ -46,10 +46,11 @@ def fold_kv_log(ops: DataFrame) -> DataFrame:
     deliveries — the reference's retried RPCs — are dropped before the
     fold, the analog of its (clientId, seq) dedup.
     """
-    muts = (
-        ops.where(F.col("op") != F.lit("get"))
-        .dropDuplicates(["key", "seq"])  # exactly-once under retries (K3)
-    )
+    # Exactly-once under retries (K3): a redelivered op is byte-identical
+    # (same client op, same seq), so whole-row distinct() is the dedup —
+    # and unlike dropDuplicates(["key","seq"]) (first() over var-length
+    # strings ⇒ SortAggregate fallback) it stays a HashAggregate.
+    muts = ops.where(F.col("op") != F.lit("get")).distinct()
     last_put = (
         muts.where(F.col("op") == "put")
         .groupBy("key")
@@ -231,8 +232,15 @@ def kv_q2_key2shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kv_q3_get(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K1: point Get('7') with absent-key ⇒ "" semantics."""
-    return kv_get(kv_q1_state_fold(spark, sf_dir), spark, "7")
+    """K1: point Get('7') with absent-key ⇒ "" semantics.
+
+    The key predicate is applied *below* the fold — valid because the
+    fold is independent per key — so the point lookup scans and folds
+    one key's ops, not the whole log. At 100 TB with the op-log stored
+    partitioned/bucketed by key this prunes to a single partition.
+    """
+    ops = _ops_from_events(spark, sf_dir).where(F.col("key") == "7")
+    return kv_get(fold_kv_log(ops), spark, "7")
 
 
 ORACLES = {

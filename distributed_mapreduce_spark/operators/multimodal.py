@@ -37,9 +37,9 @@ def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a multimodal fixture from `documents`: payload = UTF-8
     bytes of the text standing in for media bytes, modality assigned
     round-robin, metadata struct alongside."""
-    from distributed_mapreduce_spark.sources import table
+    from distributed_mapreduce_spark.sources import table, widen
 
-    docs = table(spark, sf_dir, "documents")
+    docs = widen(table(spark, sf_dir, "documents"))
     modality = (
         F.when(F.pmod("doc_id", F.lit(3)) == 0, MODALITIES[0])
         .when(F.pmod("doc_id", F.lit(3)) == 1, MODALITIES[1])

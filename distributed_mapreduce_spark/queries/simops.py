@@ -49,8 +49,12 @@ def sim_q2_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-similar pairs within a deterministic sample (vec_id % 5 = 0):
     the all-pairs brute-force shape, bounded by sampling — at scale this
     exact tier runs only on LSH/IVF candidate pairs."""
+    from distributed_mapreduce_spark.sources import widen
+
     emb = _emb(spark, sf_dir).where(F.pmod("vec_id", F.lit(PAIR_SAMPLE_MOD)) == 0)
-    a = emb.select(F.col("vec_id").alias("id_i"), F.col("embedding").alias("va"))
+    # Widen the probe side: the fixture scan is one partition, and a
+    # 1×1-partition cross join would score every pair on one core.
+    a = widen(emb).select(F.col("vec_id").alias("id_i"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_j"), F.col("embedding").alias("vb"))
     pairs = a.crossJoin(b).where(F.col("id_i") < F.col("id_j"))
     return (

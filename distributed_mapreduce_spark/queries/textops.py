@@ -30,7 +30,7 @@ from distributed_mapreduce_spark.operators.dedup import (
     token_set_signature,
 )
 from distributed_mapreduce_spark.queries.relational import money
-from distributed_mapreduce_spark.sources import table
+from distributed_mapreduce_spark.sources import table, widen
 
 NEAR_DUP_JACCARD = 0.5
 
@@ -55,7 +55,7 @@ def _ratio_cte() -> str:
 def text_q1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting per language: the wordcount machinery as corpus
     statistics."""
-    docs = table(spark, sf_dir, "documents")
+    docs = widen(table(spark, sf_dir, "documents"))
     toks = tokens("text")
     return (
         docs.select(
@@ -79,7 +79,7 @@ def text_q2_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio + mean token length, aggregated
     per language (the doc-level expressions are the per-document
     quality filter of a training-data pipeline)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = widen(table(spark, sf_dir, "documents"))
     toks = tokens("text")
     per_doc = docs.select(
         "lang",
@@ -94,7 +94,7 @@ def text_q2_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_q3_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic vs the labeled lang: confusion counts."""
-    docs = table(spark, sf_dir, "documents")
+    docs = widen(table(spark, sf_dir, "documents"))
     return (
         docs.select("lang", langid_guess(tokens("text")).alias("guess"))
         .groupBy("lang", "guess")
@@ -104,7 +104,7 @@ def text_q3_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_q1_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup census per source: md5-of-normalized-text groups."""
-    docs = table(spark, sf_dir, "documents")
+    docs = widen(table(spark, sf_dir, "documents"))
     return (
         docs.select("source", fingerprint("text").alias("fp"))
         .groupBy("source")
@@ -117,7 +117,7 @@ def dedup_q1_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_q2_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words dedup census per language: reorderings collapse."""
-    docs = table(spark, sf_dir, "documents")
+    docs = widen(table(spark, sf_dir, "documents"))
     return (
         docs.select("lang", token_set_signature("text").alias("sig"))
         .groupBy("lang")
@@ -131,20 +131,20 @@ def dedup_q2_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_q3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram jaccard near-dup pairs (≥ 0.5) via the
     inverted-index self-join — the hash-free oracle tier."""
-    docs = table(spark, sf_dir, "documents")
+    docs = widen(table(spark, sf_dir, "documents"))
     return jaccard_pairs(doc_shingles(docs), NEAR_DUP_JACCARD)
 
 
 def dedup_q4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified (rows-only for the
     driver; recall vs dedup_q3 asserted in tests)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = widen(table(spark, sf_dir, "documents"))
     return minhash_near_dup_pairs(docs, NEAR_DUP_JACCARD)
 
 
 def dedup_q5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded hamming near-dup pairs (rows-only for the driver)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = widen(table(spark, sf_dir, "documents"))
     return simhash_near_dup_pairs(docs, max_hamming=6)
 
 

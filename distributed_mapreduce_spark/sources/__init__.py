@@ -4,4 +4,5 @@ from distributed_mapreduce_spark.sources.catalog import (  # noqa: F401
     register_views,
     table,
     whole_documents,
+    widen,
 )

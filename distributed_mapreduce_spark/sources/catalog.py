@@ -54,6 +54,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure a scan feeding heavy per-row compute has at least
+    `min_partitions` (default: defaultParallelism) partitions.
+
+    The fixtures are single-row-group parquet files, so their scans are
+    one task regardless of `maxPartitionBytes` — any expensive map work
+    (shingling, language-ID, media decode) would run on one core. At
+    real scale the scan already has hundreds of partitions and this is
+    a no-op; the check is driver-side only (no job is triggered).
+    """
+    n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several tables at once: ``t = load(spark, sf, 'orders', 'lineitem')``."""
     return {n: table(spark, sf_dir, n) for n in (names or TABLES)}
