@@ -173,10 +173,9 @@ class ShardMaster:
 # ---------------------------------------------------------------------------
 
 
-def _ops_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from distributed_mapreduce_spark.sources import table
-
-    ev = table(spark, sf_dir, "events")
+def ops_projection(ev: DataFrame) -> DataFrame:
+    """Derive the op log `(key, seq, op, value)` from an events-shaped
+    DataFrame (batch or streaming — the projection is mode-agnostic)."""
     return ev.select(
         F.pmod("user_id", F.lit(100)).cast("string").alias("key"),
         F.col("event_id").alias("seq"),
@@ -186,6 +185,12 @@ def _ops_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
         F.concat(F.lit("v"), F.col("event_id").cast("string")).alias("value"),
     )
+
+
+def _ops_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_mapreduce_spark.sources import table
+
+    return ops_projection(table(spark, sf_dir, "events"))
 
 
 _OPS_SQL = """

@@ -1,0 +1,150 @@
+"""Structured Streaming queries over the replayed `events` fixture
+([EXT] — SURVEY.md §7.1 step 5).
+
+Each entry stages the fixture into seq-ordered chunks, replays them as
+a K-micro-batch stream (Trigger.AvailableNow), and returns the sink
+table — so the driver's DuckDB oracle checks *streaming* results
+against batch SQL. st_q1/st_q2 run complete-mode window aggregations
+(exact batch equivalence). st_q3 runs session windows in append mode
+under a 1-hour watermark: only sessions the watermark has closed are
+emitted, and the oracle carries the same cutoff — watermark semantics
+are part of the checked contract, not just a test. st_q4 folds KV state
+incrementally with applyInPandasWithState and must equal the one-shot
+batch fold (operators/kv.py), i.e. the DuckDB state-fold SQL.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.operators.kv import _FOLD_SQL, ops_projection
+from distributed_mapreduce_spark.streaming.replay import (
+    event_stream,
+    run_available_now,
+    stage_event_chunks,
+)
+from distributed_mapreduce_spark.streaming.stateful import kv_state_stream, latest_state
+from distributed_mapreduce_spark.streaming.windows import (
+    session_stats,
+    sliding_counts,
+    tumbling_counts,
+)
+
+N_CHUNKS = 4
+SESSION_WATERMARK = "1 hour"
+
+
+def _replayed(
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+    output_mode: str,
+) -> DataFrame:
+    chunks = stage_event_chunks(sf_dir, N_CHUNKS)
+    try:
+        return run_available_now(build(event_stream(spark, chunks)), output_mode)
+    finally:
+        # The memory sink holds results; staged chunks are no longer read.
+        shutil.rmtree(chunks, ignore_errors=True)
+
+
+def st_q1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window counts (complete mode ⇒ exact batch
+    equivalence on the bounded replay)."""
+    return _replayed(spark, sf_dir, lambda ev: tumbling_counts(ev, "1 hour"), "complete")
+
+
+def st_q2_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window counts (2h window, 1h slide)."""
+    return _replayed(
+        spark, sf_dir, lambda ev: sliding_counts(ev, "2 hours", "1 hour"), "complete"
+    )
+
+
+def st_q3_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows, append mode under a 1h watermark —
+    emits exactly the sessions the watermark closed."""
+    return _replayed(
+        spark,
+        sf_dir,
+        lambda ev: session_stats(ev, "30 minutes", SESSION_WATERMARK),
+        "append",
+    )
+
+
+def st_q4_stateful_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KV state fold over the replayed op log; final state
+    must equal the one-shot batch fold."""
+    updates = _replayed(
+        spark,
+        sf_dir,
+        lambda ev: kv_state_stream(ops_projection(ev).where(F.col("op") != "get")),
+        "update",
+    )
+    return latest_state(updates)
+
+
+_MONEY = "CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)"
+
+ORACLES = {
+    "st_q1_tumbling": f"""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+               event_type,
+               count(*) AS n_events,
+               {_MONEY} AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "st_q2_sliding": """
+        WITH b AS (
+            SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+                           time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour'])
+                   AS window_start
+            FROM events
+        )
+        SELECT window_start,
+               window_start + INTERVAL '2 hours' AS window_end,
+               count(*) AS n_events
+        FROM b
+        GROUP BY 1
+    """,
+    "st_q3_session": f"""
+        WITH o AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT user_id, ts, value,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o
+        ),
+        sess AS (
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL '30 minutes' AS session_end,
+                   count(*) AS n_events,
+                   {_MONEY} AS total_value
+            FROM s
+            GROUP BY user_id, sid
+        )
+        SELECT * FROM sess
+        WHERE session_end <= (SELECT max(ts) - INTERVAL '{SESSION_WATERMARK}' FROM events)
+    """,
+    "st_q4_stateful_kv": _FOLD_SQL,
+}
+
+QUERIES = {
+    "st_q1_tumbling": st_q1_tumbling,
+    "st_q2_sliding": st_q2_sliding,
+    "st_q3_session": st_q3_session,
+    "st_q4_stateful_kv": st_q4_stateful_kv,
+}

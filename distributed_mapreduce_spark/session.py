@@ -32,6 +32,9 @@ _BUILD_CONF = {
 # provided session (the driver hands us one in __spark_entry__).
 _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
+    # Runtime-settable; also governs streaming state-store count, so a
+    # driver-provided session would otherwise run 200 state stores.
+    "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -1,0 +1,78 @@
+"""Streaming KV state fold via applyInPandasWithState — the streaming
+form of the reference's declared KV semantics (SURVEY.md §2.3 K2/K3:
+put replaces, append concatenates, exactly-once under redelivery;
+/root/reference/src/models/kv.go:40-54).
+
+The batch fold (operators/kv.py::fold_kv_log) computes the same final
+state in one relational pass; this operator maintains it *incrementally*
+per micro-batch with an arbitrary-stateful operator — per-key state is
+(current value, high-water seq), redelivered ops (seq ≤ high water) are
+ignored, which is the streaming analog of the batch whole-row distinct.
+
+Scale notes: state is partitioned by key across the shuffle
+(`spark.sql.shuffle.partitions` state stores); per-key state is O(value
+length), not O(ops). Arrow-batched — each micro-batch moves one Arrow
+batch per key-group, not per row. For TTL'd state (session-style
+expiry) pass a GroupStateTimeout instead of NoTimeout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+OUT_SCHEMA = "key string, value string, max_seq bigint"
+STATE_SCHEMA = "value string, max_seq bigint"
+
+
+def _fold_group(
+    key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    value, max_seq = state.get if state.exists else ("", -1)
+    batch = pd.concat(list(pdfs)).sort_values("seq")
+    for seq, op, v in zip(batch["seq"], batch["op"], batch["value"]):
+        if seq <= max_seq:
+            continue  # redelivery — exactly-once (K3)
+        if op == "put":
+            value = v
+        elif op == "append":
+            value = value + v
+        max_seq = int(seq)
+    state.update((value, max_seq))
+    yield pd.DataFrame({"key": [key[0]], "value": [value], "max_seq": [max_seq]})
+
+
+def kv_state_stream(ops: DataFrame) -> DataFrame:
+    """Fold a streaming op log `(key, seq, op, value)` into running
+    state; emits (key, value, max_seq) per key per micro-batch that
+    touched it. `get` ops must be filtered upstream (reads don't
+    mutate)."""
+    return ops.groupBy("key").applyInPandasWithState(
+        _fold_group,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def latest_state(updates: DataFrame) -> DataFrame:
+    """Collapse the update stream's sink table to the final state per
+    key (highest high-water seq wins)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("key").orderBy(F.desc("max_seq"))
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("key", "value")
+    )
