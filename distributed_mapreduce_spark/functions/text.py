@@ -86,6 +86,49 @@ def avg_token_len(toks: Column) -> Column:
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
 
 
+# GPT-2-style pretokenizer approximation: contraction suffixes, then
+# space-prefixed letter runs / digit runs / punctuation runs, then bare
+# whitespace. No lookarounds, so Java (Spark) and RE2 (DuckDB) agree.
+BPE_ISH_PATTERN = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-ish pretokens of lowercased text (array<string>): the token
+    unit an LLM-data pipeline budgets by, vs the word unit of tokens().
+    Whitespace-only matches are dropped (they merge into the following
+    token in real BPE)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_PATTERN), 0),
+        lambda x: ~x.rlike("^\\s+$"),
+    )
+
+
+def ws_token_count(col: Column | str) -> Column:
+    """Whitespace token count — the cheap budget estimator."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.filter(F.split(c, "\\s+"), lambda x: x != "")).cast("bigint")
+
+
+# Polynomial rolling-hash parameters: classic Karp-Rabin base/modulus,
+# kept < 2^31 so acc*BASE + byte never overflows BIGINT on any engine.
+RH_BASE = 131
+RH_MOD = 2_147_483_647
+
+
+def rolling_hash(col: Column | str) -> Column:
+    """Karp-Rabin rolling hash of normalized text: fold
+    acc = (acc*131 + ascii(char)) mod (2^31−1) left-to-right.
+    Order-sensitive (unlike the md5 token-set signature) and
+    incrementally updatable — the streaming fingerprint primitive."""
+    chars = F.split(normalize_text(col), "")
+    return F.aggregate(
+        F.filter(chars, lambda ch: ch != ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * RH_BASE + F.ascii(ch)) % RH_MOD,
+    )
+
+
 def langid_guess(toks: Column, threshold: float = 0.04) -> Column:
     """Heuristic language ID: the language whose stopword hit-ratio is
     highest, if above threshold, else 'unknown'. Pure expression — a

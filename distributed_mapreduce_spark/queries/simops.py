@@ -79,6 +79,31 @@ def sim_q3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _query_df(emb), qvec, TOP_K)
 
 
+EMB_DUP_THRESHOLD = 0.4
+
+
+def dedup_q6_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (rounded cos ≥ 0.4): the exact
+    verifier tier of embedding dedup. All-pairs at fixture scale; at
+    100 TB this exact check runs only over LSH/IVF candidate pairs
+    (operators/similarity.py) — same expression, pruned pair space."""
+    from distributed_mapreduce_spark.sources import widen
+
+    emb = _emb(spark, sf_dir)
+    a = widen(emb).select(F.col("vec_id").alias("id_i"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_j"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_i") < F.col("id_j"))
+        .select(
+            "id_i",
+            "id_j",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
+    )
+
+
 def mm_q1_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata aggregation over the binary payload column."""
     mm = multimodal_table(spark, sf_dir)
@@ -125,6 +150,13 @@ ORACLES = {
         ORDER BY cos_sim DESC, id_i ASC, id_j ASC
         LIMIT {TOP_PAIRS}
     """,
+    "dedup_q6_embedding_cosine": f"""
+        WITH a AS (SELECT vec_id AS id_i, embedding AS va FROM embeddings),
+             b AS (SELECT vec_id AS id_j, embedding AS vb FROM embeddings)
+        SELECT id_i, id_j, round({_COS_PAIR}, 6) AS cos_sim
+        FROM a JOIN b ON id_i < id_j
+        WHERE round({_COS_PAIR}, 6) >= {EMB_DUP_THRESHOLD}
+    """,
     "mm_q1_payload_stats": """
         SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
                     WHEN doc_id % 3 = 1 THEN 'audio'
@@ -141,6 +173,7 @@ QUERIES = {
     "sim_q1_topk_bruteforce": sim_q1_topk_bruteforce,
     "sim_q2_top_pairs": sim_q2_top_pairs,
     "sim_q3_ivf_topk": sim_q3_ivf_topk,
+    "dedup_q6_embedding_cosine": dedup_q6_embedding_cosine,
     "mm_q1_payload_stats": mm_q1_payload_stats,
     "mm_q2_features": mm_q2_features,
 }

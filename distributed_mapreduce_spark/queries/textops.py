@@ -13,14 +13,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    RH_BASE,
+    RH_MOD,
     STOPWORDS,
     avg_token_len,
+    bpe_ish_tokens,
     distinct_tokens,
     fingerprint,
     langid_guess,
+    rolling_hash,
     stopword_ratio,
     token_count,
     tokens,
+    ws_token_count,
 )
 from distributed_mapreduce_spark.operators.dedup import (
     doc_shingles,
@@ -102,6 +108,43 @@ def text_q3_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_q4_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting with three tokenizers side by side: whitespace
+    (cheap estimator), letter-runs (word stats), BPE-ish pretokens (the
+    unit an LLM pipeline actually bills by)."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            "lang",
+            ws_token_count("text").alias("ws_n"),
+            token_count("text").alias("word_n"),
+            F.size(bpe_ish_tokens("text")).cast("bigint").alias("bpe_n"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("ws_n").alias("ws_tokens"),
+            F.sum("word_n").alias("word_tokens"),
+            F.sum("bpe_n").alias("bpe_tokens"),
+            money(F.avg(F.col("bpe_n").cast("decimal(18,4)"))).alias("avg_bpe_per_doc"),
+        )
+    )
+
+
+def text_q5_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint census per source: distinct Karp-Rabin
+    hashes vs distinct md5 fingerprints — agreement measures collision
+    rate of the cheap order-sensitive hash."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    return (
+        docs.select("source", rolling_hash("text").alias("rh"), fingerprint("text").alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("rh").alias("n_rolling"),
+            F.countDistinct("fp").alias("n_md5"),
+        )
+    )
+
+
 def dedup_q1_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup census per source: md5-of-normalized-text groups."""
     docs = widen(table(spark, sf_dir, "documents"))
@@ -150,7 +193,45 @@ def dedup_q5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SW_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
+_BPE_SQL_PAT = BPE_ISH_PATTERN.replace("'", "''")
+_BPE_SQL = (
+    f"list_filter(regexp_extract_all(lower(text), '{_BPE_SQL_PAT}'), "
+    "x -> NOT regexp_matches(x, '^\\s+$'))"
+)
+_WS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+# DuckDB mirror of functions.text.rolling_hash: same fold, acc seeded by
+# list_prepend(0, ...) since list_reduce uses the head as the initial acc.
+_RH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_filter(regexp_split_to_array("
+    "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ''), ch -> ch <> ''), "
+    f"ch -> CAST(ascii(ch) AS BIGINT))), (acc, x) -> (acc*{RH_BASE} + x) % {RH_MOD})"
+)
+
 ORACLES = {
+    "text_q4_token_budget": f"""
+        WITH t AS (
+            SELECT lang,
+                   CAST(len({_WS_SQL}) AS BIGINT) AS ws_n,
+                   CAST(len({_TOKS_SQL}) AS BIGINT) AS word_n,
+                   CAST(len({_BPE_SQL}) AS BIGINT) AS bpe_n
+            FROM documents
+        )
+        SELECT lang,
+               sum(ws_n) AS ws_tokens,
+               sum(word_n) AS word_tokens,
+               sum(bpe_n) AS bpe_tokens,
+               CAST(round(avg(CAST(bpe_n AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_bpe_per_doc
+        FROM t
+        GROUP BY lang
+    """,
+    "text_q5_rolling_fingerprint": f"""
+        SELECT source,
+               count(DISTINCT {_RH_SQL}) AS n_rolling,
+               count(DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS n_md5
+        FROM documents
+        GROUP BY source
+    """,
     "text_q1_token_stats": f"""
         WITH t AS (
             SELECT lang, n_chars, {_TOKS_SQL} AS ts FROM documents
@@ -249,6 +330,8 @@ QUERIES = {
     "text_q1_token_stats": text_q1_token_stats,
     "text_q2_quality": text_q2_quality,
     "text_q3_langid": text_q3_langid,
+    "text_q4_token_budget": text_q4_token_budget,
+    "text_q5_rolling_fingerprint": text_q5_rolling_fingerprint,
     "dedup_q1_exact": dedup_q1_exact,
     "dedup_q2_token_set": dedup_q2_token_set,
     "dedup_q3_ngram_jaccard": dedup_q3_ngram_jaccard,

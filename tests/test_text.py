@@ -60,3 +60,29 @@ def test_langid_guess(spark):
     assert _one(spark, "the cat is on the mat", langid_guess(tokens("text"))) == "en"
     assert _one(spark, "der hund ist ein tier und das", langid_guess(tokens("text"))) == "de"
     assert _one(spark, "zzz qqq xxx www", langid_guess(tokens("text"))) == "unknown"
+
+
+def test_bpe_ish_tokens(spark):
+    from distributed_mapreduce_spark.functions.text import bpe_ish_tokens
+
+    got = _one(spark, "It's 42 spark-jobs!", bpe_ish_tokens("text"))
+    assert got == ["it", "'s", " 42", " spark", "-", "jobs", "!"]
+    assert _one(spark, "", bpe_ish_tokens("text")) == []
+
+
+def test_ws_token_count(spark):
+    from distributed_mapreduce_spark.functions.text import ws_token_count
+
+    assert _one(spark, " a  bb\tccc \n d ", ws_token_count("text")) == 4
+    assert _one(spark, "", ws_token_count("text")) == 0
+
+
+def test_rolling_hash(spark):
+    from distributed_mapreduce_spark.functions.text import RH_BASE, RH_MOD, rolling_hash
+
+    # fold semantics: "ab" -> (0*131+97)*131+98
+    assert _one(spark, "ab", rolling_hash("text")) == (97 * RH_BASE + 98) % RH_MOD
+    # normalization folds into the hash: same as fingerprint()'s input
+    assert _one(spark, " A  b ", rolling_hash("text")) == _one(
+        spark, "a b", rolling_hash("text")
+    )
