@@ -1,0 +1,71 @@
+"""File sources/sinks matching the reference's physical formats.
+
+The reference's only IO surfaces (SURVEY.md §1.2) are:
+- whole text files in, one map task per file
+  (/root/reference/src/mr/worker.go:91-102) — `read_whole_files`;
+- JSON-lines KeyValue intermediates `mr-<map>-<reduce>`
+  (/root/reference/src/mr/worker.go:123-131) — `write_jsonl_kv` /
+  `read_jsonl_kv` for when a pipeline wants that materialization
+  explicitly (Spark's own shuffle replaces it otherwise);
+- `"key value"` text output `mr-out-<r>`
+  (/root/reference/src/mr/worker.go:217-218) — catalog.write_kv_text.
+
+Plus line-oriented text and CSV, the formats any Spark deployment
+feeds on.
+
+Scale notes: `wholetext` makes one row (and so one task) per file —
+correct for the reference's per-file map contract, but at 100 TB you
+want line-rows (`read_text_lines`) so `maxPartitionBytes` splits the
+scan; JSON-lines reads are schema-provided (no inference job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+KV_SCHEMA = "Key string, Value string"
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Line-rows with their source file: (filename, line). The
+    scalable text scan — input splitting is byte-range, not per-file."""
+    return spark.read.text(path).select(
+        F.input_file_name().alias("filename"), F.col("value").alias("line")
+    )
+
+
+def read_whole_files(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-file rows (filename, contents) — the exact Map-UDF input
+    contract of the reference (key = file name, value = entire body;
+    /root/reference/src/mr/worker.go:25)."""
+    return spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("filename"), F.col("value").alias("contents")
+    )
+
+
+def write_jsonl_kv(df: DataFrame, path: str, key: str = "key", value: str = "value") -> None:
+    """Materialize (key, value) rows as the reference's intermediate
+    JSON-lines format: {"Key": ..., "Value": ...} per line, atomic via
+    Spark's output committer (the hand-rolled temp+rename of
+    worker.go:103-140)."""
+    df.select(
+        F.col(key).cast("string").alias("Key"), F.col(value).cast("string").alias("Value")
+    ).write.mode("overwrite").json(path)
+
+
+def read_jsonl_kv(spark: SparkSession, path: str) -> DataFrame:
+    """Read the JSON-lines KeyValue format back (schema-provided: no
+    inference pass over the data)."""
+    return spark.read.schema(KV_SCHEMA).json(path).select(
+        F.col("Key").alias("key"), F.col("Value").alias("value")
+    )
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    df.write.mode("overwrite").option("header", header).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str, header: bool = True) -> DataFrame:
+    """Schema-provided CSV read (inference is a full extra pass at scale)."""
+    return spark.read.schema(schema).option("header", header).csv(path)

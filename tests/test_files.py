@@ -1,0 +1,90 @@
+"""File source/sink round-trips (reference IO formats, SURVEY.md §1.2)
+and the reference's whole-file→wordcount workflow end-to-end."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.sources.files import (
+    read_csv,
+    read_jsonl_kv,
+    read_text_lines,
+    read_whole_files,
+    write_csv,
+    write_jsonl_kv,
+)
+from distributed_mapreduce_spark.sources.catalog import write_kv_text
+
+
+def write_corpus(tmp_path):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "pg-a.txt").write_text("the quick fox\nthe lazy dog\n")
+    (d / "pg-b.txt").write_text("quick quick fox\n")
+    return str(d)
+
+
+def test_whole_files_is_per_file(spark, tmp_path):
+    corpus = write_corpus(tmp_path)
+    rows = read_whole_files(spark, corpus).collect()
+    by_name = {os.path.basename(r["filename"]): r["contents"] for r in rows}
+    assert set(by_name) == {"pg-a.txt", "pg-b.txt"}
+    assert by_name["pg-a.txt"] == "the quick fox\nthe lazy dog\n"
+
+
+def test_text_lines_and_wordcount_parity(spark, tmp_path):
+    """Line-scan wordcount == whole-file wordcount — the reference's
+    pg-*.txt workflow on both scan shapes."""
+    corpus = write_corpus(tmp_path)
+
+    def wc(df, col):
+        return (
+            df.select(F.explode(F.split(F.lower(col), "[^a-z]+")).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("w")
+            .count()
+        )
+
+    lines = wc(read_text_lines(spark, corpus), F.col("line")).collect()
+    whole = wc(read_whole_files(spark, corpus), F.col("contents")).collect()
+    assert {(r["w"], r["count"]) for r in lines} == {(r["w"], r["count"]) for r in whole}
+    assert dict((r["w"], r["count"]) for r in lines)["quick"] == 3
+
+
+def test_jsonl_kv_roundtrip_matches_reference_format(spark, tmp_path):
+    df = spark.createDataFrame([("a", "1"), ("b", "2")], "key string, value string")
+    out = str(tmp_path / "mr-jsonl")
+    write_jsonl_kv(df, out)
+    # physical format: {"Key": ..., "Value": ...} JSON lines
+    # (/root/reference/src/main/mr-tmp/mr-0-0)
+    part = next(
+        str(p) for p in (tmp_path / "mr-jsonl").iterdir() if p.name.startswith("part-")
+    )
+    with open(part) as f:
+        recs = [json.loads(line) for line in f if line.strip()]
+    assert all(set(r) == {"Key", "Value"} for r in recs)
+    back = read_jsonl_kv(spark, out)
+    assert sorted(map(tuple, back.collect())) == [("a", "1"), ("b", "2")]
+
+
+def test_kv_text_matches_reference_format(spark, tmp_path):
+    df = spark.createDataFrame([("a", 9), ("b", 10)], "key string, value int")
+    out = str(tmp_path / "mr-out")
+    write_kv_text(df, out)
+    lines = set()
+    for p in (tmp_path / "mr-out").iterdir():
+        if p.name.startswith("part-"):
+            lines |= {line for line in p.read_text().splitlines() if line}
+    # "<key> <value>" lines (/root/reference/src/mr/worker.go:217-218)
+    assert lines == {"a 9", "b 10"}
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, name string")
+    out = str(tmp_path / "csv")
+    write_csv(df, out)
+    back = read_csv(spark, out, "id int, name string")
+    assert sorted(map(tuple, back.collect())) == [(1, "x"), (2, "y")]
