@@ -298,7 +298,72 @@ def rel_q12_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+# --- q13/q14: cube + grouping sets ------------------------------------------
+
+
+def rel_q13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (order year, priority): all 4 grouping levels in one
+    pass — Catalyst expands then partial-aggregates, so the shuffle
+    carries group-cardinality rows per level, not the fact table."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .cube("o_year", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum(dec("o_totalprice"))).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_year").cast("string"), F.lit("ALL")).alias("o_year"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+def rel_q14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((nation), (segment)): two independent rollups of
+    customer balances in one scan instead of a self-union of two
+    aggregations."""
+    t = load(spark, sf_dir, "customer", "nation")
+    cust = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        cust.groupingSets(
+            [["n_name"], ["c_mktsegment"]], "n_name", "c_mktsegment"
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            money(F.sum(dec("c_acctbal"))).alias("total_bal"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "n_customers",
+            "total_bal",
+        )
+    )
+
+
 ORACLES = {
+    "rel_q13_cube": """
+        SELECT coalesce(CAST(CAST(year(o_orderdate) AS BIGINT) AS VARCHAR), 'ALL') AS o_year,
+               coalesce(o_orderpriority, 'ALL') AS o_priority,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY CUBE (year(o_orderdate), o_orderpriority)
+    """,
+    "rel_q14_grouping_sets": """
+        SELECT coalesce(n_name, 'ALL') AS nation,
+               coalesce(c_mktsegment, 'ALL') AS segment,
+               count(*) AS n_customers,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+    """,
     "rel_q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
@@ -440,6 +505,8 @@ QUERIES = {
     "rel_q6_running_total": rel_q6_running_total,
     "rel_q7_setops": rel_q7_setops,
     "rel_q8_rollup": rel_q8_rollup,
+    "rel_q13_cube": rel_q13_cube,
+    "rel_q14_grouping_sets": rel_q14_grouping_sets,
     "rel_q9_segment_stats": rel_q9_segment_stats,
     "rel_q10_orders_by_month": rel_q10_orders_by_month,
     "rel_q11_brand_stats": rel_q11_brand_stats,
