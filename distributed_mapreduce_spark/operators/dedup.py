@@ -86,7 +86,13 @@ def doc_shingles(
 
 def jaccard_pairs(sh: DataFrame, min_jaccard: float) -> DataFrame:
     """Exact jaccard over a (id, shingle) set via inverted-index
-    self-join: |A∩B| from the shingle join, |A∪B| = |A|+|B|−|A∩B|."""
+    self-join: |A∩B| from the shingle join, |A∪B| = |A|+|B|−|A∩B|.
+
+    The shingle table feeds three subtrees (both join sides + sizes);
+    persist() materializes the expansion once instead of re-tokenizing
+    the corpus per subtree — at scale this intermediate is exactly what
+    a pipeline would checkpoint to parquet between stages."""
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -170,7 +176,7 @@ def minhash_near_dup_pairs(
     """The composed scale path: LSH candidates, exact-verified.
     Output ⊆ jaccard_pairs(...) with recall governed by the (k, b)
     s-curve — the test suite asserts recall against the exact tier."""
-    sh = doc_shingles(docs, max_df=max_df)
+    sh = doc_shingles(docs, max_df=max_df).persist()  # feeds sigs + verify + sizes
     cands = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, bands)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
@@ -241,7 +247,8 @@ def simhash_near_dup_pairs(
         )
     width = 64 // num_chunks
     mask = (1 << width) - 1
-    sig = simhash64(doc_shingles(docs, max_df=max_df))
+    # persist: the signature table feeds both sides of the band join.
+    sig = simhash64(doc_shingles(docs, max_df=max_df)).persist()
     chunks = sig.select(
         "id",
         "simhash",

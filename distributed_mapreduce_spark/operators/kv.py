@@ -78,7 +78,8 @@ def fold_kv_log(ops: DataFrame) -> DataFrame:
 def kv_get(state: DataFrame, spark: SparkSession, key: str) -> DataFrame:
     """K1 Get: point lookup; absent key reads as ""
     (/root/reference/src/kvraft/client.go:27-31)."""
-    probe = spark.createDataFrame([(key,)], "key string")
+    # JVM-only 1-row probe (createDataFrame would spin a Python RDD job)
+    probe = spark.range(1).select(F.lit(key).alias("key"))
     return probe.join(state, "key", "left").select(
         "key", F.coalesce("value", F.lit("")).alias("value")
     )

@@ -70,12 +70,16 @@ def decode_real(payload: bytes, modality: str):
 def decode_stub(payload: bytes, modality: str) -> list[float]:
     """Deterministic fake 'decode': an FEATURE_DIM-bucket byte histogram,
     normalized — stable across runs/partitions, shaped like a real
-    feature vector so downstream operators are exercised honestly."""
-    counts = [0] * FEATURE_DIM
-    for b in payload:
-        counts[b % FEATURE_DIM] += 1
-    total = max(len(payload), 1)
-    return [c / total for c in counts]
+    feature vector so downstream operators are exercised honestly.
+    Vectorized (frombuffer + bincount): inside an Arrow batch the
+    per-item work must be C-speed, same as a real decoder would be."""
+    import numpy as np
+
+    if not payload:
+        return [0.0] * FEATURE_DIM
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    counts = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM)
+    return (counts / len(arr)).tolist()
 
 
 def extract_features(mm: DataFrame) -> DataFrame:

@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from distributed_mapreduce_spark.functions.vectors import cosine, cosine_sql
+from distributed_mapreduce_spark.functions.vectors import (
+    cosine,
+    cosine_sql,
+    unrolled_dot_sql,
+)
 from distributed_mapreduce_spark.operators.multimodal import (
     extract_features,
     multimodal_table,
@@ -82,23 +86,44 @@ def sim_q3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_DUP_THRESHOLD = 0.4
 
 
+def _normalized(emb: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+    """Unit-normalize embeddings once per ROW (norm binds as a column,
+    not re-derived per element), so pair scoring is a single dot fold
+    instead of three — the N² side of all-pairs never recomputes norms."""
+    from distributed_mapreduce_spark.functions.vectors import norm
+
+    return (
+        emb.withColumn("__n", norm(F.col("embedding")))
+        .where(F.col("__n") > 0)
+        .select(
+            F.col("vec_id").alias(id_alias),
+            F.transform("embedding", lambda x: x.cast("double") / F.col("__n")).alias(
+                vec_alias
+            ),
+        )
+    )
+
+
 def dedup_q6_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (rounded cos ≥ 0.4): the exact
     verifier tier of embedding dedup. All-pairs at fixture scale; at
     100 TB this exact check runs only over LSH/IVF candidate pairs
-    (operators/similarity.py) — same expression, pruned pair space."""
+    (operators/similarity.py) — same expression, pruned pair space.
+    Normalize-then-dot: one fold per pair; the oracle mirrors the same
+    operation order so results stay bit-identical."""
+    from distributed_mapreduce_spark.functions.vectors import dot
     from distributed_mapreduce_spark.sources import widen
 
     emb = _emb(spark, sf_dir)
-    a = widen(emb).select(F.col("vec_id").alias("id_i"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_j"), F.col("embedding").alias("vb"))
+    a = _normalized(widen(emb), "id_i", "va")
+    b = _normalized(emb, "id_j", "vb")
     return (
         a.crossJoin(b)
         .where(F.col("id_i") < F.col("id_j"))
         .select(
             "id_i",
             "id_j",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(dot(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
     )
@@ -150,12 +175,22 @@ ORACLES = {
         ORDER BY cos_sim DESC, id_i ASC, id_j ASC
         LIMIT {TOP_PAIRS}
     """,
+    # normalize-then-dot, same op order as the Spark side: per-element
+    # x/sqrt(left-assoc Σx²), then one left-assoc dot fold per pair.
     "dedup_q6_embedding_cosine": f"""
-        WITH a AS (SELECT vec_id AS id_i, embedding AS va FROM embeddings),
-             b AS (SELECT vec_id AS id_j, embedding AS vb FROM embeddings)
-        SELECT id_i, id_j, round({_COS_PAIR}, 6) AS cos_sim
+        WITH n AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) / sqrt({unrolled_dot_sql("embedding", "embedding", DIM)}))
+                   AS ne
+            FROM embeddings
+            WHERE sqrt({unrolled_dot_sql("embedding", "embedding", DIM)}) > 0
+        ),
+        a AS (SELECT vec_id AS id_i, ne AS va FROM n),
+        b AS (SELECT vec_id AS id_j, ne AS vb FROM n)
+        SELECT id_i, id_j, round({unrolled_dot_sql("a.va", "b.vb", DIM)}, 6) AS cos_sim
         FROM a JOIN b ON id_i < id_j
-        WHERE round({_COS_PAIR}, 6) >= {EMB_DUP_THRESHOLD}
+        WHERE round({unrolled_dot_sql("a.va", "b.vb", DIM)}, 6) >= {EMB_DUP_THRESHOLD}
     """,
     "mm_q1_payload_stats": """
         SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
