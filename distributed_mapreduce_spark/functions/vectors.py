@@ -37,6 +37,33 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Σ aᵢ·bᵢ as a flat 64-term expression instead of an array fold.
+
+    Same left-associative accumulation (bit-identical to `dot` and to
+    the DuckDB unrolled SQL), but ~10× faster: higher-order functions
+    (F.aggregate) evaluate their lambda per element in the interpreter,
+    while a flat arithmetic expression stays inside whole-stage codegen.
+    Use when the dimension is statically known — the hot N² pair loops."""
+    import functools
+    import operator
+
+    return functools.reduce(
+        operator.add,
+        [
+            F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+            for i in range(1, dim + 1)
+        ],
+    )
+
+
+def cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Unrolled-codegen cosine, op-order-identical to cosine_sql."""
+    d = dot_unrolled(a, b, dim)
+    denom = F.sqrt(dot_unrolled(a, a, dim)) * F.sqrt(dot_unrolled(b, b, dim))
+    return F.when(denom > 0, d / denom).otherwise(F.lit(0.0))
+
+
 def unrolled_dot_sql(a: str, b: str, dim: int) -> str:
     """DuckDB mirror of `dot`: explicit left-associative sum so the
     accumulation order (and hence every bit) matches the Spark fold."""

@@ -37,14 +37,22 @@ def topk_cosine(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Tier 1: exact top-k by cosine against a 1-row query DataFrame
     (column `qv`). Broadcast + map + TakeOrderedAndProject — no shuffle.
     Ordering is on the *rounded* score with id tiebreak, so results are
-    engine-stable under fp ties."""
+    engine-stable under fp ties. Pass `dim` when statically known to
+    use the unrolled codegen'd cosine (see functions.vectors)."""
+    from distributed_mapreduce_spark.functions.vectors import cosine_unrolled
+
+    score = (
+        cosine_unrolled(F.col(vec_col), F.col("qv"), dim)
+        if dim
+        else cosine(F.col(vec_col), F.col("qv"))
+    )
     scored = emb.crossJoin(F.broadcast(query)).select(
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("qv")), 6).alias("cos_sim"),
+        F.col(id_col), F.round(score, 6).alias("cos_sim")
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 

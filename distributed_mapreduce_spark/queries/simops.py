@@ -46,7 +46,7 @@ def sim_q1_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for the query vector (vec_id=0): broadcast +
     map-side cosine + TakeOrdered. The ANN baseline/verifier."""
     emb = _emb(spark, sf_dir)
-    return topk_cosine(emb, _query_df(emb), TOP_K)
+    return topk_cosine(emb, _query_df(emb), TOP_K, dim=DIM)
 
 
 def sim_q2_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,12 +60,14 @@ def sim_q2_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1×1-partition cross join would score every pair on one core.
     a = widen(emb).select(F.col("vec_id").alias("id_i"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_j"), F.col("embedding").alias("vb"))
+    from distributed_mapreduce_spark.functions.vectors import cosine_unrolled
+
     pairs = a.crossJoin(b).where(F.col("id_i") < F.col("id_j"))
     return (
         pairs.select(
             "id_i",
             "id_j",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(cosine_unrolled(F.col("va"), F.col("vb"), DIM), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("id_i"), F.asc("id_j"))
         .limit(TOP_PAIRS)
@@ -111,7 +113,7 @@ def dedup_q6_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py) — same expression, pruned pair space.
     Normalize-then-dot: one fold per pair; the oracle mirrors the same
     operation order so results stay bit-identical."""
-    from distributed_mapreduce_spark.functions.vectors import dot
+    from distributed_mapreduce_spark.functions.vectors import dot_unrolled
     from distributed_mapreduce_spark.sources import widen
 
     emb = _emb(spark, sf_dir)
@@ -123,7 +125,7 @@ def dedup_q6_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_i",
             "id_j",
-            F.round(dot(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(dot_unrolled(F.col("va"), F.col("vb"), DIM), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
     )
