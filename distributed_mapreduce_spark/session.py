@@ -26,6 +26,11 @@ _BUILD_CONF = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
+    # Managed-table location for bucketed tables (static conf; keep the
+    # repo clean — Spark's default is ./spark-warehouse in the CWD).
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/dmr_warehouse"
+    ),
 }
 
 # Conf that is runtime-settable — safe to apply to an externally
