@@ -61,3 +61,15 @@ def test_custom_udfs(spark, corpus):
     got = sorted((r.key, r.value) for r in run_mapreduce(df, mapf, reducef).collect())
     want = sorted(run_mapreduce_sequential(rows, mapf, reducef))
     assert got == want
+
+
+def test_parallelism_probe(spark, corpus):
+    """Q5/Q6 analog (mtiming/rtiming, SURVEY.md §2.2): the reference
+    asserts ≥2 concurrent map and reduce workers; here the analogous
+    guarantees are engine parallelism and multi-partition shuffles."""
+    df, _ = corpus
+    assert spark.sparkContext.defaultParallelism >= 2
+    shuffled = df.select("filename").repartition(4, "filename")
+    assert shuffled.rdd.getNumPartitions() == 4
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert n >= 2
