@@ -85,13 +85,15 @@ def assign_cells(
     table bucketed by cell and probes become partition-pruned scans."""
     from pyspark.sql import Window
 
+    from distributed_mapreduce_spark.sources import widen
+
     spark = emb.sparkSession
     cent_df = spark.createDataFrame(
         [(cid, vec) for cid, vec in centroids], "cell int, cvec array<double>"
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cell"))
     best = (
-        emb.select(id_col, vec_col)
+        widen(emb.select(id_col, vec_col))
         .crossJoin(F.broadcast(cent_df))
         .select(
             id_col,
