@@ -117,8 +117,13 @@ def dedup_q6_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_mapreduce_spark.sources import widen
 
     emb = _emb(spark, sf_dir)
-    a = _normalized(widen(emb), "id_i", "va")
-    b = _normalized(emb, "id_j", "vb")
+    # Normalize BELOW the exchanges (repartition / broadcast build):
+    # exchanges materialize their input rows, so each vector normalizes
+    # once. Normalizing above them would let Catalyst collapse the
+    # projection into the pair scorer — 64 element_at terms each
+    # recomputing the whole transform+norm per pair (measured 20×).
+    a = widen(_normalized(emb, "id_i", "va"))
+    b = F.broadcast(_normalized(emb, "id_j", "vb"))
     return (
         a.crossJoin(b)
         .where(F.col("id_i") < F.col("id_j"))
