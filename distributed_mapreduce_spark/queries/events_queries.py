@@ -86,7 +86,49 @@ def ev_q4_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_q5_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase matched to the
+    user's most recent click at-or-before it; per-user purchase count,
+    matched count, and average click→purchase latency in seconds.
+    Oracle: DuckDB's native ASOF JOIN — the composed union-scan form
+    must agree with a real ASOF implementation."""
+    from distributed_mapreduce_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(purchases, clicks, key="user_id", ts="ts")
+    lat = F.unix_micros("ts") - F.unix_micros("asof_ts")
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.count("asof_ts").alias("n_matched"),
+        money(F.avg((lat / 1_000_000).cast("decimal(18,6)")), 3).alias("avg_lag_s"),
+    )
+
+
 ORACLES = {
+    "ev_q5_asof_click": """
+        WITH p AS (
+            SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        j AS (
+            SELECT p.user_id, p.ts, c.ts AS asof_ts
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        )
+        SELECT user_id,
+               count(*) AS n_purchases,
+               count(asof_ts) AS n_matched,
+               CAST(round(avg(CAST((epoch_us(ts) - epoch_us(asof_ts)) / 1000000
+                                   AS DECIMAL(18,6))), 3) AS DOUBLE) AS avg_lag_s
+        FROM j
+        GROUP BY user_id
+    """,
     "ev_q1_json_extract": """
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
                count(*) AS n_events,
@@ -132,4 +174,5 @@ QUERIES = {
     "ev_q2_sessionize": ev_q2_sessionize,
     "ev_q3_type_pivot": ev_q3_type_pivot,
     "ev_q4_daily_active": ev_q4_daily_active,
+    "ev_q5_asof_click": ev_q5_asof_click,
 }
