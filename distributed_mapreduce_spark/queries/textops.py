@@ -178,6 +178,19 @@ def dedup_q3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(doc_shingles(docs), NEAR_DUP_JACCARD)
 
 
+def dedup_q7_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-group census: connected components over the exact jaccard
+    pair graph (operators/components.py), one row per cluster with its
+    size — the keep-one-per-group step of a dedup pipeline. Oracle:
+    DuckDB recursive transitive closure."""
+    from distributed_mapreduce_spark.operators.components import connected_components
+
+    docs = widen(table(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs(doc_shingles(docs), NEAR_DUP_JACCARD)
+    comp = connected_components(pairs)
+    return comp.groupBy("component").agg(F.count("*").alias("n_docs"))
+
+
 def dedup_q4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified (rows-only for the
     driver; recall vs dedup_q3 asserted in tests)."""
@@ -192,6 +205,32 @@ def dedup_q5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SW_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+# Exact word-3-gram jaccard pairs — dedup_q3's oracle, and the pair
+# graph the dedup_q7 transitive closure runs over.
+_Q3_PAIRS_SQL = f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id AS id,
+                   unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+            FROM toks
+        ),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_i, b.id AS id_j, count(*) AS c
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT id_i, id_j,
+               round(c / (sa.sz + sb.sz - c), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_i
+        JOIN sizes sb ON sb.id = id_j
+        WHERE round(c / (sa.sz + sb.sz - c), 6) >= {NEAR_DUP_JACCARD}
+"""
 
 _BPE_SQL_PAT = BPE_ISH_PATTERN.replace("'", "''")
 _BPE_SQL = (
@@ -301,28 +340,25 @@ ORACLES = {
         FROM documents
         GROUP BY lang
     """,
-    "dedup_q3_ngram_jaccard": f"""
-        WITH toks AS (
-            SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+    "dedup_q3_ngram_jaccard": _Q3_PAIRS_SQL,
+    # transitive closure over the same pair graph (recursive CTE);
+    # component label = min reachable doc id, the Spark side's fixpoint
+    "dedup_q7_clusters": f"""
+        WITH RECURSIVE pairs AS ({_Q3_PAIRS_SQL}),
+        edges AS (
+            SELECT id_i AS a, id_j AS b FROM pairs
+            UNION
+            SELECT id_j AS a, id_i AS b FROM pairs
         ),
-        sh AS (
-            SELECT DISTINCT doc_id AS id,
-                   unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
-                                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
-            FROM toks
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
         ),
-        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-        inter AS (
-            SELECT a.id AS id_i, b.id AS id_j, count(*) AS c
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-            GROUP BY 1, 2
+        comp AS (
+            SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
         )
-        SELECT id_i, id_j,
-               round(c / (sa.sz + sb.sz - c), 6) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.id = id_i
-        JOIN sizes sb ON sb.id = id_j
-        WHERE round(c / (sa.sz + sb.sz - c), 6) >= {NEAR_DUP_JACCARD}
+        SELECT component, count(*) AS n_docs FROM comp GROUP BY component
     """,
 }
 
@@ -335,6 +371,7 @@ QUERIES = {
     "dedup_q1_exact": dedup_q1_exact,
     "dedup_q2_token_set": dedup_q2_token_set,
     "dedup_q3_ngram_jaccard": dedup_q3_ngram_jaccard,
+    "dedup_q7_clusters": dedup_q7_clusters,
     "dedup_q4_minhash_lsh": dedup_q4_minhash_lsh,
     "dedup_q5_simhash": dedup_q5_simhash,
 }
