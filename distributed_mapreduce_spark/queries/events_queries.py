@@ -108,7 +108,50 @@ def ev_q5_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VALUE_BANDS = (
+    ("low", 0.0, 5.0),
+    ("mid", 5.0, 10.0),
+    ("high", 10.0, 20.0),
+    ("whale", 20.0, 1e18),
+)
+
+
+def ev_q6_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events bucketed into value bands via a non-equi
+    broadcast join (lo <= value < hi). With a literal 4-row band dim the
+    right physical plan IS BroadcastNestedLoopJoin — each event tests 4
+    ranges map-side, no shuffle; at scale a huge band table would
+    instead be bucketized to an equi-join on floor(value/step)."""
+    ev = table(spark, sf_dir, "events")
+    bands = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"('{n}', CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE))" for n, lo, hi in VALUE_BANDS)
+        + " AS t(band, lo, hi)"
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            money(F.avg(dec("value")), 4).alias("avg_value"),
+        )
+    )
+
+
 ORACLES = {
+    "ev_q6_value_bands": f"""
+        WITH bands(band, lo, hi) AS (
+            VALUES {", ".join(f"('{n}', CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE))" for n, lo, hi in VALUE_BANDS)}
+        )
+        SELECT band,
+               count(*) AS n_events,
+               CAST(round(avg(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS avg_value
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band
+    """,
     "ev_q5_asof_click": """
         WITH p AS (
             SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
@@ -175,4 +218,5 @@ QUERIES = {
     "ev_q3_type_pivot": ev_q3_type_pivot,
     "ev_q4_daily_active": ev_q4_daily_active,
     "ev_q5_asof_click": ev_q5_asof_click,
+    "ev_q6_value_bands": ev_q6_value_bands,
 }
