@@ -57,6 +57,39 @@ def topk_cosine(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def topk_cosine_blas(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Tier 1 via Arrow-batched numpy: per batch, one matrix-vector
+    product scores every row (BLAS), vs one codegen'd expression per
+    row in `topk_cosine`. The trade: JVM expressions win on cheap
+    per-row math (no serialization); the Pandas path wins when the
+    per-batch work amortizes into big BLAS calls (high dim, many
+    queries at once — score a whole QUERY MATRIX per batch). Scores are
+    rounded to 6dp like the JVM tier; agreement is asserted in tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    def score(batches):
+        for pdf in batches:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.linalg.norm(m, axis=1) * qn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(norms > 0, (m @ q) / norms, 0.0)
+            yield pd.DataFrame({id_col: pdf[id_col], "cos_sim": np.round(cos, 6)})
+
+    scored = emb.mapInPandas(score, schema=f"{id_col} bigint, cos_sim double")
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
 def train_centroids(
     emb: DataFrame,
     num_cells: int = DEFAULT_NUM_CELLS,

@@ -75,3 +75,19 @@ def test_decode_stub_deterministic_and_real_gated():
     assert decode_stub(payload, "image") == decode_stub(payload, "image")
     with pytest.raises(NotImplementedError):
         decode_real(payload, "image")
+
+
+def test_blas_topk_agrees_with_jvm_topk(spark, emb):
+    from distributed_mapreduce_spark.operators.similarity import (
+        topk_cosine,
+        topk_cosine_blas,
+    )
+    import pyspark.sql.functions as F
+
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    query = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    jvm = [(r["vec_id"], r["cos_sim"]) for r in topk_cosine(emb, query, 10).collect()]
+    blas = [(r["vec_id"], r["cos_sim"]) for r in topk_cosine_blas(emb, qvec, 10).collect()]
+    # same ids in same order; scores equal at the rounded precision
+    assert [i for i, _ in jvm] == [i for i, _ in blas]
+    assert all(abs(a - b) < 2e-6 for (_, a), (_, b) in zip(jvm, blas))
