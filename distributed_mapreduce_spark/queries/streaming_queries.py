@@ -36,6 +36,13 @@ from distributed_mapreduce_spark.streaming.windows import (
 N_CHUNKS = 4
 SESSION_WATERMARK = "1 hour"
 
+# State-store count = shuffle partitions, fixed at a stream's first
+# checkpoint. Size it to micro-batch volume, not cluster width: these
+# replays carry ~25k rows/batch, where 32 state stores are pure
+# per-batch commit overhead (measured 3×). A production deployment
+# sets this per stream from expected rows/sec before first start.
+STREAM_SHUFFLE_PARTITIONS = 8
+
 
 def _replayed(
     spark: SparkSession,
@@ -44,9 +51,12 @@ def _replayed(
     output_mode: str,
 ) -> DataFrame:
     chunks = stage_event_chunks(sf_dir, N_CHUNKS)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
     try:
         return run_available_now(build(event_stream(spark, chunks)), output_mode)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
         # The memory sink holds results; staged chunks are no longer read.
         shutil.rmtree(chunks, ignore_errors=True)
 

@@ -42,3 +42,17 @@ def test_topk_is_take_ordered(spark, sf_dir):
 
 def test_anti_join_no_cartesian(spark, sf_dir):
     plans.assert_no_cartesian(rel_q12_customers_without_orders(spark, sf_dir))
+
+
+def test_no_cartesian_in_any_registered_query(spark, sf_dir):
+    """Registry-wide plan guard: no registered batch query may plan a
+    CartesianProduct (pair queries must broadcast one side; joins must
+    have keys). Streaming queries execute on call, so they're guarded
+    by their own tests instead."""
+    from distributed_mapreduce_spark.registry import all_queries
+
+    for name, fn in all_queries().items():
+        if name.startswith("st_"):
+            continue
+        plan = plans.physical_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
