@@ -1,0 +1,80 @@
+"""Deterministic sampling operators ([EXT] north star — the
+training-mixture step of an LLM-data pipeline: downsample each stratum
+of a corpus to a target rate, reproducibly).
+
+Why not `df.sample()`: Bernoulli sampling is seeded per-partition, so
+the selected *rows* change whenever partitioning changes — a re-run
+after a repartition (or at a different cluster width) yields a
+different corpus. A training pipeline needs content-addressed
+sampling: whether a row is kept depends only on the row's key, never
+on physical layout. The standard trick is a hash bucket —
+`bucket(key) = int(md5(key)[:8], 16) % buckets` — and keep the row iff
+`bucket < rate · buckets`. Same property Hive/Iceberg bucket
+partitioning relies on.
+
+md5 (not xxhash64) so the DuckDB oracle computes the *identical*
+bucket: both engines agree on md5 hex; xxhash64 is Spark-only.
+
+Scale notes: the filter is a pure map expression — no shuffle, no
+driver involvement, pushes through joins — and composes with column
+pruning (only the key column is hashed). Per-stratum rates arrive as a
+broadcast-joined tiny dim table, so the plan stays a single scan +
+BroadcastHashJoin + filter at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKETS = 100
+
+
+def hash_bucket(key, buckets: int = BUCKETS) -> F.Column:
+    """Content-addressed bucket in [0, buckets): layout-independent,
+    identical in Spark and DuckDB (md5 hex prefix → int)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % buckets
+    )
+
+
+def hash_bucket_sql(key_sql: str, buckets: int = BUCKETS) -> str:
+    """The DuckDB mirror of hash_bucket() — same md5 prefix, same
+    arithmetic, so SAMPLED ROW SETS are engine-identical."""
+    return (
+        f"(('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {buckets})"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Keep a deterministic `rates[stratum]` fraction of each stratum
+    (languages, sources, domains). Rows whose stratum has no entry get
+    `default_rate`. The rates ride in as a broadcast dim table — the
+    mixture config is data, not code, exactly how a pipeline would load
+    it from a config store."""
+    spark = df.sparkSession
+    rate_rows = [(k, float(v)) for k, v in rates.items()]
+    dim = spark.createDataFrame(rate_rows, f"{strata_col} string, __rate double")
+    joined = df.join(F.broadcast(dim), strata_col, "left")
+    rate = F.coalesce(F.col("__rate"), F.lit(float(default_rate)))
+    return joined.where(hash_bucket(key_col, buckets) < rate * buckets).drop("__rate")
+
+
+def split_train_holdout(
+    df: DataFrame, key_col: str, holdout_pct: int, buckets: int = BUCKETS
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive, deterministic train/holdout split by key
+    hash — the leakage-safe alternative to randomSplit() (same
+    layout-independence argument as stratified_sample)."""
+    b = hash_bucket(key_col, buckets)
+    return df.where(b >= holdout_pct), df.where(b < holdout_pct)

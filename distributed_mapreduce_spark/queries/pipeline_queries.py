@@ -1,0 +1,143 @@
+"""Training-data pipeline queries ([EXT] north star): deterministic
+corpus mixing (stratified sampling, train/holdout split) and benchmark
+decontamination over `documents`.
+
+All three are oracle-backed: the sampling hash is md5-prefix
+arithmetic both engines compute identically (operators/sampling.py),
+and the contamination shingles reuse the exact tokenizer mirror the
+dedup oracles use — so the driver checks the SAMPLED ROW SETS and the
+per-document overlap values, not just aggregates of convenience.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.operators.contamination import contamination_report
+from distributed_mapreduce_spark.operators.dedup import doc_shingles
+from distributed_mapreduce_spark.operators.sampling import (
+    hash_bucket_sql,
+    split_train_holdout,
+    stratified_sample,
+)
+from distributed_mapreduce_spark.sources import table, widen
+
+# Mixture config: target keep-rate per language stratum (a real
+# pipeline loads this from a config store; here it is the fixture of
+# the graded query).
+MIX_RATES = {"en": 0.5, "de": 0.3, "fr": 0.2, "es": 0.1, "zh": 0.05}
+HOLDOUT_PCT = 10  # buckets 0..9 of 100 → deterministic 10% holdout
+
+BENCH_SOURCE = "src0"  # the stand-in "benchmark" corpus
+CONTAM_MIN_OVERLAP = 0.5
+
+
+def mix_q1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling to the MIX_RATES targets,
+    reported per (lang, source) cell — the corpus-mixing step. The
+    sampled set is layout-independent (hash-bucket, not Bernoulli), so
+    the oracle reproduces the exact same rows."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    kept = stratified_sample(docs, "lang", MIX_RATES, key_col="doc_id")
+    return kept.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def mix_q2_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint, exhaustive train/holdout split by doc_id hash — the
+    leakage-safe randomSplit() replacement. Graded on per-split doc and
+    char totals (the splits are exact row sets, mirrored in SQL)."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    train, holdout = split_train_holdout(docs, "doc_id", HOLDOUT_PCT)
+    lab = lambda df, name: df.select(
+        F.lit(name).alias("split"), "doc_id", "n_chars"
+    )
+    return (
+        lab(train, "train")
+        .unionAll(lab(holdout, "holdout"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+def contam_q1_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every document of the
+    `BENCH_SOURCE` corpus, the fraction of its word-3-gram shingles that
+    appear anywhere in the rest of the corpus (the 'training set'), with
+    the contamination flag at 0.5 — per-document rows, oracle-checked
+    value by value."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    bench_sh = doc_shingles(docs.where(F.col("source") == BENCH_SOURCE))
+    train_sh = doc_shingles(docs.where(F.col("source") != BENCH_SOURCE))
+    rep = contamination_report(bench_sh, train_sh, CONTAM_MIN_OVERLAP)
+    return rep.select(
+        F.col("id").alias("doc_id"),
+        "n_shingles",
+        "n_hit",
+        "overlap",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+_BUCKET = hash_bucket_sql("doc_id")
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {rate}" for lang, rate in MIX_RATES.items()
+) + " ELSE 0.0 END"
+
+# DuckDB mirror of functions.text.tokens() — same as the dedup oracles.
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+
+def _shingle_cte(pred: str) -> str:
+    return f"""
+        SELECT DISTINCT doc_id AS id,
+               unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+        FROM (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents WHERE {pred})
+    """
+
+
+ORACLES = {
+    "mix_q1_stratified_sample": f"""
+        SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM documents
+        WHERE {_BUCKET} < ({_RATE_CASE}) * 100
+        GROUP BY lang, source
+    """,
+    "mix_q2_train_holdout": f"""
+        SELECT CASE WHEN {_BUCKET} < {HOLDOUT_PCT} THEN 'holdout' ELSE 'train' END AS split,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars
+        FROM documents
+        GROUP BY 1
+    """,
+    "contam_q1_benchmark_overlap": f"""
+        WITH bench_sh AS ({_shingle_cte(f"source = '{BENCH_SOURCE}'")}),
+        train_sh AS (
+            SELECT DISTINCT shingle FROM ({_shingle_cte(f"source <> '{BENCH_SOURCE}'")})
+        ),
+        sizes AS (SELECT id, count(*) AS n_shingles FROM bench_sh GROUP BY id),
+        hits AS (
+            SELECT id, count(*) AS n_hit
+            FROM bench_sh SEMI JOIN train_sh USING (shingle)
+            GROUP BY id
+        )
+        SELECT sizes.id AS doc_id,
+               n_shingles,
+               coalesce(n_hit, 0) AS n_hit,
+               round(coalesce(n_hit, 0) / n_shingles, 6) AS overlap,
+               CAST(round(coalesce(n_hit, 0) / n_shingles, 6) >= {CONTAM_MIN_OVERLAP} AS INT)
+                   AS contaminated
+        FROM sizes LEFT JOIN hits ON sizes.id = hits.id
+    """,
+}
+
+QUERIES = {
+    "mix_q1_stratified_sample": mix_q1_stratified_sample,
+    "mix_q2_train_holdout": mix_q2_train_holdout,
+    "contam_q1_benchmark_overlap": contam_q1_benchmark_overlap,
+}

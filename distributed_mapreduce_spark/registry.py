@@ -22,6 +22,7 @@ _MODULES = (
     "distributed_mapreduce_spark.queries.events_queries",
     "distributed_mapreduce_spark.queries.textops",
     "distributed_mapreduce_spark.queries.simops",
+    "distributed_mapreduce_spark.queries.pipeline_queries",
     "distributed_mapreduce_spark.queries.streaming_queries",
 )
 

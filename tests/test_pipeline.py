@@ -1,0 +1,121 @@
+"""Training-pipeline operators: deterministic sampling and
+benchmark-contamination semantics (operators/sampling.py,
+operators/contamination.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.operators.contamination import contamination_report
+from distributed_mapreduce_spark.operators.dedup import doc_shingles
+from distributed_mapreduce_spark.operators.sampling import (
+    hash_bucket,
+    split_train_holdout,
+    stratified_sample,
+)
+from distributed_mapreduce_spark.sources import table
+
+RATES = {"en": 0.5, "de": 0.2}
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_stratified_sample_is_layout_independent(spark, sf_dir):
+    """The kept row SET must not depend on physical partitioning — the
+    property df.sample() lacks and training reproducibility needs."""
+    docs = table(spark, sf_dir, "documents")
+    a = stratified_sample(docs, "lang", RATES, "doc_id")
+    b = stratified_sample(docs.repartition(7, "source"), "lang", RATES, "doc_id")
+    assert _ids(a) == _ids(b)
+    assert len(_ids(a)) > 0
+
+
+def test_stratified_sample_honors_rate_zero_default(spark, sf_dir):
+    """Strata missing from the rates dict are dropped entirely."""
+    docs = table(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "lang", {"en": 1.0}, "doc_id")
+    langs = {r["lang"] for r in kept.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    n_en = docs.where(F.col("lang") == "en").count()
+    assert kept.count() == n_en  # rate 1.0 keeps every row of the stratum
+
+
+def test_stratified_sample_rate_is_roughly_honored(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    n = docs.count()
+    kept = stratified_sample(docs, "lang", dict.fromkeys(["en", "de", "fr", "es", "zh"], 0.3), "doc_id")
+    frac = kept.count() / n
+    assert 0.15 < frac < 0.45  # md5 buckets ≈ uniform; loose band at sf0.001
+
+
+def test_split_train_holdout_disjoint_exhaustive(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    train, hold = split_train_holdout(docs, "doc_id", 10)
+    ti, hi = set(_ids(train)), set(_ids(hold))
+    assert ti.isdisjoint(hi)
+    assert len(ti) + len(hi) == docs.count()
+    assert 0 < len(hi) < len(ti)  # 10% side is the smaller one
+
+
+def test_hash_bucket_matches_duckdb(spark):
+    """Engine-portability of the sampling hash: same bucket per key in
+    Spark and DuckDB (the property the mix_q* oracles rest on)."""
+    import duckdb
+
+    keys = [str(i) for i in range(50)]
+    sdf = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["k"]: r["b"]
+        for r in sdf.select("k", hash_bucket("k").alias("b")).collect()
+    }
+    want = {
+        k: duckdb.sql(
+            f"SELECT ('0x' || substr(md5('{k}'), 1, 8))::BIGINT % 100"
+        ).fetchone()[0]
+        for k in keys
+    }
+    assert got == want
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_contamination_exact_copy_and_disjoint(spark):
+    """A benchmark doc copied verbatim into train → overlap 1.0 and
+    flagged; a doc sharing no 3-gram → overlap 0.0 and clean."""
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated training material here"),
+        ],
+    )
+    bench = _docs(
+        spark,
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # verbatim dup
+            (101, "zebra xylophone quartz vortex blitz jackdaw"),  # disjoint
+        ],
+    )
+    rep = contamination_report(doc_shingles(bench), doc_shingles(train), 0.5)
+    rows = {r["id"]: r.asDict() for r in rep.collect()}
+    assert set(rows) == {100, 101}
+    assert rows[100]["overlap"] == 1.0 and rows[100]["contaminated"]
+    assert rows[101]["overlap"] == 0.0 and not rows[101]["contaminated"]
+
+
+def test_contamination_partial_overlap(spark):
+    """Half-overlapping doc: shared prefix contributes its shingles,
+    novel suffix does not — overlap strictly between 0 and 1."""
+    train = _docs(spark, [(1, "alpha beta gamma delta epsilon")])
+    bench = _docs(spark, [(200, "alpha beta gamma delta qux quux corge grault")])
+    rep = contamination_report(doc_shingles(bench), doc_shingles(train), 0.9)
+    row = rep.collect()[0]
+    # bench has 6 shingles; the 2 fully inside the shared prefix hit.
+    assert row["n_shingles"] == 6
+    assert row["n_hit"] == 2
+    assert 0.0 < row["overlap"] < 1.0
+    assert not row["contaminated"]
