@@ -26,7 +26,11 @@ from distributed_mapreduce_spark.streaming.replay import (
     run_available_now,
     stage_event_chunks,
 )
-from distributed_mapreduce_spark.streaming.stateful import kv_state_stream, latest_state
+from distributed_mapreduce_spark.streaming.stateful import (
+    kv_state_stream,
+    latest_state,
+    stream_distinct,
+)
 from distributed_mapreduce_spark.streaming.windows import (
     session_stats,
     sliding_counts,
@@ -97,6 +101,18 @@ def st_q4_stateful_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_state(updates)
 
 
+def st_q5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup of (user_id, event_type): each key emitted
+    once on first arrival, with dedup state carried ACROSS micro-batches
+    — the sink table must equal batch SELECT DISTINCT."""
+    return _replayed(
+        spark,
+        sf_dir,
+        lambda ev: stream_distinct(ev, ["user_id", "event_type"]),
+        "append",
+    )
+
+
 _MONEY = "CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)"
 
 ORACLES = {
@@ -150,6 +166,7 @@ ORACLES = {
         WHERE session_end <= (SELECT max(ts) - INTERVAL '{SESSION_WATERMARK}' FROM events)
     """,
     "st_q4_stateful_kv": _FOLD_SQL,
+    "st_q5_stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
 }
 
 QUERIES = {
@@ -157,4 +174,5 @@ QUERIES = {
     "st_q2_sliding": st_q2_sliding,
     "st_q3_session": st_q3_session,
     "st_q4_stateful_kv": st_q4_stateful_kv,
+    "st_q5_stream_dedup": st_q5_stream_dedup,
 }

@@ -76,3 +76,19 @@ def latest_state(updates: DataFrame) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("key", "value")
     )
+
+
+def stream_distinct(ev: DataFrame, cols: list[str]) -> DataFrame:
+    """Streaming exact deduplication: emit each distinct key combination
+    once, on first arrival (append mode). State = one entry per distinct
+    key, shared across micro-batches — the streaming twin of the batch
+    exact-dedup tier (operators/dedup.py).
+
+    Scale notes: dedup state is hash-partitioned across the state
+    stores and grows with key cardinality, never with row count. On an
+    unbounded stream whose duplicates have bounded lateness, swap in
+    `dropDuplicatesWithinWatermark` after `withWatermark(...)` so closed
+    keys age out of the store; on a bounded replay (and for keys that
+    can recur forever, like (user, event_type)) the unwindowed form
+    below is the correct semantics."""
+    return ev.select(*cols).dropDuplicates(cols)

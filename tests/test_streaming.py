@@ -121,3 +121,20 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # h9.5 window is still open at stream end, so never emitted.
     assert (1, 1) in got
     assert all(h != 9 for h, _ in got)
+
+
+def test_stream_dedup_state_spans_micro_batches(spark, sf_dir, chunks):
+    """dropDuplicates state must persist across batches: the replay has
+    duplicate (user_id, event_type) keys in different chunks, yet the
+    sink holds each key exactly once — equal to batch DISTINCT."""
+    from distributed_mapreduce_spark.streaming.stateful import stream_distinct
+
+    cols = ["user_id", "event_type"]
+    streamed = run_available_now(
+        stream_distinct(event_stream(spark, chunks), cols), "append"
+    )
+    batch = batch_events(spark, sf_dir).select(*cols).distinct()
+    n_raw = batch_events(spark, sf_dir).count()
+    assert n_raw > batch.count()  # fixture really has cross-batch dupes
+    assert streamed.count() == batch.count()  # emitted once, never re-emitted
+    assert rows_set(streamed) == rows_set(batch)
