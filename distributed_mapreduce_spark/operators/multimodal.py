@@ -103,3 +103,77 @@ def extract_features(mm: DataFrame) -> DataFrame:
             )
 
     return mm.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx bigint, frame binary"
+
+RESIZED_SCHEMA = "doc_id bigint, modality string, n_bytes_in bigint, payload binary"
+
+
+def frame_sample(
+    mm: DataFrame, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """Frame sampling over video payloads: split each payload into
+    fixed-size frames and keep every `stride`-th one — the
+    mapInPandas fan-out shape (one input row → many frame rows) a real
+    video pipeline uses, with byte-slicing standing in for pyav frame
+    extraction (see decode_real).
+
+    Scale notes: fan-out happens inside the Arrow batch, so output
+    volume never lands on the driver; a frame row carries only its
+    slice, not the whole payload. Partition count carries over from the
+    input, so `widen()` upstream governs parallelism."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    ids.append(did)
+                    idxs.append(i)
+                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return mm.select("doc_id", "payload").mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def resize_stub(mm: DataFrame, target_bytes: int) -> DataFrame:
+    """Deterministic 'resize': nearest-neighbor resample of the payload
+    byte stream to `target_bytes` — the image-resize integration point
+    (swap the inner numpy indexing for PIL `Image.resize` when the
+    decode libs exist; schema, Arrow batching, and partitioning are the
+    real thing). Empty payloads stay empty."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if not b:
+                    out.append(b"")
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8)
+                idx = (np.arange(target_bytes) * len(arr) // target_bytes).astype(np.int64)
+                out.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes_in": [len(bytes(p)) for p in pdf["payload"]],
+                    "payload": out,
+                }
+            )
+
+    return mm.select("doc_id", "modality", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )

@@ -18,7 +18,10 @@ from distributed_mapreduce_spark.functions.vectors import (
     unrolled_dot_sql,
 )
 from distributed_mapreduce_spark.operators.multimodal import (
+    FRAME_BYTES,
+    FRAME_STRIDE,
     extract_features,
+    frame_sample,
     multimodal_table,
 )
 from distributed_mapreduce_spark.operators.similarity import ivf_topk, topk_cosine
@@ -157,6 +160,21 @@ def mm_q2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_q3_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample the video payloads (every 4th 64-byte frame) and
+    fingerprint each sampled frame — per-frame rows, value-checked
+    against DuckDB byte-slicing (the fixture text is ASCII, so VARCHAR
+    substring mirrors the binary slice exactly)."""
+    mm = multimodal_table(spark, sf_dir).where(F.col("modality") == "video")
+    frames = frame_sample(mm, FRAME_BYTES, FRAME_STRIDE)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.octet_length("frame").cast("bigint").alias("n_bytes"),
+    )
+
+
 _COS_AB = cosine_sql("a.embedding", "q.qv", DIM)
 _COS_PAIR = cosine_sql("a.va", "b.vb", DIM)
 
@@ -199,6 +217,24 @@ ORACLES = {
         FROM a JOIN b ON id_i < id_j
         WHERE round({unrolled_dot_sql("a.va", "b.vb", DIM)}, 6) >= {EMB_DUP_THRESHOLD}
     """,
+    "mm_q3_video_frames": f"""
+        WITH v AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+        ),
+        i AS (
+            SELECT doc_id, text,
+                   unnest(range(0,
+                                CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT),
+                                {FRAME_STRIDE})) AS frame_idx
+            FROM v
+        )
+        SELECT doc_id, frame_idx,
+               md5(substring(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT), {FRAME_BYTES}))
+                   AS frame_md5,
+               octet_length(encode(substring(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT), {FRAME_BYTES})))
+                   AS n_bytes
+        FROM i
+    """,
     "mm_q1_payload_stats": """
         SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
                     WHEN doc_id % 3 = 1 THEN 'audio'
@@ -218,4 +254,5 @@ QUERIES = {
     "dedup_q6_embedding_cosine": dedup_q6_embedding_cosine,
     "mm_q1_payload_stats": mm_q1_payload_stats,
     "mm_q2_features": mm_q2_features,
+    "mm_q3_video_frames": mm_q3_video_frames,
 }

@@ -91,3 +91,34 @@ def test_blas_topk_agrees_with_jvm_topk(spark, emb):
     # same ids in same order; scores equal at the rounded precision
     assert [i for i, _ in jvm] == [i for i, _ in blas]
     assert all(abs(a - b) < 2e-6 for (_, a), (_, b) in zip(jvm, blas))
+
+
+def test_frame_sample_slices_and_strides(spark, sf_dir):
+    """Every sampled frame is the exact byte slice at its index; indices
+    step by the stride; a short payload yields just frame 0."""
+    from distributed_mapreduce_spark.operators.multimodal import frame_sample
+
+    mm = multimodal_table(spark, sf_dir).where("modality = 'video'")
+    raw = {r["doc_id"]: bytes(r["payload"]) for r in mm.collect()}
+    frames = frame_sample(mm, frame_bytes=64, stride=4).collect()
+    assert frames
+    seen = set()
+    for r in frames:
+        b = raw[r["doc_id"]]
+        assert r["frame_idx"] % 4 == 0
+        assert bytes(r["frame"]) == b[r["frame_idx"] * 64 : (r["frame_idx"] + 1) * 64]
+        seen.add(r["doc_id"])
+    assert seen == set(raw)  # every video contributed at least frame 0
+
+
+def test_resize_stub_deterministic_nearest_neighbor(spark):
+    """Resize to a fixed byte budget: output length == target, values
+    are input bytes picked by nearest-neighbor, empty stays empty."""
+    from distributed_mapreduce_spark.operators.multimodal import resize_stub
+
+    rows = [(1, "image", bytearray(bytes(range(10)))), (2, "image", bytearray(b""))]
+    mm = spark.createDataFrame(rows, "doc_id bigint, modality string, payload binary")
+    got = {r["doc_id"]: bytes(r["payload"]) for r in resize_stub(mm, 4).collect()}
+    # idx = floor([0,1,2,3] * 10/4) = [0,2,5,7]
+    assert got[1] == bytes([0, 2, 5, 7])
+    assert got[2] == b""
