@@ -69,3 +69,16 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
 def read_csv(spark: SparkSession, path: str, schema: str, header: bool = True) -> DataFrame:
     """Schema-provided CSV read (inference is a full extra pass at scale)."""
     return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """Columnar ORC sink (zlib-compressed, built-in): the
+    parquet-alternative lake format — same committer atomicity, same
+    predicate-pushdown/column-pruning story on read."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan; filters and projected columns push into the reader
+    exactly as with parquet (assert via PushedFilters in .explain)."""
+    return spark.read.orc(path)

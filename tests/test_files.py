@@ -88,3 +88,21 @@ def test_csv_roundtrip(spark, tmp_path):
     write_csv(df, out)
     back = read_csv(spark, out, "id int, name string")
     assert sorted(map(tuple, back.collect())) == [(1, "x"), (2, "y")]
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/source roundtrip preserves rows + schema, and a filter
+    on the read side reaches the ORC scan (PushedFilters)."""
+    from distributed_mapreduce_spark.sources import table
+    from distributed_mapreduce_spark.sources.files import read_orc, write_orc
+
+    docs = table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path)
+    back = read_orc(spark, path)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    filtered = back.where("doc_id = 7").select("doc_id", "lang")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "doc_id" in plan
+    assert filtered.count() == 1
