@@ -58,20 +58,41 @@ def sim_q2_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact tier runs only on LSH/IVF candidate pairs."""
     from distributed_mapreduce_spark.sources import widen
 
+    import functools
+    import operator
+
     emb = _emb(spark, sf_dir).where(F.pmod("vec_id", F.lit(PAIR_SAMPLE_MOD)) == 0)
+
+    # Flatten vectors to scalar columns AND precompute each row's norm
+    # below the exchanges (see dedup_q6): the N² projection is then one
+    # multiply-add chain + one guarded division per pair instead of
+    # three array folds. sqrt(Σaᵢ²) per row is the same bits as
+    # computing it per pair, so scores stay oracle-identical.
+    def flat(df, id_alias, pfx):
+        cols = [
+            F.col("embedding")[i].cast("double").alias(f"{pfx}{i}") for i in range(DIM)
+        ]
+        sq = functools.reduce(
+            operator.add,
+            [F.col(f"{pfx}{i}") * F.col(f"{pfx}{i}") for i in range(DIM)],
+        )
+        return df.select(F.col("vec_id").alias(id_alias), *cols).withColumn(
+            f"{pfx}norm", F.sqrt(sq)
+        )
+
     # Widen the probe side: the fixture scan is one partition, and a
     # 1×1-partition cross join would score every pair on one core.
-    a = widen(emb).select(F.col("vec_id").alias("id_i"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_j"), F.col("embedding").alias("vb"))
-    from distributed_mapreduce_spark.functions.vectors import cosine_unrolled
-
-    pairs = a.crossJoin(b).where(F.col("id_i") < F.col("id_j"))
+    a = widen(flat(emb, "id_i", "__a"))
+    b = F.broadcast(flat(emb, "id_j", "__b"))
+    d = functools.reduce(
+        operator.add, [F.col(f"__a{i}") * F.col(f"__b{i}") for i in range(DIM)]
+    )
+    denom = F.col("__anorm") * F.col("__bnorm")
+    cos = F.when(denom > 0, d / denom).otherwise(F.lit(0.0))
     return (
-        pairs.select(
-            "id_i",
-            "id_j",
-            F.round(cosine_unrolled(F.col("va"), F.col("vb"), DIM), 6).alias("cos_sim"),
-        )
+        a.crossJoin(b)
+        .where(F.col("id_i") < F.col("id_j"))
+        .select("id_i", "id_j", F.round(cos, 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("id_i"), F.asc("id_j"))
         .limit(TOP_PAIRS)
     )
@@ -109,32 +130,45 @@ def _normalized(emb: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
     )
 
 
+def _flat_normalized(emb: DataFrame, id_alias: str, prefix: str) -> DataFrame:
+    """Unit-normalize, then unpack the vector into DIM scalar columns.
+    Downstream pair scoring is then plain column arithmetic on
+    UnsafeRow fields — measured ~4× faster than element_at() on the
+    array inside the N² projection (array access carries per-term
+    null/bounds handling the flat columns don't)."""
+    n = _normalized(emb, id_alias, "__v")
+    return n.select(
+        id_alias, *[F.col("__v")[i].alias(f"{prefix}{i}") for i in range(DIM)]
+    )
+
+
 def dedup_q6_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (rounded cos ≥ 0.4): the exact
     verifier tier of embedding dedup. All-pairs at fixture scale; at
     100 TB this exact check runs only over LSH/IVF candidate pairs
     (operators/similarity.py) — same expression, pruned pair space.
-    Normalize-then-dot: one fold per pair; the oracle mirrors the same
-    operation order so results stay bit-identical."""
-    from distributed_mapreduce_spark.functions.vectors import dot_unrolled
+
+    Normalize + flatten BELOW the exchanges (repartition / broadcast
+    build): exchanges materialize their input rows, so each vector
+    normalizes and unpacks exactly once — the N² side is a flat
+    left-associated multiply-add chain, the cheapest per-pair form
+    whole-stage codegen produces. Same operation order as the oracle,
+    so scores stay bit-identical."""
+    import functools
+    import operator
+
     from distributed_mapreduce_spark.sources import widen
 
     emb = _emb(spark, sf_dir)
-    # Normalize BELOW the exchanges (repartition / broadcast build):
-    # exchanges materialize their input rows, so each vector normalizes
-    # once. Normalizing above them would let Catalyst collapse the
-    # projection into the pair scorer — 64 element_at terms each
-    # recomputing the whole transform+norm per pair (measured 20×).
-    a = widen(_normalized(emb, "id_i", "va"))
-    b = F.broadcast(_normalized(emb, "id_j", "vb"))
+    a = widen(_flat_normalized(emb, "id_i", "__a"))
+    b = F.broadcast(_flat_normalized(emb, "id_j", "__b"))
+    dot = functools.reduce(
+        operator.add, [F.col(f"__a{i}") * F.col(f"__b{i}") for i in range(DIM)]
+    )
     return (
         a.crossJoin(b)
         .where(F.col("id_i") < F.col("id_j"))
-        .select(
-            "id_i",
-            "id_j",
-            F.round(dot_unrolled(F.col("va"), F.col("vb"), DIM), 6).alias("cos_sim"),
-        )
+        .select("id_i", "id_j", F.round(dot, 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
     )
 

@@ -15,6 +15,7 @@ batch fold (operators/kv.py), i.e. the DuckDB state-fold SQL.
 
 from __future__ import annotations
 
+import atexit
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,21 +49,34 @@ SESSION_WATERMARK = "1 hour"
 STREAM_SHUFFLE_PARTITIONS = 8
 
 
+# Staged-chunk cache: all five streaming queries replay the same
+# fixture, so stage it once per (sf_dir, N_CHUNKS) and clean up at
+# process exit. Chunk mtimes (replay order) are baked in at staging, so
+# reuse is deterministic.
+_CHUNK_CACHE: dict[tuple[str, int], str] = {}
+
+
+def _staged(sf_dir: str) -> str:
+    key = (sf_dir, N_CHUNKS)
+    if key not in _CHUNK_CACHE:
+        _CHUNK_CACHE[key] = stage_event_chunks(sf_dir, N_CHUNKS)
+        atexit.register(shutil.rmtree, _CHUNK_CACHE[key], ignore_errors=True)
+    return _CHUNK_CACHE[key]
+
+
 def _replayed(
     spark: SparkSession,
     sf_dir: str,
     build,
     output_mode: str,
 ) -> DataFrame:
-    chunks = stage_event_chunks(sf_dir, N_CHUNKS)
+    chunks = _staged(sf_dir)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
     try:
         return run_available_now(build(event_stream(spark, chunks)), output_mode)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-        # The memory sink holds results; staged chunks are no longer read.
-        shutil.rmtree(chunks, ignore_errors=True)
 
 
 def st_q1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
