@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from distributed_mapreduce_spark.operators.contamination import contamination_report
 from distributed_mapreduce_spark.operators.dedup import doc_shingles
+from distributed_mapreduce_spark.operators.packing import pack_greedy
 from distributed_mapreduce_spark.operators.sampling import (
     hash_bucket_sql,
     split_train_holdout,
@@ -82,6 +83,17 @@ def contam_q1_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 2048  # chars per packed bin (stand-in for a token budget)
+
+
+def pack_q1_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing of each source shard into 2048-char
+    bins — per-document bin assignment, value-checked against a DuckDB
+    recursive CTE running the identical sequential fold."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    return pack_greedy(docs, PACK_BUDGET)
+
+
 _BUCKET = hash_bucket_sql("doc_id")
 
 _RATE_CASE = "CASE lang " + " ".join(
@@ -102,6 +114,28 @@ def _shingle_cte(pred: str) -> str:
 
 
 ORACLES = {
+    "pack_q1_greedy": f"""
+        WITH RECURSIVE d AS (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        p AS (
+            SELECT source, doc_id, n_chars, rn,
+                   CAST(0 AS BIGINT) AS bin_idx,
+                   CAST(n_chars AS BIGINT) AS bin_fill
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.source, d.doc_id, d.n_chars, d.rn,
+                   CASE WHEN p.bin_fill + d.n_chars > {PACK_BUDGET}
+                        THEN p.bin_idx + 1 ELSE p.bin_idx END,
+                   CASE WHEN p.bin_fill + d.n_chars > {PACK_BUDGET}
+                        THEN CAST(d.n_chars AS BIGINT)
+                        ELSE p.bin_fill + d.n_chars END
+            FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1
+        )
+        SELECT source, doc_id, bin_idx, bin_fill FROM p
+    """,
     "mix_q1_stratified_sample": f"""
         SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
         FROM documents
@@ -137,6 +171,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "pack_q1_greedy": pack_q1_greedy,
     "mix_q1_stratified_sample": mix_q1_stratified_sample,
     "mix_q2_train_holdout": mix_q2_train_holdout,
     "contam_q1_benchmark_overlap": contam_q1_benchmark_overlap,

@@ -119,3 +119,48 @@ def test_contamination_partial_overlap(spark):
     assert row["n_hit"] == 2
     assert 0.0 < row["overlap"] < 1.0
     assert not row["contaminated"]
+
+
+def test_pack_greedy_properties(spark, sf_dir):
+    """Packing invariants: every doc placed exactly once; bin fill never
+    exceeds the budget unless the bin holds a single oversized doc; bin
+    indices are contiguous from 0 per group; assignment is independent
+    of input partitioning."""
+    from distributed_mapreduce_spark.operators.packing import pack_greedy
+
+    docs = table(spark, sf_dir, "documents")
+    budget = 1000
+    packed = pack_greedy(docs, budget).collect()
+    assert len(packed) == docs.count()
+
+    by_group: dict[str, list] = {}
+    for r in packed:
+        by_group.setdefault(r["source"], []).append(r)
+    lengths = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
+    for src, rows in by_group.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        bins: dict[int, list] = {}
+        for r in rows:
+            bins.setdefault(r["bin_idx"], []).append(r)
+        assert sorted(bins) == list(range(len(bins)))  # contiguous from 0
+        prev_max = -1
+        for b in sorted(bins):
+            members = bins[b]
+            total = sum(lengths[r["doc_id"]] for r in members)
+            assert total <= budget or len(members) == 1  # oversized doc alone
+            assert members[-1]["bin_fill"] == total  # last row carries final fill
+            assert all(r["doc_id"] > prev_max for r in members)  # order preserved
+            prev_max = max(r["doc_id"] for r in members)
+
+    repart = pack_greedy(docs.repartition(13), budget).collect()
+    assert sorted(map(tuple, packed)) == sorted(map(tuple, repart))
+
+
+def test_pack_greedy_oversized_doc_gets_own_bin(spark):
+    from distributed_mapreduce_spark.operators.packing import pack_greedy
+
+    rows = [("s", 1, 10), ("s", 2, 99), ("s", 3, 10), ("s", 4, 15)]
+    docs = spark.createDataFrame(rows, "source string, doc_id bigint, n_chars bigint")
+    got = {r["doc_id"]: (r["bin_idx"], r["bin_fill"]) for r in pack_greedy(docs, 30).collect()}
+    # doc1 → bin0(10); doc2 (99>30) → bin1 alone; doc3 → bin2(10); doc4 → bin2(25)
+    assert got == {1: (0, 10), 2: (1, 99), 3: (2, 10), 4: (2, 25)}
