@@ -173,6 +173,40 @@ def dedup_q6_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_q1_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (the embedding-compression
+    step of a vector store): codes = floor((x−min)/scale + 0.5) with
+    scale = (max−min)/255. Graded on the integer code checksum per
+    vector — exact, no float-comparison slack; floor(x+0.5) instead of
+    round() because the engines disagree on round-half ties.
+
+    Scale notes: pure per-row map expression — quantization of a
+    100 TB embedding column streams at scan speed, no shuffle; the 4×
+    size cut is what makes the IVF index RAM-resident at serving time."""
+    from distributed_mapreduce_spark.sources import widen
+
+    emb = widen(_emb(spark, sf_dir))
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    d = emb.select("vec_id", v.alias("v"))
+    mn, mx = F.array_min("v"), F.array_max("v")
+    d = d.select("vec_id", "v", mn.alias("mn"), mx.alias("mx"))
+    scale = (F.col("mx") - F.col("mn")) / 255
+    codes = F.when(
+        F.col("mx") > F.col("mn"),
+        F.transform(
+            "v", lambda x: F.floor((x - F.col("mn")) / scale + 0.5).cast("bigint")
+        ),
+    ).otherwise(F.transform("v", lambda x: F.lit(0).cast("bigint")))
+    return d.select(
+        "vec_id",
+        F.round("mn", 6).alias("qmin"),
+        F.round("mx", 6).alias("qmax"),
+        F.aggregate(
+            codes, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("sum_q"),
+    )
+
+
 def mm_q1_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata aggregation over the binary payload column."""
     mm = multimodal_table(spark, sf_dir)
@@ -251,6 +285,22 @@ ORACLES = {
         FROM a JOIN b ON id_i < id_j
         WHERE round({unrolled_dot_sql("a.va", "b.vb", DIM)}, 6) >= {EMB_DUP_THRESHOLD}
     """,
+    "emb_q1_quantize": """
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e)
+        SELECT vec_id,
+               round(mn, 6) AS qmin,
+               round(mx, 6) AS qmax,
+               CAST(list_sum(
+                   CASE WHEN mx > mn
+                   THEN list_transform(v, x -> CAST(floor((x - mn) / ((mx - mn) / 255) + 0.5) AS BIGINT))
+                   ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END
+               ) AS BIGINT) AS sum_q
+        FROM m
+    """,
     "mm_q3_video_frames": f"""
         WITH v AS (
             SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
@@ -282,6 +332,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "emb_q1_quantize": emb_q1_quantize,
     "sim_q1_topk_bruteforce": sim_q1_topk_bruteforce,
     "sim_q2_top_pairs": sim_q2_top_pairs,
     "sim_q3_ivf_topk": sim_q3_ivf_topk,

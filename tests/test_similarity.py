@@ -122,3 +122,25 @@ def test_resize_stub_deterministic_nearest_neighbor(spark):
     # idx = floor([0,1,2,3] * 10/4) = [0,2,5,7]
     assert got[1] == bytes([0, 2, 5, 7])
     assert got[2] == b""
+
+
+def test_quantize_codes_in_range_and_reconstruction_bound(spark, sf_dir):
+    """int8 quantization: codes live in [0,255] and dequantization error
+    is bounded by half a scale step per element."""
+    from distributed_mapreduce_spark.queries.simops import emb_q1_quantize
+    from distributed_mapreduce_spark.sources import table
+
+    emb = {r["vec_id"]: [float(x) for x in r["embedding"]]
+           for r in table(spark, sf_dir, "embeddings").collect()}
+    for r in emb_q1_quantize(spark, sf_dir).collect():
+        v = emb[r["vec_id"]]
+        mn, mx = min(v), max(v)
+        scale = (mx - mn) / 255
+        codes = [int((x - mn) / scale + 0.5) if mx > mn else 0 for x in v]
+        assert all(0 <= c <= 255 for c in codes)
+        assert r["sum_q"] == sum(codes)
+        if mx > mn:  # dequant error ≤ scale/2 (+ float slack)
+            assert all(
+                abs((mn + c * scale) - x) <= scale / 2 + 1e-12
+                for c, x in zip(codes, v)
+            )
