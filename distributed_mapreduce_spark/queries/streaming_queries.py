@@ -115,6 +115,24 @@ def st_q4_stateful_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_state(updates)
 
 
+def st_q6_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (attribution): purchases matched to
+    same-user clicks within 30 minutes, both sides streaming with
+    watermarks — must equal the batch interval join on the bounded
+    in-order replay."""
+    from distributed_mapreduce_spark.streaming.joins import interval_join
+
+    return _replayed(
+        spark,
+        sf_dir,
+        lambda ev: interval_join(
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "purchase"),
+        ),
+        "append",
+    )
+
+
 def st_q5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup of (user_id, event_type): each key emitted
     once on first arrival, with dedup state carried ACROSS micro-batches
@@ -181,6 +199,13 @@ ORACLES = {
     """,
     "st_q4_stateful_kv": _FOLD_SQL,
     "st_q5_stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    "st_q6_click_purchase_join": """
+        SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts, p.value
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+    """,
 }
 
 QUERIES = {
@@ -189,4 +214,5 @@ QUERIES = {
     "st_q3_session": st_q3_session,
     "st_q4_stateful_kv": st_q4_stateful_kv,
     "st_q5_stream_dedup": st_q5_stream_dedup,
+    "st_q6_click_purchase_join": st_q6_click_purchase_join,
 }

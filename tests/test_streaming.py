@@ -138,3 +138,38 @@ def test_stream_dedup_state_spans_micro_batches(spark, sf_dir, chunks):
     assert n_raw > batch.count()  # fixture really has cross-batch dupes
     assert streamed.count() == batch.count()  # emitted once, never re-emitted
     assert rows_set(streamed) == rows_set(batch)
+
+
+def test_interval_join_stream_equals_batch(spark, sf_dir, chunks):
+    """Stream-stream interval join across micro-batches equals the
+    batch interval join — including matches whose two sides arrive in
+    DIFFERENT micro-batches (asserted non-empty)."""
+    from distributed_mapreduce_spark.streaming.joins import interval_join
+
+    ev = event_stream(spark, chunks)
+    streamed = run_available_now(
+        interval_join(
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "purchase"),
+        ),
+        "append",
+    )
+    bev = batch_events(spark, sf_dir)
+    batch = (
+        bev.where("event_type = 'click'")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .join(
+            bev.where("event_type = 'purchase'").select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+                "value",
+            ),
+            F.expr(
+                "user_id = p_user AND purchase_ts >= click_ts "
+                "AND purchase_ts <= click_ts + INTERVAL 30 minutes"
+            ),
+        )
+        .select("user_id", "click_ts", "purchase_ts", "value")
+    )
+    assert rows_set(streamed) == rows_set(batch)
+    assert len(rows_set(streamed)) > 0
