@@ -347,7 +347,37 @@ def rel_q14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_q15_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (p50/p90, linear interpolation) —
+    the distribution profile an ETL sanity check computes per
+    partition of a fact table. F.percentile is the exact sort-based
+    aggregate (both engines interpolate at rank p·(n−1)); at 100 TB
+    the approx_percentile sketch replaces it at 100× less memory, same
+    query shape."""
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    qty = F.col("l_quantity").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile(price, F.lit(0.5)), 6).alias("p50_price"),
+            F.round(F.percentile(price, F.lit(0.9)), 6).alias("p90_price"),
+            F.round(F.percentile(qty, F.lit(0.5)), 6).alias("p50_qty"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
 ORACLES = {
+    "rel_q15_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS p50_price,
+               round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 6) AS p90_price,
+               round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50_qty,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     "rel_q13_cube": """
         SELECT coalesce(CAST(CAST(year(o_orderdate) AS BIGINT) AS VARCHAR), 'ALL') AS o_year,
                coalesce(o_orderpriority, 'ALL') AS o_priority,
@@ -497,6 +527,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "rel_q15_percentiles": rel_q15_percentiles,
     "rel_q1_pricing_summary": rel_q1_pricing_summary,
     "rel_q2_region_revenue": rel_q2_region_revenue,
     "rel_q3_top_customers": rel_q3_top_customers,

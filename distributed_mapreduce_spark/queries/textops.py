@@ -191,6 +191,28 @@ def dedup_q7_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("component").agg(F.count("*").alias("n_docs"))
 
 
+def dedup_q8_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the daily-batch pattern — an incoming
+    batch (doc_id % 5 = 0 here) is checked against the existing corpus
+    fingerprint store with a LEFT ANTI join, then deduped within
+    itself (first doc_id per fingerprint wins). Returns the docs that
+    would actually be ingested.
+
+    Scale notes: the anti join shuffles on the fingerprint — the
+    store side is read fingerprint-column-only (pruned scan), and the
+    incoming batch is tiny relative to the store, so AQE broadcasts
+    it; with a billion-row store, a bloom filter on the batch's
+    fingerprints prefilters the store scan (Spark injects one via
+    runtime filtering when the batch side is selective)."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    fp = fingerprint("text").alias("fp")
+    existing = docs.where(F.pmod("doc_id", F.lit(5)) != 0).select(fp)
+    incoming = docs.where(F.pmod("doc_id", F.lit(5)) == 0).select("doc_id", fp)
+    novel = incoming.join(existing.distinct(), "fp", "left_anti")
+    first = novel.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return novel.join(first, ["fp", "doc_id"], "left_semi").select("doc_id", "fp")
+
+
 def dedup_q4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified (rows-only for the
     driver; recall vs dedup_q3 asserted in tests)."""
@@ -340,6 +362,19 @@ ORACLES = {
         FROM documents
         GROUP BY lang
     """,
+    "dedup_q8_incremental": """
+        WITH f AS (
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        ),
+        existing AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 <> 0),
+        incoming AS (SELECT doc_id, fp FROM f WHERE doc_id % 5 = 0),
+        novel AS (
+            SELECT doc_id, fp FROM incoming ANTI JOIN existing USING (fp)
+        )
+        SELECT min(doc_id) AS doc_id, fp FROM novel GROUP BY fp
+    """,
     "dedup_q3_ngram_jaccard": _Q3_PAIRS_SQL,
     # transitive closure over the same pair graph (recursive CTE);
     # component label = min reachable doc id, the Spark side's fixpoint
@@ -374,4 +409,5 @@ QUERIES = {
     "dedup_q7_clusters": dedup_q7_clusters,
     "dedup_q4_minhash_lsh": dedup_q4_minhash_lsh,
     "dedup_q5_simhash": dedup_q5_simhash,
+    "dedup_q8_incremental": dedup_q8_incremental,
 }
