@@ -64,6 +64,30 @@ def mix_q2_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_PER_STRATUM = 8
+
+
+def mix_q3_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank documents
+    inside each (lang) stratum by content hash (layout-independent,
+    uniform-ish) and keep the first k — the fixed-size cousin of the
+    rate sample in mix_q1, used for eval-set carving. One window
+    shuffle on the stratum key; ties impossible (doc_id tiebreak)."""
+    from pyspark.sql import Window
+
+    from distributed_mapreduce_spark.operators.sampling import hash_bucket
+
+    docs = widen(table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("lang").orderBy(
+        hash_bucket("doc_id", 2**31).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= K_PER_STRATUM)
+        .select("lang", "doc_id", "source", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
 def contam_q1_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: for every document of the
     `BENCH_SOURCE` corpus, the fraction of its word-3-gram shingles that
@@ -149,6 +173,18 @@ ORACLES = {
         FROM documents
         GROUP BY 1
     """,
+    "mix_q3_k_per_stratum": f"""
+        WITH ranked AS (
+            SELECT lang, doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {hash_bucket_sql("doc_id", 2**31)} ASC, doc_id ASC
+                   ) AS rk
+            FROM documents
+        )
+        SELECT lang, doc_id, source, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {K_PER_STRATUM}
+    """,
     "contam_q1_benchmark_overlap": f"""
         WITH bench_sh AS ({_shingle_cte(f"source = '{BENCH_SOURCE}'")}),
         train_sh AS (
@@ -174,5 +210,6 @@ QUERIES = {
     "pack_q1_greedy": pack_q1_greedy,
     "mix_q1_stratified_sample": mix_q1_stratified_sample,
     "mix_q2_train_holdout": mix_q2_train_holdout,
+    "mix_q3_k_per_stratum": mix_q3_k_per_stratum,
     "contam_q1_benchmark_overlap": contam_q1_benchmark_overlap,
 }

@@ -56,3 +56,35 @@ def test_no_cartesian_in_any_registered_query(spark, sf_dir):
             continue
         plan = plans.physical_plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
+
+
+def test_stratified_sample_broadcasts_rates_and_pushes_scan(spark, sf_dir):
+    """The mixture config joins as a broadcast dim (no shuffle of the
+    corpus) and the whole query stays cartesian-free."""
+    from distributed_mapreduce_spark.queries.pipeline_queries import (
+        mix_q1_stratified_sample,
+    )
+
+    df = mix_q1_stratified_sample(spark, sf_dir)
+    plans.assert_broadcast_join(df)
+    plans.assert_no_cartesian(df)
+
+
+def test_contamination_is_hash_semi_join(spark, sf_dir):
+    """The train-side membership probe must plan as a semi join on the
+    shingle key, never a pair-space join."""
+    from distributed_mapreduce_spark.queries.pipeline_queries import (
+        contam_q1_benchmark_overlap,
+    )
+
+    p = plans.physical_plan(contam_q1_benchmark_overlap(spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_incremental_dedup_is_anti_join(spark, sf_dir):
+    from distributed_mapreduce_spark.queries.textops import dedup_q8_incremental
+
+    p = plans.physical_plan(dedup_q8_incremental(spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
