@@ -145,6 +145,38 @@ def text_q5_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Quality gate thresholds (the keep/drop rule of a cleaning pipeline).
+QF_MIN_TOKENS, QF_MAX_TOKENS = 20, 1000
+QF_MIN_SW_RATIO = 0.02
+QF_MIN_TOK_LEN, QF_MAX_TOK_LEN = 2.0, 12.0
+
+
+def text_q6_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed quality FILTER (not just scores): a document survives
+    iff token count ∈ [20, 1000], en-stopword ratio ≥ 0.02, and mean
+    token length ∈ [2, 12] — per-source survival census. This is the
+    gate text_q2's signals feed in a real pipeline; pure map
+    expressions, so the filter runs at scan speed at any scale."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    per_doc = docs.select(
+        "source",
+        token_count("text").alias("n_tok"),
+        stopword_ratio(toks, "en").alias("swr"),
+        avg_token_len(toks).alias("atl"),
+    )
+    keep = (
+        F.col("n_tok").between(QF_MIN_TOKENS, QF_MAX_TOKENS)
+        & (F.col("swr") >= QF_MIN_SW_RATIO)
+        & F.col("atl").between(QF_MIN_TOK_LEN, QF_MAX_TOK_LEN)
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(keep.cast("bigint")).alias("n_kept"),
+        F.round(F.sum(keep.cast("bigint")) / F.count("*"), 6).alias("keep_rate"),
+    )
+
+
 def dedup_q1_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup census per source: md5-of-normalized-text groups."""
     docs = widen(table(spark, sf_dir, "documents"))
@@ -348,6 +380,36 @@ ORACLES = {
         FROM guessed
         GROUP BY lang, guess
     """,
+    "text_q6_quality_filter": f"""
+        WITH t AS (
+            SELECT source, {_TOKS_SQL} AS ts FROM documents
+        ),
+        per_doc AS (
+            SELECT source,
+                   CAST(len(ts) AS BIGINT) AS n_tok,
+                   CASE WHEN len(ts) > 0
+                        THEN len(list_filter(ts, x -> list_contains([{_SW_EN}], x))) / len(ts)
+                        ELSE 0.0 END AS swr,
+                   CASE WHEN len(ts) > 0
+                        THEN list_sum(list_transform(ts, x -> length(x))) / len(ts)
+                        ELSE 0.0 END AS atl
+            FROM t
+        ),
+        flagged AS (
+            SELECT source,
+                   CASE WHEN n_tok BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS}
+                             AND swr >= {QF_MIN_SW_RATIO}
+                             AND atl BETWEEN {QF_MIN_TOK_LEN} AND {QF_MAX_TOK_LEN}
+                        THEN 1 ELSE 0 END AS keep
+            FROM per_doc
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(keep) AS BIGINT) AS n_kept,
+               round(sum(keep) / count(*), 6) AS keep_rate
+        FROM flagged
+        GROUP BY source
+    """,
     "dedup_q1_exact": """
         SELECT source,
                count(*) AS n_docs,
@@ -403,6 +465,7 @@ QUERIES = {
     "text_q3_langid": text_q3_langid,
     "text_q4_token_budget": text_q4_token_budget,
     "text_q5_rolling_fingerprint": text_q5_rolling_fingerprint,
+    "text_q6_quality_filter": text_q6_quality_filter,
     "dedup_q1_exact": dedup_q1_exact,
     "dedup_q2_token_set": dedup_q2_token_set,
     "dedup_q3_ngram_jaccard": dedup_q3_ngram_jaccard,
