@@ -177,7 +177,12 @@ def mr_generic_indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_mapreduce(whole_documents(spark, sf_dir), indexer_map, indexer_reduce)
 
 
-ORACLES = {
+# mr_generic_wordcount is the deliberate twin of the idiomatic
+# mr_q1_wordcount (same answer, generic-UDF engine vs DataFrame plan);
+# it sits in the shadow tier so the generic engine keeps one graded
+# representative (mr_generic_indexer) without spending two grading-cap
+# slots on one operator family (registry.py docstring).
+SHADOW_ORACLES = {
     "mr_generic_wordcount": """
         SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
         FROM (
@@ -187,6 +192,9 @@ ORACLES = {
         WHERE word <> ''
         GROUP BY word
     """,
+}
+
+ORACLES = {
     "mr_generic_indexer": """
         WITH word_doc AS (
             SELECT DISTINCT word, doc FROM (
@@ -204,6 +212,9 @@ ORACLES = {
 }
 
 QUERIES = {
-    "mr_generic_wordcount": mr_generic_wordcount,
     "mr_generic_indexer": mr_generic_indexer,
+}
+
+SHADOW_QUERIES = {
+    "mr_generic_wordcount": mr_generic_wordcount,
 }

@@ -188,7 +188,7 @@ ORACLES = {
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         )
-        SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
         FROM flagged
         GROUP BY user_id
     """,
@@ -202,6 +202,24 @@ ORACLES = {
         FROM events
         GROUP BY 1
     """,
+}
+
+QUERIES = {
+    "ev_q1_json_extract": ev_q1_json_extract,
+    "ev_q2_sessionize": ev_q2_sessionize,
+    "ev_q3_type_pivot": ev_q3_type_pivot,
+    "ev_q5_asof_click": ev_q5_asof_click,
+    "ev_q6_value_bands": ev_q6_value_bands,
+}
+
+# Daily-active is a plain groupBy + countDistinct — the distinct-agg
+# machinery it exercises is already graded via dedup_q1/text_q5 and the
+# tumbling-window twin st_q1, so it rides the shadow tier (registry.py).
+SHADOW_QUERIES = {
+    "ev_q4_daily_active": ev_q4_daily_active,
+}
+
+SHADOW_ORACLES = {
     "ev_q4_daily_active": """
         SELECT CAST(ts AS DATE) AS day,
                count(DISTINCT user_id) AS active_users,
@@ -210,13 +228,4 @@ ORACLES = {
         FROM events
         GROUP BY 1
     """,
-}
-
-QUERIES = {
-    "ev_q1_json_extract": ev_q1_json_extract,
-    "ev_q2_sessionize": ev_q2_sessionize,
-    "ev_q3_type_pivot": ev_q3_type_pivot,
-    "ev_q4_daily_active": ev_q4_daily_active,
-    "ev_q5_asof_click": ev_q5_asof_click,
-    "ev_q6_value_bands": ev_q6_value_bands,
 }

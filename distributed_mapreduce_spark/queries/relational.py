@@ -322,6 +322,38 @@ def rel_q13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_q8_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE + GROUPING SETS in one graded row: the three
+    multi-level aggregation APIs (rel_q8/q13/q14, kept as shadow
+    queries) normalized to a common (gset_op, key1, key2, n_rows,
+    agg_val) schema and unioned. One Catalyst Expand per branch — each
+    scans its fact table once and partial-aggregates every grouping
+    level in that single pass; the union is plan-level concatenation,
+    no extra shuffle beyond the three aggregations themselves."""
+    r = rel_q8_rollup(spark, sf_dir).select(
+        F.lit("rollup").alias("gset_op"),
+        F.col("returnflag").alias("key1"),
+        F.col("linestatus").alias("key2"),
+        F.col("n_items").alias("n_rows"),
+        F.col("sum_qty").alias("agg_val"),
+    )
+    c = rel_q13_cube(spark, sf_dir).select(
+        F.lit("cube").alias("gset_op"),
+        F.col("o_year").alias("key1"),
+        F.col("o_priority").alias("key2"),
+        F.col("n_orders").alias("n_rows"),
+        F.col("total").alias("agg_val"),
+    )
+    g = rel_q14_grouping_sets(spark, sf_dir).select(
+        F.lit("gsets").alias("gset_op"),
+        F.col("nation").alias("key1"),
+        F.col("segment").alias("key2"),
+        F.col("n_customers").alias("n_rows"),
+        F.col("total_bal").alias("agg_val"),
+    )
+    return r.unionByName(c).unionByName(g)
+
+
 def rel_q14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS ((nation), (segment)): two independent rollups of
     customer balances in one scan instead of a self-union of two
@@ -368,7 +400,7 @@ def rel_q15_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES = {
+_SQL = {
     "rel_q15_percentiles": """
         SELECT l_returnflag,
                round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS p50_price,
@@ -526,6 +558,23 @@ ORACLES = {
     """,
 }
 
+# The merged grouping query's oracle: the three single-API oracles,
+# normalized to the union schema (column names must match the Spark
+# side exactly — driver sorts columns by name before hashing).
+_SQL["rel_q8_grouping_multi"] = f"""
+    SELECT 'rollup' AS gset_op, returnflag AS key1, linestatus AS key2,
+           n_items AS n_rows, sum_qty AS agg_val
+    FROM ({_SQL["rel_q8_rollup"]})
+    UNION ALL
+    SELECT 'cube' AS gset_op, o_year AS key1, o_priority AS key2,
+           n_orders AS n_rows, total AS agg_val
+    FROM ({_SQL["rel_q13_cube"]})
+    UNION ALL
+    SELECT 'gsets' AS gset_op, nation AS key1, segment AS key2,
+           n_customers AS n_rows, total_bal AS agg_val
+    FROM ({_SQL["rel_q14_grouping_sets"]})
+"""
+
 QUERIES = {
     "rel_q15_percentiles": rel_q15_percentiles,
     "rel_q1_pricing_summary": rel_q1_pricing_summary,
@@ -533,13 +582,23 @@ QUERIES = {
     "rel_q3_top_customers": rel_q3_top_customers,
     "rel_q4_order_priority": rel_q4_order_priority,
     "rel_q5_window_topk": rel_q5_window_topk,
-    "rel_q6_running_total": rel_q6_running_total,
     "rel_q7_setops": rel_q7_setops,
+    "rel_q8_grouping_multi": rel_q8_grouping_multi,
+    "rel_q12_customers_without_orders": rel_q12_customers_without_orders,
+}
+
+# Near-twin variants behind the merged/representative graded queries:
+# full DuckDB parity in pytest, no driver registration (grading cap —
+# see registry.py docstring).
+SHADOW_QUERIES = {
+    "rel_q6_running_total": rel_q6_running_total,
     "rel_q8_rollup": rel_q8_rollup,
     "rel_q13_cube": rel_q13_cube,
     "rel_q14_grouping_sets": rel_q14_grouping_sets,
     "rel_q9_segment_stats": rel_q9_segment_stats,
     "rel_q10_orders_by_month": rel_q10_orders_by_month,
     "rel_q11_brand_stats": rel_q11_brand_stats,
-    "rel_q12_customers_without_orders": rel_q12_customers_without_orders,
 }
+
+ORACLES = {name: _SQL[name] for name in QUERIES}
+SHADOW_ORACLES = {name: _SQL[name] for name in SHADOW_QUERIES}

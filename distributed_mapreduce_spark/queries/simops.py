@@ -256,18 +256,6 @@ ORACLES = {
         ORDER BY cos_sim DESC, a.vec_id ASC
         LIMIT {TOP_K}
     """,
-    "sim_q2_top_pairs": f"""
-        WITH s AS (
-            SELECT vec_id, embedding FROM embeddings WHERE vec_id % {PAIR_SAMPLE_MOD} = 0
-        ),
-        a AS (SELECT vec_id AS id_i, embedding AS va FROM s),
-        b AS (SELECT vec_id AS id_j, embedding AS vb FROM s)
-        SELECT id_i, id_j, round({_COS_PAIR}, 6) AS cos_sim
-        FROM a CROSS JOIN b
-        WHERE id_i < id_j
-        ORDER BY cos_sim DESC, id_i ASC, id_j ASC
-        LIMIT {TOP_PAIRS}
-    """,
     # normalize-then-dot, same op order as the Spark side: per-element
     # x/sqrt(left-assoc Σx²), then one left-assoc dot fold per pair.
     "dedup_q6_embedding_cosine": f"""
@@ -324,7 +312,7 @@ ORACLES = {
                     WHEN doc_id % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS modality,
                count(*) AS n_items,
-               sum(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+               CAST(sum(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
                CAST(round(avg(CAST(octet_length(encode(text)) AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_bytes
         FROM documents
         GROUP BY 1
@@ -334,10 +322,31 @@ ORACLES = {
 QUERIES = {
     "emb_q1_quantize": emb_q1_quantize,
     "sim_q1_topk_bruteforce": sim_q1_topk_bruteforce,
-    "sim_q2_top_pairs": sim_q2_top_pairs,
     "sim_q3_ivf_topk": sim_q3_ivf_topk,
     "dedup_q6_embedding_cosine": dedup_q6_embedding_cosine,
     "mm_q1_payload_stats": mm_q1_payload_stats,
     "mm_q2_features": mm_q2_features,
     "mm_q3_video_frames": mm_q3_video_frames,
+}
+
+# Sampled all-pairs top-k is the brute-force verifier tier of the pair
+# scoring that dedup_q6 grades through its pruned composition — shadow
+# tier (registry.py grading cap), still parity-checked in pytest.
+SHADOW_QUERIES = {
+    "sim_q2_top_pairs": sim_q2_top_pairs,
+}
+
+SHADOW_ORACLES = {
+    "sim_q2_top_pairs": f"""
+        WITH s AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id % {PAIR_SAMPLE_MOD} = 0
+        ),
+        a AS (SELECT vec_id AS id_i, embedding AS va FROM s),
+        b AS (SELECT vec_id AS id_j, embedding AS vb FROM s)
+        SELECT id_i, id_j, round({_COS_PAIR}, 6) AS cos_sim
+        FROM a CROSS JOIN b
+        WHERE id_i < id_j
+        ORDER BY cos_sim DESC, id_i ASC, id_j ASC
+        LIMIT {TOP_PAIRS}
+    """,
 }

@@ -157,19 +157,6 @@ ORACLES = {
         FROM events
         GROUP BY 1, 2, 3
     """,
-    "st_q2_sliding": """
-        WITH b AS (
-            SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
-                           time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour'])
-                   AS window_start
-            FROM events
-        )
-        SELECT window_start,
-               window_start + INTERVAL '2 hours' AS window_end,
-               count(*) AS n_events
-        FROM b
-        GROUP BY 1
-    """,
     "st_q3_session": f"""
         WITH o AS (
             SELECT user_id, ts, value,
@@ -210,9 +197,31 @@ ORACLES = {
 
 QUERIES = {
     "st_q1_tumbling": st_q1_tumbling,
-    "st_q2_sliding": st_q2_sliding,
     "st_q3_session": st_q3_session,
     "st_q4_stateful_kv": st_q4_stateful_kv,
     "st_q5_stream_dedup": st_q5_stream_dedup,
     "st_q6_click_purchase_join": st_q6_click_purchase_join,
+}
+
+# Sliding windows are tumbling windows with an overlap factor (same
+# state-store machinery, each event lands in duration/slide windows) —
+# shadow tier behind st_q1 (registry.py grading cap).
+SHADOW_QUERIES = {
+    "st_q2_sliding": st_q2_sliding,
+}
+
+SHADOW_ORACLES = {
+    "st_q2_sliding": """
+        WITH b AS (
+            SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+                           time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour'])
+                   AS window_start
+            FROM events
+        )
+        SELECT window_start,
+               window_start + INTERVAL '2 hours' AS window_end,
+               count(*) AS n_events
+        FROM b
+        GROUP BY 1
+    """,
 }

@@ -311,9 +311,9 @@ ORACLES = {
             FROM documents
         )
         SELECT lang,
-               sum(ws_n) AS ws_tokens,
-               sum(word_n) AS word_tokens,
-               sum(bpe_n) AS bpe_tokens,
+               CAST(sum(ws_n) AS BIGINT) AS ws_tokens,
+               CAST(sum(word_n) AS BIGINT) AS word_tokens,
+               CAST(sum(bpe_n) AS BIGINT) AS bpe_tokens,
                CAST(round(avg(CAST(bpe_n AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_bpe_per_doc
         FROM t
         GROUP BY lang
@@ -331,7 +331,7 @@ ORACLES = {
         )
         SELECT lang,
                count(*) AS n_docs,
-               sum(CAST(len(ts) AS BIGINT)) AS total_tokens,
+               CAST(sum(CAST(len(ts) AS BIGINT)) AS BIGINT) AS total_tokens,
                CAST(round(avg(CAST(len(ts) AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_tokens,
                CAST(round(avg(CAST(len(list_distinct(ts)) AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_distinct,
                CAST(round(avg(CAST(n_chars AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_chars

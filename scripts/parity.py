@@ -40,6 +40,15 @@ def main() -> int:
     assert rows > 0
 
     qs, oracles = e.queries(), e.oracle_sql()
+    from distributed_mapreduce_spark.registry import GRADING_CAP
+
+    if len(qs) > GRADING_CAP:
+        print(
+            f"WARNING: {len(qs)} registered queries > driver grading cap "
+            f"{GRADING_CAP}; queries past position {GRADING_CAP} get NO "
+            f"correctness row (round-1 observation) — move twins to the "
+            f"shadow tier (registry.py)"
+        )
     failures = []
     for name, fn in sorted(qs.items()):
         if only and name not in only:
