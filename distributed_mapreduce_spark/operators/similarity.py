@@ -111,20 +111,23 @@ def assign_cells(
     """IVF index build: tag every vector with its nearest-centroid cell.
 
     Relational argmax: broadcast the (tiny) centroid table, score every
-    (vector, centroid) pair once, keep the best by window rank —
-    num_cells × dim stays data, not expression-tree (a chained-when
-    argmax over full cosine expressions blows up codegen). At scale the
-    `cell` column is the *write-time* partitioning key — store the
-    table bucketed by cell and probes become partition-pruned scans."""
-    from pyspark.sql import Window
-
+    (vector, centroid) pair once, keep the best via a max-of-struct
+    aggregation — num_cells × dim stays data, not expression-tree (a
+    chained-when argmax over full cosine expressions blows up codegen).
+    max(struct(score, −cell)) orders on score with a deterministic
+    min-cell tiebreak and, unlike the window-rank formulation, partial-
+    aggregates map-side: each task reduces its num_cells candidate rows
+    per vector locally, so the exchange carries one row per vector
+    instead of num_cells (and there is no per-partition sort at all).
+    At scale the `cell` column is the *write-time* partitioning key —
+    store the table bucketed by cell and probes become partition-pruned
+    scans."""
     from distributed_mapreduce_spark.sources import widen
 
     spark = emb.sparkSession
     cent_df = spark.createDataFrame(
         [(cid, vec) for cid, vec in centroids], "cell int, cvec array<double>"
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cell"))
     best = (
         widen(emb.select(id_col, vec_col))
         .crossJoin(F.broadcast(cent_df))
@@ -133,9 +136,9 @@ def assign_cells(
             "cell",
             cosine(F.col(vec_col), F.col("cvec")).alias("score"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, "cell")
+        .groupBy(id_col)
+        .agg(F.max(F.struct(F.col("score"), (-F.col("cell")).alias("nc"))).alias("m"))
+        .select(id_col, (-F.col("m.nc")).cast("int").alias("cell"))
     )
     return emb.join(best, id_col)
 

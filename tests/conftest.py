@@ -10,7 +10,11 @@ SF_CORRECT = "/root/testdata/sf0.01"
 def spark():
     from distributed_mapreduce_spark.session import get_spark
 
-    spark = get_spark(app_name="dmr-tests", master="local[4]", shuffle_partitions=8)
+    # local[4, 2]: 4 threads, maxFailures=2 — lets the fault-injection
+    # test (test_mapreduce.py::test_crash_retry_matches_golden) kill
+    # first task attempts and still converge; no effect on tests that
+    # never fail a task.
+    spark = get_spark(app_name="dmr-tests", master="local[4, 2]", shuffle_partitions=8)
     yield spark
     spark.stop()
 

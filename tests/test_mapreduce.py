@@ -63,6 +63,38 @@ def test_custom_udfs(spark, corpus):
     assert got == want
 
 
+def test_crash_retry_matches_golden(spark, corpus):
+    """Fault-injection e2e — the reference's flagship robustness test
+    (crash app under worker kill/respawn, still golden output:
+    /root/reference/src/main/test-mr.sh:163-203,
+    /root/reference/src/mrapps/crash.go:20-32). Here the injected fault
+    is an unconditional raise on every FIRST task attempt in both the
+    map and the reduce stage (TaskContext.attemptNumber == 0); Spark's
+    task retry (O8) reruns each task and the FileOutputCommitter-style
+    attempt isolation (O7) means no partial output from the dead
+    attempts leaks — the job must still match the sequential oracle
+    exactly. Requires the session's maxFailures ≥ 2 (conftest
+    local[4, 2])."""
+    from pyspark import TaskContext
+
+    df, rows = corpus
+
+    def crashing_map(filename, contents):
+        if TaskContext.get().attemptNumber() == 0:
+            raise RuntimeError("injected map-stage crash (first attempt)")
+        return wc_map(filename, contents)
+
+    def crashing_reduce(key, values):
+        if TaskContext.get().attemptNumber() == 0:
+            raise RuntimeError("injected reduce-stage crash (first attempt)")
+        return wc_reduce(key, values)
+
+    out = run_mapreduce(df, crashing_map, crashing_reduce)
+    got = sorted((r.key, r.value) for r in out.collect())
+    want = sorted(run_mapreduce_sequential(rows, wc_map, wc_reduce))
+    assert got == want
+
+
 def test_parallelism_probe(spark, corpus):
     """Q5/Q6 analog (mtiming/rtiming, SURVEY.md §2.2): the reference
     asserts ≥2 concurrent map and reduce workers; here the analogous

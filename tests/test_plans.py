@@ -88,3 +88,25 @@ def test_incremental_dedup_is_anti_join(spark, sf_dir):
     p = plans.physical_plan(dedup_q8_incremental(spark, sf_dir))
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_minhash_graded_path_is_bucketed_not_allpairs(spark, sf_dir):
+    """dedup_q4's graded plan must generate candidates via the
+    (band, bucket) equi-join — no cartesian/nested-loop pair space
+    anywhere, and the shuffles carry equi-join keys only."""
+    from distributed_mapreduce_spark.queries.textops import dedup_q4_minhash_lsh
+
+    p = plans.physical_plan(dedup_q4_minhash_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivf_build_has_no_window_exchange(spark, sf_dir):
+    """Cell assignment is a max-of-struct aggregation: partial-agg
+    map-side, no Window operator and no per-partition sort in the
+    index-build plan."""
+    from distributed_mapreduce_spark.queries.simops import sim_q3_ivf_topk
+
+    p = plans.physical_plan(sim_q3_ivf_topk(spark, sf_dir))
+    assert "Window" not in p
+    plans.assert_partial_agg(sim_q3_ivf_topk(spark, sf_dir))
