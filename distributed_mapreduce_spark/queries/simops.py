@@ -142,32 +142,62 @@ def _flat_normalized(emb: DataFrame, id_alias: str, prefix: str) -> DataFrame:
     )
 
 
-def dedup_q6_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (rounded cos ≥ 0.4): the exact
-    verifier tier of embedding dedup. All-pairs at fixture scale; at
-    100 TB this exact check runs only over LSH/IVF candidate pairs
-    (operators/similarity.py) — same expression, pruned pair space.
+# Grid side length for the blocked exact all-pairs join: B² reducer
+# cells, each task's working set is two id-blocks (2·N/B vectors), and
+# each row is shuffled B times — the classic theta-join grid trade
+# (pick B ≈ √(cluster cores) at scale).
+EMB_GRID_BLOCKS = 8
 
-    Normalize + flatten BELOW the exchanges (repartition / broadcast
-    build): exchanges materialize their input rows, so each vector
-    normalizes and unpacks exactly once — the N² side is a flat
-    left-associated multiply-add chain, the cheapest per-pair form
-    whole-stage codegen produces. Same operation order as the oracle,
-    so scores stay bit-identical."""
+
+def dedup_q6_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (rounded cos ≥ 0.4) as a
+    grid-partitioned exact all-pairs join: hash ids into B blocks,
+    replicate each side across the B candidate partner blocks
+    (explode — pure projection, no extra join), and equi-join on the
+    (block_a, block_b) cell key. Every pair is scored in exactly one of
+    the B² cells, per-task memory is bounded by two blocks, and nothing
+    broadcasts the table — the failure mode of the naive
+    broadcast-cross-join this replaces.
+
+    Why exact, not LSH candidates like dedup_q4: at τ = 0.4 in 64-dim
+    the hyperplane-LSH per-bit collision rate at threshold is
+    1 − arccos(0.4)/π ≈ 0.63, so any banding with near-1 recall at the
+    boundary generates more candidate pairs than the N² it prunes —
+    approximate candidates only win at τ ≳ 0.8 (where sim/IVF paths
+    apply) or with recall < 1. The quadratic work is inherent to the
+    chosen threshold; the grid makes it schedulable and
+    memory-bounded.
+
+    Normalize + flatten BELOW the exchange: each vector normalizes and
+    unpacks once before replication, so the per-pair math is a flat
+    left-associated multiply-add chain — the same operation order as
+    the oracle, keeping scores bit-identical."""
     import functools
     import operator
 
-    from distributed_mapreduce_spark.sources import widen
-
+    B = EMB_GRID_BLOCKS
     emb = _emb(spark, sf_dir)
-    a = widen(_flat_normalized(emb, "id_i", "__a"))
-    b = F.broadcast(_flat_normalized(emb, "id_j", "__b"))
+    all_blocks = F.array(*[F.lit(i) for i in range(B)])
+    a = (
+        _flat_normalized(emb, "id_i", "__a")
+        .withColumn("ba", F.pmod("id_i", F.lit(B)).cast("int"))
+        .withColumn("bj", F.explode(all_blocks))
+    )
+    b = (
+        _flat_normalized(emb, "id_j", "__b")
+        .withColumn("bb", F.pmod("id_j", F.lit(B)).cast("int"))
+        .withColumn("bi", F.explode(all_blocks))
+    )
     dot = functools.reduce(
         operator.add, [F.col(f"__a{i}") * F.col(f"__b{i}") for i in range(DIM)]
     )
     return (
-        a.crossJoin(b)
-        .where(F.col("id_i") < F.col("id_j"))
+        a.join(
+            b,
+            (F.col("ba") == F.col("bi"))
+            & (F.col("bj") == F.col("bb"))
+            & (F.col("id_i") < F.col("id_j")),
+        )
         .select("id_i", "id_j", F.round(dot, 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
     )
