@@ -106,6 +106,41 @@ def mr_q3_sorted_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mr_q4_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 + O7 end-to-end: the wordcount result flows through BOTH
+    reference wire formats and must survive byte-exact — first the
+    JSON-lines intermediate ({"Key":...,"Value":...},
+    /root/reference/src/mr/worker.go:103-140), then the final
+    `"key value"` text sink (worker.go:217-218), each written with
+    Spark's atomic output commit and read back cold. The returned rows
+    are parsed from the text sink, so the oracle comparison certifies
+    the sink/scan formats, not just the in-memory plan."""
+    import shutil
+    import tempfile
+
+    from distributed_mapreduce_spark.sources.catalog import write_kv_text
+    from distributed_mapreduce_spark.sources.files import read_jsonl_kv, write_jsonl_kv
+
+    wc = mr_q1_wordcount(spark, sf_dir).select(
+        F.col("word").alias("key"), F.col("cnt").alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="mr_q4_roundtrip_")
+    try:
+        write_jsonl_kv(wc, f"{tmp}/shuffle")  # O4 intermediate format
+        inter = read_jsonl_kv(spark, f"{tmp}/shuffle")
+        write_kv_text(inter, f"{tmp}/out")  # O7 final text sink
+        lines = spark.read.text(f"{tmp}/out")
+        parsed = lines.select(
+            F.split("value", " ", 2)[0].alias("key"),
+            F.split("value", " ", 2)[1].alias("value"),
+        )
+        # Materialize before the temp dir vanishes: the count forces the
+        # full read and the localCheckpoint pins the parsed rows.
+        return parsed.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 ORACLES = {
     "mr_q1_wordcount": f"""
         SELECT word, count(*) AS cnt
@@ -151,4 +186,23 @@ QUERIES = {
     "mr_q1_wordcount": mr_q1_wordcount,
     "mr_q2_inverted_index": mr_q2_inverted_index,
     "mr_q3_sorted_concat": mr_q3_sorted_concat,
+}
+
+# The sink/scan roundtrip writes temp directories per call, so it rides
+# the shadow tier (pytest parity) rather than spending a grading slot
+# on what is operationally a format test (registry.py docstring).
+SHADOW_QUERIES = {
+    "mr_q4_sink_roundtrip": mr_q4_sink_roundtrip,
+}
+
+SHADOW_ORACLES = {
+    "mr_q4_sink_roundtrip": f"""
+        SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
+        FROM (
+            SELECT unnest(regexp_split_to_array(text, '{TOKEN_SPLIT}')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+    """,
 }
