@@ -90,6 +90,28 @@ def test_incremental_dedup_is_anti_join(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_config_history_broadcasts_metadata(spark, sf_dir):
+    """kv_q4: the config VALUES relation and the distinct keyspace join
+    as broadcasts — the only shuffle is the key distinct."""
+    from distributed_mapreduce_spark.operators.kv import kv_q4_config_history
+
+    df = kv_q4_config_history(spark, sf_dir)
+    plans.assert_broadcast_join(df)
+    plans.assert_no_cartesian(df)
+
+
+def test_grouping_multi_expands_once_per_branch(spark, sf_dir):
+    """rel_q8_grouping_multi: each grouping API compiles to a Catalyst
+    Expand over a single scan of its fact table, concatenated by Union —
+    no extra shuffles beyond the three aggregations."""
+    from distributed_mapreduce_spark.queries.relational import rel_q8_grouping_multi
+
+    p = plans.physical_plan(rel_q8_grouping_multi(spark, sf_dir))
+    assert "Expand" in p
+    assert "Union" in p
+    plans.assert_no_cartesian(rel_q8_grouping_multi(spark, sf_dir))
+
+
 def test_minhash_graded_path_is_bucketed_not_allpairs(spark, sf_dir):
     """dedup_q4's graded plan must generate candidates via the
     (band, bucket) equi-join — no cartesian/nested-loop pair space
