@@ -175,11 +175,17 @@ def dedup_q6_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import functools
     import operator
 
+    from distributed_mapreduce_spark.sources import widen
+
     B = EMB_GRID_BLOCKS
     emb = _emb(spark, sf_dir)
     all_blocks = F.array(*[F.lit(i) for i in range(B)])
+    # widen BEFORE the explode: the single-file fixture scan is one
+    # partition, and with the build side broadcast the probe side never
+    # shuffles — unwidened, the whole pair space would score on one
+    # core. (On a real multi-partition table this is a no-op.)
     a = (
-        _flat_normalized(emb, "id_i", "__a")
+        widen(_flat_normalized(emb, "id_i", "__a"))
         .withColumn("ba", F.pmod("id_i", F.lit(B)).cast("int"))
         .withColumn("bj", F.explode(all_blocks))
     )

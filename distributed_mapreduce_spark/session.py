@@ -42,6 +42,14 @@ _RUNTIME_CONF = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # AQE coalesces shuffle reads by BYTE size; compute-heavy rows
+    # (64-wide flat vectors, shingle explosions) are byte-tiny, so the
+    # 1 MB default floor collapses an explicit repartition(32) to ~7
+    # partitions and serializes the heavy stage. 64 KB keeps
+    # parallelism for compute-bound partitions while still merging the
+    # genuinely empty ones; at production byte sizes this floor is
+    # never the binding constraint.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # documents.text rows are long; keep Arrow batches bounded.
