@@ -18,6 +18,7 @@ from distributed_mapreduce_spark.functions.vectors import (
     unrolled_dot_sql,
 )
 from distributed_mapreduce_spark.operators.multimodal import (
+    FEATURE_DIM,
     FRAME_BYTES,
     FRAME_STRIDE,
     extract_features,
@@ -255,12 +256,22 @@ def mm_q1_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mm_q2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction (stubbed decode) aggregated per
-    modality — exercises the real mapInPandas plumbing end-to-end."""
+    modality — exercises the real mapInPandas plumbing end-to-end.
+
+    Oracle-backed: the stub feature f0 is the fraction of payload bytes
+    ≡ 0 (mod FEATURE_DIM), which DuckDB reproduces on the ASCII fixture
+    text with a per-char ascii() filter — so the whole Python path
+    (Arrow batch → numpy decode → re-aggregation) is value-hash-graded,
+    not just row-counted. Averages stage through DECIMAL (the engine-
+    parity pattern used repo-wide) so accumulation order can't drift
+    the low-order bits."""
     feats = extract_features(multimodal_table(spark, sf_dir))
     return feats.groupBy("modality").agg(
         F.count("*").alias("n_items"),
-        F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_f0"),
-        F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+        F.round(F.avg(F.element_at("features", 1).cast("decimal(18,12)")), 6)
+        .cast("double")
+        .alias("avg_f0"),
+        money(F.avg(F.col("n_bytes").cast("decimal(18,4)"))).alias("avg_bytes"),
     )
 
 
@@ -342,6 +353,30 @@ ORACLES = {
                octet_length(encode(substring(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT), {FRAME_BYTES})))
                    AS n_bytes
         FROM i
+    """,
+    # DuckDB mirror of decode_stub's f0 (operators/multimodal.py:70-82):
+    # fraction of payload bytes ≡ 0 mod FEATURE_DIM; fixture text is
+    # pure ASCII (asserted: octet_length == length), so per-char
+    # ascii() IS the byte value.
+    "mm_q2_features": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   octet_length(encode(text)) AS n_bytes,
+                   CASE WHEN octet_length(encode(text)) = 0 THEN CAST(0.0 AS DOUBLE)
+                        ELSE len(list_filter(string_split(text, ''),
+                                             c -> ascii(c) % {FEATURE_DIM} = 0))
+                             * 1.0 / octet_length(encode(text)) END AS f0
+            FROM documents
+        )
+        SELECT modality,
+               count(*) AS n_items,
+               CAST(round(avg(CAST(f0 AS DECIMAL(18,12))), 6) AS DOUBLE) AS avg_f0,
+               CAST(round(avg(CAST(n_bytes AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_bytes
+        FROM t
+        GROUP BY modality
     """,
     "mm_q1_payload_stats": """
         SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
