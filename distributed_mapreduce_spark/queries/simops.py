@@ -100,8 +100,12 @@ def sim_q2_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_q3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-probed top-10 (scale path; rows-only — recall vs sim_q1 is
-    asserted in tests)."""
+    """IVF-probed top-10 — the ANN scale path, and fully value-hash
+    graded: every stage is deterministic (centroids = 16 lowest-id
+    vectors, cell assignment = argmax cosine with min-cell tiebreak,
+    probe = 4 best cells for the query), so the DuckDB oracle replays
+    the whole index build + probe bit-for-bit. Recall vs the exact
+    sim_q1 tier is additionally asserted in tests."""
     emb = _emb(spark, sf_dir)
     qvec = [
         float(x)
@@ -353,6 +357,45 @@ ORACLES = {
                octet_length(encode(substring(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT), {FRAME_BYTES})))
                    AS n_bytes
         FROM i
+    """,
+    # Full replay of the IVF build + probe (operators/similarity.py):
+    # centroid table = 16 lowest-id vectors in id order; assignment =
+    # per-vector argmax cosine (ties → lowest cell, mirroring Spark's
+    # max(struct(score, −cell))); probe = 4 cells nearest the query;
+    # final ranking identical to sim_q1's rounded-cosine TakeOrdered.
+    "sim_q3_ivf_topk": f"""
+        WITH cent AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+                   embedding AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+        assign AS (
+            SELECT e.vec_id, c.cell,
+                   {cosine_sql("e.embedding", "c.cvec", DIM)} AS score
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        best AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY score DESC, cell ASC
+                       ) AS rn
+                FROM assign
+            ) WHERE rn = 1
+        ),
+        probe AS (
+            SELECT cell FROM cent CROSS JOIN q
+            ORDER BY {cosine_sql("cent.cvec", "q.qv", DIM)} DESC, cell ASC
+            LIMIT 4
+        )
+        SELECT e.vec_id, round({cosine_sql("e.embedding", "q.qv", DIM)}, 6) AS cos_sim
+        FROM embeddings e
+        JOIN best ON e.vec_id = best.vec_id
+        CROSS JOIN q
+        WHERE best.cell IN (SELECT cell FROM probe)
+        ORDER BY cos_sim DESC, e.vec_id ASC
+        LIMIT {TOP_K}
     """,
     # DuckDB mirror of decode_stub's f0 (operators/multimodal.py:70-82):
     # fraction of payload bytes ≡ 0 mod FEATURE_DIM; fixture text is
