@@ -46,16 +46,32 @@ def test_anti_join_no_cartesian(spark, sf_dir):
 
 def test_no_cartesian_in_any_registered_query(spark, sf_dir):
     """Registry-wide plan guard: no registered batch query may plan a
-    CartesianProduct (pair queries must broadcast one side; joins must
-    have keys). Streaming queries execute on call, so they're guarded
-    by their own tests instead."""
+    CartesianProduct, and none may plan a BroadcastNestedLoopJoin
+    except the range join (ev_q6), whose non-equi band predicate is
+    exactly what BNLJ is for (4-row broadcast side). Streaming queries
+    execute on call, so they're guarded by their own tests instead."""
     from distributed_mapreduce_spark.registry import all_queries
 
+    # BNLJ is legitimate exactly when the broadcast side is O(1) rows:
+    # ev_q6 (non-equi band predicate over a 4-row dim — the intended
+    # range-join form), kv_q3 (1-row point probe whose literal key
+    # constant-folds into a filter, leaving a keyless 1-row join),
+    # sim_q1/sim_q3 (crossJoin against THE 1-row query vector).
+    bnlj_allowed = {
+        "ev_q6_value_bands",
+        "kv_q3_get",
+        "sim_q1_topk_bruteforce",
+        "sim_q3_ivf_topk",
+    }
     for name, fn in all_queries().items():
         if name.startswith("st_"):
             continue
         plan = plans.physical_plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
+        if name not in bnlj_allowed:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name} plans a nested-loop join:\n{plan}"
+            )
 
 
 def test_stratified_sample_broadcasts_rates_and_pushes_scan(spark, sf_dir):
