@@ -1,18 +1,34 @@
-"""Connected components: chains, separate cliques, convergence."""
+"""Connected components: chains, separate cliques, convergence —
+both execution paths (driver union-find and distributed min-label
+iteration) against the same expectations."""
 
 from __future__ import annotations
 
+import pytest
+
 from distributed_mapreduce_spark.operators.components import connected_components
 
+# driver_max_edges=0 forces the distributed iteration; the default
+# takes the union-find shortcut. Same output contract for both.
+PATHS = pytest.mark.parametrize(
+    "driver_max", [0, None], ids=["distributed", "driver-unionfind"]
+)
 
-def test_components_chain_and_cliques(spark):
+
+def _cc(edges, driver_max):
+    kw = {} if driver_max is None else {"driver_max_edges": driver_max}
+    return connected_components(edges, **kw)
+
+
+@PATHS
+def test_components_chain_and_cliques(spark, driver_max):
     # 1-2-3-4 chain (diameter > 1 forces multiple rounds), {10,11} pair,
     # {20,21,22} triangle
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
         "id_i bigint, id_j bigint",
     )
-    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    got = {r["id"]: r["component"] for r in _cc(edges, driver_max).collect()}
     assert got == {
         1: 1, 2: 1, 3: 1, 4: 1,
         10: 10, 11: 10,
@@ -20,11 +36,12 @@ def test_components_chain_and_cliques(spark):
     }
 
 
-def test_components_long_chain_converges(spark):
+@PATHS
+def test_components_long_chain_converges(spark, driver_max):
     n = 12
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_i bigint, id_j bigint"
     )
-    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    got = {r["id"]: r["component"] for r in _cc(edges, driver_max).collect()}
     assert set(got.values()) == {0}
     assert len(got) == n + 1
