@@ -189,15 +189,28 @@ def dedup_q6_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition, and with the build side broadcast the probe side never
     # shuffles — unwidened, the whole pair space would score on one
     # core. (On a real multi-partition table this is a no-op.)
+    #
+    # Upper-triangle grid: a-rows replicate only to partner blocks
+    # bj ≥ ba, b-rows only to bi ≤ bb, so a cross-block pair lands in
+    # exactly ONE cell regardless of id order (ids canonicalize via
+    # least/greatest below — the dot is symmetric, term order
+    # unchanged, so scores are bit-identical either way). Only
+    # same-block cells need the id tiebreak. This halves replication
+    # AND avoids scoring the discarded orientation of every cross-
+    # block pair — Catalyst orders the pushed-down cosine filter ahead
+    # of cheap conjuncts in the join condition, so rows eliminated by
+    # generation are twice as cheap as rows eliminated by predicate.
     a = (
         widen(_flat_normalized(emb, "id_i", "__a"))
         .withColumn("ba", F.pmod("id_i", F.lit(B)).cast("int"))
         .withColumn("bj", F.explode(all_blocks))
+        .where(F.col("bj") >= F.col("ba"))
     )
     b = (
         _flat_normalized(emb, "id_j", "__b")
         .withColumn("bb", F.pmod("id_j", F.lit(B)).cast("int"))
         .withColumn("bi", F.explode(all_blocks))
+        .where(F.col("bi") <= F.col("bb"))
     )
     dot = functools.reduce(
         operator.add, [F.col(f"__a{i}") * F.col(f"__b{i}") for i in range(DIM)]
@@ -207,9 +220,14 @@ def dedup_q6_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("ba") == F.col("bi"))
             & (F.col("bj") == F.col("bb"))
-            & (F.col("id_i") < F.col("id_j")),
+            & ((F.col("ba") != F.col("bj")) | (F.col("id_i") < F.col("id_j")))
+            & (F.col("id_i") != F.col("id_j")),
         )
-        .select("id_i", "id_j", F.round(dot, 6).alias("cos_sim"))
+        .select(
+            F.least("id_i", "id_j").alias("id_i"),
+            F.greatest("id_i", "id_j").alias("id_j"),
+            F.round(dot, 6).alias("cos_sim"),
+        )
         .where(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
     )
 
