@@ -208,13 +208,32 @@ def minhash_near_dup_pairs(
 
 def simhash64(sh: DataFrame) -> DataFrame:
     """64-bit SimHash per document from shingle hashes: bit b of the
-    signature is the sign of Σ(±1) over that bit across shingles.
-    One aggregation with 64 JVM-side bit-count sums."""
-    h = F.xxhash64("shingle")
+    signature is the majority vote of that bit across the document's
+    shingle hashes. One aggregation with 64 JVM-side bit-count sums.
+
+    The shingle hash is the md5 hex prefix split into two 32-bit
+    halves (bits 32-63 from hex[0:8], bits 0-31 from hex[8:16]) —
+    the same portable-arithmetic trick as sampling.hash_bucket, so a
+    DuckDB oracle reproduces the signature bit-for-bit and dedup_q5
+    is value-hash-gradeable. xxhash64 would be marginally cheaper but
+    is Spark-only; md5 here is one hash per distinct (id, shingle)
+    row, still scan-bound and JVM-side."""
+    halves = sh.select(
+        "id",
+        F.md5(F.col("shingle").cast("binary")).alias("hx"),
+    ).select(
+        "id",
+        F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint").alias("hhi"),
+        F.conv(F.substring("hx", 9, 8), 16, 10).cast("bigint").alias("hlo"),
+    )
     bit_sums = [
-        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"b{b}") for b in range(64)
+        F.sum(
+            F.shiftright(F.col("hlo") if b < 32 else F.col("hhi"), b % 32)
+            .bitwiseAND(F.lit(1))
+        ).alias(f"b{b}")
+        for b in range(64)
     ]
-    agg = sh.groupBy("id").agg(F.count("*").alias("n"), *bit_sums)
+    agg = halves.groupBy("id").agg(F.count("*").alias("n"), *bit_sums)
     sig = functools.reduce(
         operator.add,
         [
@@ -278,7 +297,7 @@ def simhash_near_dup_pairs(
             F.col("b.id").alias("id_j"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            ).cast("int").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()

@@ -279,7 +279,13 @@ def dedup_q4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_q5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded hamming near-dup pairs (rows-only for the driver)."""
+    """SimHash banded hamming near-dup pairs (hamming ≤ 6 over 64-bit
+    majority-vote signatures). Value-hash-graded: the signature hash is
+    the portable md5-prefix split (operators/dedup.simhash64), and the
+    oracle recomputes signatures in DuckDB then takes the *exact*
+    all-pairs hamming filter — equality holds because the 8×8-bit
+    banding has guaranteed recall for hamming < 8 (pigeonhole), so the
+    banded plan IS the exact answer, just cheaper."""
     docs = widen(table(spark, sf_dir, "documents"))
     return simhash_near_dup_pairs(docs, max_hamming=6)
 
@@ -336,7 +342,58 @@ _RH_SQL = (
     f"ch -> CAST(ascii(ch) AS BIGINT))), (acc, x) -> (acc*{RH_BASE} + x) % {RH_MOD})"
 )
 
+# DuckDB mirror of operators/dedup.simhash64 + the hamming pair filter.
+# Signature = per-bit majority vote over md5-prefix shingle hashes, kept
+# as two 32-bit halves (sig_hi = bits 32-63 from hex[0:8], sig_lo =
+# bits 0-31 from hex[8:16]) so no BIGINT shift ever reaches bit 63.
+# The oracle joins ALL pairs (id < id) — exact semantics; the Spark
+# side's chunk-banding is recall-exhaustive at hamming ≤ 6 < 8 chunks,
+# so both produce the identical pair set.
+_SIMHASH_BIT_SUMS = ", ".join(
+    f"sum(({'hlo' if b < 32 else 'hhi'} >> {b % 32}) & 1) AS b{b}" for b in range(64)
+)
+_SIMHASH_SIG_LO = " + ".join(
+    f"CASE WHEN 2*b{b} > n THEN {1 << b} ELSE 0 END" for b in range(32)
+)
+_SIMHASH_SIG_HI = " + ".join(
+    f"CASE WHEN 2*b{b} > n THEN {1 << (b - 32)} ELSE 0 END" for b in range(32, 64)
+)
+_Q5_SIMHASH_SQL = f"""
+        WITH toks AS (
+            SELECT doc_id, {{toks_sql}} AS ts FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id AS id,
+                   unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+            FROM toks
+        ),
+        halves AS (
+            SELECT id,
+                   ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hhi,
+                   ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS hlo
+            FROM sh
+        ),
+        sums AS (
+            SELECT id, count(*) AS n, {_SIMHASH_BIT_SUMS}
+            FROM halves GROUP BY id
+        ),
+        sig AS (
+            SELECT id,
+                   ({_SIMHASH_SIG_LO})::BIGINT AS sig_lo,
+                   ({_SIMHASH_SIG_HI})::BIGINT AS sig_hi
+            FROM sums
+        )
+        SELECT a.id AS id_i, b.id AS id_j,
+               CAST(bit_count(xor(a.sig_hi, b.sig_hi))
+                    + bit_count(xor(a.sig_lo, b.sig_lo)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.id < b.id
+        WHERE bit_count(xor(a.sig_hi, b.sig_hi))
+              + bit_count(xor(a.sig_lo, b.sig_lo)) <= 6
+"""
+
 ORACLES = {
+    "dedup_q5_simhash": _Q5_SIMHASH_SQL.format(toks_sql=_TOKS_SQL),
     "text_q4_token_budget": f"""
         WITH t AS (
             SELECT lang,
