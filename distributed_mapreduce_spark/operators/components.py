@@ -25,12 +25,17 @@ from pyspark.sql import functions as F
 
 MAX_ITERS = 25
 
-# Edge-count bound for the driver-side union-find shortcut: 5M edges
-# ≈ 80 MB of longs on the driver — trivially safe. Near-dup pair
-# graphs are tiny relative to the corpus (|edges| ≈ O(#duplicates)),
-# so in practice this path serves even very large corpora; the
+# Edge-count bound for the driver-side union-find shortcut. Measured
+# on this host (CPython 3.12, 2M random edges over 4M nodes — the
+# node-heavy worst case): the Arrow collect is ~16 bytes/edge, but
+# the union-find's Python-object working set (pair list + parent dict
+# + boxed ints) dominates at ~270 bytes/edge peak — 2M edges ≈ 0.5 GB
+# RSS, 7 s. A safe ceiling for a standard 4-8 GB driver (NOT the
+# "80 MB of longs" a naive long[] estimate suggests).
+# Near-dup pair graphs are O(#duplicates), orders of magnitude smaller
+# than the corpus, so this path still serves very large corpora; the
 # distributed iteration is the fallback for genuinely huge graphs.
-DRIVER_CC_MAX_EDGES = 5_000_000
+DRIVER_CC_MAX_EDGES = 2_000_000
 
 
 def _driver_union_find(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
@@ -48,6 +53,8 @@ def _driver_union_find(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
 
     for a, b in pairs:
         parent.setdefault(a, a)
+        if a == b:
+            continue  # self-loop: seeds the node, nothing to union
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
         if ra != rb:
@@ -83,8 +90,15 @@ def connected_components(
     )
     sym = sym.localCheckpoint()
     if sym.count() <= 2 * driver_max_edges:  # sym holds both directions
+        # Arrow collect (toArrow), not collect(): Row objects cost
+        # ~100+ bytes each, an Arrow table ~16 bytes/edge — the
+        # driver-memory math in DRIVER_CC_MAX_EDGES assumes this path.
+        # a <= b keeps one direction per edge plus self-loops, so a
+        # node whose only edge is reflexive still gets labeled
+        # (matching the distributed path's contract).
+        tbl = sym.where(F.col("a") <= F.col("b")).toArrow()
         rows = _driver_union_find(
-            [(r["a"], r["b"]) for r in sym.where(F.col("a") < F.col("b")).collect()]
+            list(zip(tbl.column("a").to_pylist(), tbl.column("b").to_pylist()))
         )
         return spark.createDataFrame(rows, "id bigint, component bigint")
     labels = (

@@ -45,3 +45,30 @@ def test_components_long_chain_converges(spark, driver_max):
     got = {r["id"]: r["component"] for r in _cc(edges, driver_max).collect()}
     assert set(got.values()) == {0}
     assert len(got) == n + 1
+
+
+@PATHS
+def test_components_self_loop_node_is_labeled(spark, driver_max):
+    # A node whose ONLY edge is reflexive must still appear in the
+    # output with its own label — both paths share this contract.
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2)], "id_i bigint, id_j bigint"
+    )
+    got = {r["id"]: r["component"] for r in _cc(edges, driver_max).collect()}
+    assert got == {5: 5, 1: 1, 2: 1}
+
+
+def test_components_boundary_picks_each_path(spark):
+    # 3 undirected edges → sym holds 6 rows. driver_max_edges=3 keeps
+    # the union-find shortcut (6 <= 2*3); 2 forces the distributed
+    # iteration (6 > 2*2). Same answer either side of the threshold.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_i bigint, id_j bigint"
+    )
+    expect = {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    at = {r["id"]: r["component"]
+          for r in connected_components(edges, driver_max_edges=3).collect()}
+    above = {r["id"]: r["component"]
+             for r in connected_components(edges, driver_max_edges=2).collect()}
+    assert at == expect
+    assert above == expect
