@@ -37,15 +37,28 @@ def _fold_group(
     import pandas as pd
 
     value, max_seq = state.get if state.exists else ("", -1)
-    batch = pd.concat(list(pdfs)).sort_values("seq")
-    for seq, op, v in zip(batch["seq"], batch["op"], batch["value"]):
-        if seq <= max_seq:
-            continue  # redelivery — exactly-once (K3)
-        if op == "put":
-            value = v
-        elif op == "append":
-            value = value + v
-        max_seq = int(seq)
+    # Vectorized fold (a per-row loop with value += v is quadratic in
+    # string length): everything before the batch's LAST put is dead,
+    # so the new value is that put's payload + one join of the appends
+    # after it. seq ≤ high-water and in-batch re-deliveries drop first
+    # — exactly-once (K3).
+    batch = (
+        pd.concat(list(pdfs))
+        .query("seq > @max_seq")
+        .drop_duplicates(subset=["seq"])
+        .sort_values("seq")
+    )
+    if len(batch):
+        ops = batch["op"].to_numpy()
+        vals = batch["value"].to_numpy()
+        puts = (ops == "put").nonzero()[0]
+        if len(puts):
+            p = puts[-1]
+            tail = vals[p + 1 :][ops[p + 1 :] == "append"]
+            value = vals[p] + "".join(tail)
+        else:
+            value = value + "".join(vals[ops == "append"])
+        max_seq = int(batch["seq"].iloc[-1])
     state.update((value, max_seq))
     yield pd.DataFrame({"key": [key[0]], "value": [value], "max_seq": [max_seq]})
 
