@@ -98,6 +98,10 @@ def main() -> int:
             t0 = time.perf_counter()
             force(queries[name](spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
+        # Operators that persist() intermediates (jaccard/minhash/
+        # simhash) would otherwise accumulate cached blocks across
+        # passes — every pass must run against the same storage state.
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

@@ -15,9 +15,10 @@ pipeline reproducible; the operator itself only needs *some* centroid
 table, so a real kmeans (pyspark.ml.clustering.KMeans) drops in
 without changing the query shape.
 
-Cell assignment is an argmax over per-centroid cosines, built as a
-chained-when expression — JVM-side, no UDF, no shuffle beyond the one
-groupBy-free broadcast join.
+Cell assignment is an argmax over per-centroid cosines, computed as a
+max-of-struct aggregation (F.max over struct(score, -cell) after a
+broadcast join against the centroid table) — JVM-side, partial-agg
+friendly, no Window sort, no UDF.
 """
 
 from __future__ import annotations
