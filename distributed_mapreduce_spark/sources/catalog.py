@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -46,11 +46,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # TIMESTAMP(NANOS) read as long (see session._RUNTIME_CONF);
-        # truncate to µs — the same truncation DuckDB applies — so
-        # timestamp semantics agree with the oracle.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # TIMESTAMP(NANOS) read as long (see session._RUNTIME_CONF);
+            # truncate to µs — the same truncation DuckDB applies — so
+            # timestamp semantics agree with the oracle.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # TIMESTAMP(µs, no tz) reads as TIMESTAMP_NTZ; cast to the
+            # session type (tz pinned UTC in session.py) so downstream
+            # time arithmetic (unix_micros, windows) and the DuckDB
+            # oracle see identical wall-clock semantics regardless of
+            # which physical timestamp encoding the fixture carries.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
