@@ -292,13 +292,12 @@ def dedup_q5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SW_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
-# Exact word-3-gram jaccard pairs — the oracle for dedup_q3 AND the
-# LSH-composed dedup_q4 (identical answer: recall is exhaustive at the
-# graded banding, see MINHASH_BANDS), plus the pair graph dedup_q7's
-# transitive closure runs over. The `rare` CTE mirrors the Spark side's
-# MAX_SHINGLE_DF skew guard.
-_Q3_PAIRS_SQL = f"""
-        WITH toks AS (
+# Shared tokenize → word-trigram-shingle CTE prefix: the ONE oracle-side
+# definition of the shingle set, reused verbatim by the jaccard
+# (_Q3_PAIRS_SQL) and simhash (_Q5_SIMHASH_SQL) oracles so the two
+# mirrors of functions.text.shingles can never silently drift apart
+# (ADVICE r3).
+_SHINGLES_CTE = f"""toks AS (
             SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
         ),
         sh_all AS (
@@ -306,7 +305,15 @@ _Q3_PAIRS_SQL = f"""
                    unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
                                          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
             FROM toks
-        ),
+        )"""
+
+# Exact word-3-gram jaccard pairs — the oracle for dedup_q3 AND the
+# LSH-composed dedup_q4 (identical answer: recall is exhaustive at the
+# graded banding, see MINHASH_BANDS), plus the pair graph dedup_q7's
+# transitive closure runs over. The `rare` CTE mirrors the Spark side's
+# MAX_SHINGLE_DF skew guard.
+_Q3_PAIRS_SQL = f"""
+        WITH {_SHINGLES_CTE},
         rare AS (
             SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
         ),
@@ -359,20 +366,12 @@ _SIMHASH_SIG_HI = " + ".join(
     f"CASE WHEN 2*b{b} > n THEN {1 << (b - 32)} ELSE 0 END" for b in range(32, 64)
 )
 _Q5_SIMHASH_SQL = f"""
-        WITH toks AS (
-            SELECT doc_id, {{toks_sql}} AS ts FROM documents
-        ),
-        sh AS (
-            SELECT DISTINCT doc_id AS id,
-                   unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
-                                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
-            FROM toks
-        ),
+        WITH {_SHINGLES_CTE},
         halves AS (
             SELECT id,
                    ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hhi,
                    ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS hlo
-            FROM sh
+            FROM sh_all
         ),
         sums AS (
             SELECT id, count(*) AS n, {_SIMHASH_BIT_SUMS}
@@ -393,7 +392,7 @@ _Q5_SIMHASH_SQL = f"""
 """
 
 ORACLES = {
-    "dedup_q5_simhash": _Q5_SIMHASH_SQL.format(toks_sql=_TOKS_SQL),
+    "dedup_q5_simhash": _Q5_SIMHASH_SQL,
     "text_q4_token_budget": f"""
         WITH t AS (
             SELECT lang,

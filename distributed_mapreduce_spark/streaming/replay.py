@@ -37,11 +37,16 @@ EVENT_SCHEMA = (
 )
 
 
-def ephemeral_dir(prefix: str) -> str:
+def ephemeral_dir(prefix: str, need_bytes: int = 0) -> str:
     """Tempdir for REPLAY-ONLY state (staged chunks, fixture
     checkpoints): prefers memory-backed /dev/shm — checkpoint commits
     fsync many small files, which dominates fixture replay cost on
     disk (measured ~1.4× total st-family speedup on this host).
+
+    Falls back to disk when /dev/shm is unwritable, lacks `need_bytes`
+    (+64 MB headroom for checkpoint metadata) of free space, or
+    DMR_FORCE_DISK=1 — tmpfs ENOSPC mid-replay is strictly worse than a
+    slower run (ADVICE r3).
 
     Durability note, deliberately loud: a real deployment puts
     checkpoints on durable shared storage (HDFS/S3/ABFS) because the
@@ -50,7 +55,11 @@ def ephemeral_dir(prefix: str) -> str:
     bounded fixture replay is rerunnable from scratch, its checkpoint
     dies with the process by design (run_available_now deletes it), and
     the durable-sink tests pass their own explicit checkpoint paths."""
-    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    base = None
+    if os.environ.get("DMR_FORCE_DISK") != "1" and os.access("/dev/shm", os.W_OK):
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= need_bytes + 64 * 1024 * 1024:
+            base = "/dev/shm"
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
@@ -62,8 +71,10 @@ def stage_event_chunks(sf_dir: str, n_chunks: int = 4, workdir: str | None = Non
     ts is cast ns→µs at staging (Spark has no ns timestamp; this is the
     same truncation sources/catalog.py applies on the batch path).
     """
-    workdir = workdir or ephemeral_dir("dmr_stream_")
-    tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by("event_id")
+    src = f"{sf_dir}/events.parquet"
+    # Staged chunks ≈ source size; ask for 2× to cover re-encoding slack.
+    workdir = workdir or ephemeral_dir("dmr_stream_", need_bytes=2 * os.path.getsize(src))
+    tbl = pq.read_table(src).sort_by("event_id")
     i = tbl.schema.get_field_index("ts")
     us = pa.compute.floor_temporal(tbl.column("ts"), unit="microsecond").cast(
         pa.timestamp("us")

@@ -41,12 +41,16 @@ def _fold_group(
     # string length): everything before the batch's LAST put is dead,
     # so the new value is that put's payload + one join of the appends
     # after it. seq ≤ high-water and in-batch re-deliveries drop first
-    # — exactly-once (K3).
+    # — exactly-once (K3). Redelivery is assumed VERBATIM (same seq ⇒
+    # same op/value, the at-least-once contract of a seq-numbered log);
+    # sorting BEFORE drop_duplicates(keep="first") makes the resolution
+    # deterministic (stable kind='stable' sort ⇒ first-seen per seq in
+    # seq order) even if a producer ever violated that assumption.
     batch = (
         pd.concat(list(pdfs))
         .query("seq > @max_seq")
-        .drop_duplicates(subset=["seq"])
-        .sort_values("seq")
+        .sort_values("seq", kind="stable")
+        .drop_duplicates(subset=["seq"], keep="first")
     )
     if len(batch):
         ops = batch["op"].to_numpy()

@@ -107,7 +107,11 @@ def test_fold_matches_python_oracle_property(ops):
     assert got == want
 
 
-@settings(max_examples=100, deadline=None)
+# 20 Spark-backed examples: each example pays a createDataFrame+collect
+# round-trip, and the pure-python property test above already explores
+# the fold algebra at max_examples=100 for free (ADVICE r3) — this
+# variant only needs to cover the Spark execution path itself.
+@settings(max_examples=20, deadline=None)
 @given(
     streams=st.lists(  # one entry per client: its ordered op stream
         st.lists(
