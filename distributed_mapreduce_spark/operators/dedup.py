@@ -68,15 +68,22 @@ def doc_shingles(
     id_col: str = "doc_id",
     n: int = 3,
     max_df: int | None = None,
+    carry: tuple[F.Column, ...] = (),
 ) -> DataFrame:
     """Distinct (id, shingle) pairs; optionally drop shingles with
-    document frequency > max_df (skew guard for the self-join path)."""
+    document frequency > max_df (skew guard for the self-join path).
+
+    `carry` appends extra per-document columns (aliased Column exprs,
+    functionally dependent on the id so distinct() is unaffected) —
+    lets a caller tag one shared expansion instead of running the
+    scan+tokenize pass once per document subset."""
     from distributed_mapreduce_spark.sources import widen
 
     docs = widen(docs)
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(tokens(text_col), n)).alias("shingle"),
+        *carry,
     ).distinct()
     if max_df is not None:
         rare = sh.groupBy("shingle").count().where(F.col("count") <= max_df)

@@ -95,8 +95,17 @@ def contam_q1_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the contamination flag at 0.5 — per-document rows, oracle-checked
     value by value."""
     docs = widen(table(spark, sf_dir, "documents"))
-    bench_sh = doc_shingles(docs.where(F.col("source") == BENCH_SOURCE))
-    train_sh = doc_shingles(docs.where(F.col("source") != BENCH_SOURCE))
+    # ONE scan+tokenize+explode pass over the whole corpus, tagged with
+    # the bench flag and persisted — the report reads it three times
+    # (bench sizes, bench hits, train distinct), which previously cost
+    # three full tokenize passes (VERDICT r3 item 5). At 100 TB this
+    # intermediate is exactly the stage a pipeline checkpoints to
+    # parquet; persist() is the fixture-scale stand-in.
+    sh = doc_shingles(
+        docs, carry=((F.col("source") == BENCH_SOURCE).alias("is_bench"),)
+    ).persist()
+    bench_sh = sh.where(F.col("is_bench")).select("id", "shingle")
+    train_sh = sh.where(~F.col("is_bench")).select("id", "shingle")
     rep = contamination_report(bench_sh, train_sh, CONTAM_MIN_OVERLAP)
     return rep.select(
         F.col("id").alias("doc_id"),
