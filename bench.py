@@ -104,12 +104,24 @@ def main() -> int:
         spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in sorted(queries):
         timings[name] = round(min(samples[name]), 3)
-        spread = max(samples[name]) / max(min(samples[name]), 1e-9)
-        print(f"  {name}: {timings[name]:.2f}s (x{spread:.1f} spread)", file=sys.stderr)
+        spreads[name] = round(max(samples[name]) / max(min(samples[name]), 1e-9), 2)
+        print(
+            f"  {name}: {timings[name]:.2f}s (x{spreads[name]:.1f} spread)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
+    # Methodology metadata so a judge can read run quality off the
+    # artifact (VERDICT r3 item 1): per-query max/min spread across
+    # passes (≫1 ⇒ external-load noise on that query's samples), pass
+    # count, and host load averages (1/5/15 min at end of run; this box
+    # shares hardware — load ≫ SPARK_GRAFT_CPUS means the min-of-passes
+    # floor itself may still be inflated). Since r3, caches are cleared
+    # between passes, so every number is a COLD per-pass cost —
+    # comparable to r3+, not to the warm-flattered r1/r2 files.
     print(
         json.dumps(
             {
@@ -118,6 +130,10 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "passes": runs,
+                "spread": spreads,
+                "load_avg": [round(x, 2) for x in os.getloadavg()],
+                "methodology": "min over cold interleaved passes (clearCache between passes)",
             }
         )
     )
