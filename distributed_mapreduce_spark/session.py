@@ -26,6 +26,11 @@ _BUILD_CONF = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
+    # Keep Python workers alive across tasks (Spark's default, pinned
+    # explicitly): a torn-down pool re-pays fork + numpy/pandas import
+    # per core on the next mapInPandas stage — measured as multi-second
+    # timing outliers on the Arrow-batched queries (VERDICT r3 item 4).
+    "spark.python.worker.reuse": "true",
     # Managed-table location for bucketed tables (static conf; keep the
     # repo clean — Spark's default is ./spark-warehouse in the CWD).
     "spark.sql.warehouse.dir": os.environ.get(
