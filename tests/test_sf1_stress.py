@@ -1,0 +1,137 @@
+"""Opt-in sf1 stress smoke for the two deliberately-superlinear
+queries (VERDICT r2 item 8 / r3 item 3): runs `dedup_q3_ngram_jaccard`
+(df-bounded quadratic shingle self-join) and
+`dedup_q6_embedding_cosine` (grid-scheduled exact all-pairs) at 10×
+the bench scale, under recorded wall-clock budgets — catches
+scaling-constant regressions before a real 100× corpus would.
+
+Not part of the default suite (minutes of wall-clock): run with
+
+    DMR_SF1_STRESS=1 python -m pytest tests/test_sf1_stress.py -v -s
+
+The sf1 fixture is synthesized on the fly (the driver ships sf≤0.1):
+
+- documents: the sf0.1 corpus tiled 10×, every token salted with a
+  per-replica letter so replica shingle-sets are DISJOINT — the
+  near-dup pair structure of the original corpus replicates linearly
+  (10× pairs for 10× docs) instead of every doc gaining 9 artificial
+  twins (which would make the workload quadratically denser than any
+  real corpus and measure the wrong thing).
+- embeddings: 10× rows of fresh seeded Gaussian vectors (same dim /
+  dtype as the fixture). The grid's quadratic pair-scoring cost
+  depends only on N, which is the scaling axis under test; the output
+  pair count at τ=0.4 is the random-cosine tail (~1e5 rows at N=20k,
+  d=64), comfortably materializable.
+
+Budgets are deliberately loose (3× the expected time on this host,
+local[32]): they fail on complexity-class regressions (an unbounded
+self-join or a lost grid cell constraint turns minutes into hours),
+not on host noise. Measured times land in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("DMR_SF1_STRESS") != "1",
+    reason="sf1 stress smoke is opt-in: set DMR_SF1_STRESS=1",
+)
+
+SF01 = "/root/testdata/sf0.1"
+REPLICAS = 10
+
+# Wall-clock budgets (seconds) on this host at local[32]. Measured r4:
+# dedup_q3 = 23.8 s (3.8× its sf0.1 time for 10× docs — the df-bounded
+# join scales linearly and fixed overheads amortize), dedup_q6 =
+# 52.2 s (9× for 100× pairs — grid pair-scoring is still a minority of
+# the sf0.1 cost). Budgets sit ~10× above measured: they fail on
+# complexity-class regressions, not host noise.
+BUDGET_Q3_S = 300
+BUDGET_Q6_S = 600
+
+
+@pytest.fixture(scope="module")
+def sf1_dir():
+    import duckdb
+
+    workdir = tempfile.mkdtemp(prefix="dmr_sf1_")
+    # documents: 10 token-salted replicas (see module docstring).
+    duckdb.sql(
+        f"""
+        COPY (
+            SELECT d.doc_id + r.k * 1000000 AS doc_id,
+                   regexp_replace(d.text, '([a-z]+)', '\\1' || chr(CAST(97 + r.k AS INTEGER)), 'g') AS text,
+                   d.lang, d.source, d.n_chars
+            FROM read_parquet('{SF01}/documents.parquet') d, range({REPLICAS}) r(k)
+        ) TO '{workdir}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    # embeddings: 10× fresh seeded Gaussian rows, fixture schema.
+    n_src = pq.read_metadata(f"{SF01}/embeddings.parquet").num_rows
+    n = n_src * REPLICAS
+    rng = np.random.RandomState(42)
+    vecs = rng.standard_normal((n, 64)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1)), 64
+            ).cast(pa.list_(pa.float32())),
+            "label": pa.array(rng.randint(0, 10, size=n), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{workdir}/embeddings.parquet")
+    yield workdir
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def stress_spark():
+    from distributed_mapreduce_spark.session import get_spark
+
+    # Full-width session (the conftest `spark` fixture pins local[4]
+    # for the fault-injection test; the stress smoke wants bench
+    # parallelism). Run this module standalone — in-process Spark
+    # reuses the first JVM's master via getOrCreate.
+    spark = get_spark(app_name="dmr-sf1-stress")
+    yield spark
+    spark.stop()
+
+
+def _timed(name: str, df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    print(f"\n  [sf1 stress] {name}: {dt:.1f}s")
+    return dt
+
+
+def test_sf1_dedup_q3_ngram_jaccard(stress_spark, sf1_dir):
+    from distributed_mapreduce_spark.queries.textops import dedup_q3_ngram_jaccard
+
+    dt = _timed("dedup_q3_ngram_jaccard", dedup_q3_ngram_jaccard(stress_spark, sf1_dir))
+    assert dt < BUDGET_Q3_S, (
+        f"dedup_q3 took {dt:.0f}s at sf1 (budget {BUDGET_Q3_S}s) — "
+        "check the MAX_SHINGLE_DF skew guard still bounds the self-join"
+    )
+
+
+def test_sf1_dedup_q6_embedding_cosine(stress_spark, sf1_dir):
+    from distributed_mapreduce_spark.queries.simops import dedup_q6_embedding_cosine
+
+    dt = _timed(
+        "dedup_q6_embedding_cosine", dedup_q6_embedding_cosine(stress_spark, sf1_dir)
+    )
+    assert dt < BUDGET_Q6_S, (
+        f"dedup_q6 took {dt:.0f}s at sf1 (budget {BUDGET_Q6_S}s) — "
+        "check the upper-triangle grid still scores each pair exactly once"
+    )
