@@ -106,7 +106,13 @@ def _replayed(
 def st_q1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling-window counts (complete mode ⇒ exact batch
     equivalence on the bounded replay)."""
-    return _replayed(spark, sf_dir, lambda ev: tumbling_counts(ev, "1 hour"), "complete")
+    # watermark=None: complete mode recomputes every window per batch
+    # and never evicts, so a watermark adds per-batch event-time
+    # tracking without changing a single output row (append/update
+    # modes are where it is load-bearing — see st_q3).
+    return _replayed(
+        spark, sf_dir, lambda ev: tumbling_counts(ev, "1 hour", watermark=None), "complete"
+    )
 
 
 def st_q2_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:

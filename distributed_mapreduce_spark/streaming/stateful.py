@@ -83,15 +83,14 @@ def kv_state_stream(ops: DataFrame) -> DataFrame:
 
 def latest_state(updates: DataFrame) -> DataFrame:
     """Collapse the update stream's sink table to the final state per
-    key (highest high-water seq wins)."""
-    from pyspark.sql import Window
+    key (highest high-water seq wins): one partial-aggregating shuffle
+    (max_by), no Window sort. Ties (a key re-emitted at the same
+    high-water seq by an all-redelivery batch) carry identical values
+    by construction, so the pick is value-deterministic."""
     from pyspark.sql import functions as F
 
-    w = Window.partitionBy("key").orderBy(F.desc("max_seq"))
-    return (
-        updates.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("key", "value")
+    return updates.groupBy("key").agg(
+        F.max_by("value", "max_seq").alias("value")
     )
 
 
