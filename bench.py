@@ -4,7 +4,9 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"<name>": sec, ...}, "sf": 0.1}
+     "queries": {"<name>": sec, ...}, "sf": 0.1,
+     "passes": N, "spread": {"<name>": max/min, ...},
+     "load_avg": [1m, 5m, 15m], "methodology": "..."}
 
 Timing methodology:
 - one warm SparkSession for the whole run (JVM startup excluded — the
@@ -51,6 +53,9 @@ def _warm_streaming(spark) -> None:
         event_stream,
         run_available_now,
     )
+    from distributed_mapreduce_spark.queries.streaming_queries import (
+        STREAM_SHUFFLE_PARTITIONS,
+    )
     from distributed_mapreduce_spark.streaming.stateful import kv_state_stream
     from distributed_mapreduce_spark.streaming.windows import tumbling_counts
 
@@ -79,7 +84,7 @@ def _warm_streaming(spark) -> None:
         os.utime(path, (now + c, now + c))
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
     try:
         ev = lambda: event_stream(spark, wdir)  # noqa: E731
         run_available_now(tumbling_counts(ev(), "1 hour"), "complete")

@@ -101,11 +101,14 @@ def decode_real(payload: bytes, modality: str) -> list[float]:
 
 def decode_any(payload: bytes, modality: str) -> list[float]:
     """Dispatch: the real decoder when its lib is importable for the
-    modality, else the deterministic stub. Graded queries pin
-    decode_stub directly so results stay environment-invariant."""
+    modality, else the deterministic stub. Also falls back on payloads
+    the real decoder cannot parse (PIL raises UnidentifiedImageError ⊂
+    OSError on non-image bytes — e.g. this repo's synthetic text
+    payloads) so the dispatcher genuinely runs anywhere. Graded queries
+    pin decode_stub directly so results stay environment-invariant."""
     try:
         return decode_real(payload, modality)
-    except NotImplementedError:
+    except (NotImplementedError, OSError, ValueError):
         return decode_stub(payload, modality)
 
 

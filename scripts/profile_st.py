@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Profile one streaming query's batch-level durations (dev tool)."""
+import atexit
 import json
 import os
+import shutil
 import sys
 import time
 import uuid
@@ -26,11 +28,13 @@ warm.groupBy((F.col("id") % 7).alias("k")).count().write.format("noop").mode(
 ).save()
 
 chunks = stage_event_chunks(sf_dir, 2)
+atexit.register(shutil.rmtree, chunks, ignore_errors=True)
 spark.conf.set("spark.sql.shuffle.partitions", "4")
 
 for i in range(3):
     name = "p" + uuid.uuid4().hex[:8]
     ckpt = ephemeral_dir("dmr_prof_")
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
     t0 = time.perf_counter()
     q = (
         tumbling_counts(event_stream(spark, chunks), "1 hour")

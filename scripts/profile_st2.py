@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """Profile st_q6 (stream-stream join) and st_q4 (stateful KV) batch durations."""
+import atexit
 import os
+import shutil
 import sys
 import time
 import uuid
@@ -34,6 +36,7 @@ warm.mapInPandas(_identity, schema="id bigint").write.format("noop").mode(
 ).save()
 
 chunks = stage_event_chunks(sf_dir, 2)
+atexit.register(shutil.rmtree, chunks, ignore_errors=True)
 spark.conf.set("spark.sql.shuffle.partitions", SHUF)
 
 from distributed_mapreduce_spark.operators.kv import ops_projection
@@ -59,6 +62,7 @@ for label, build in [("q6_join", build_q6), ("q4_kv", build_q4)]:
         df, mode = build()
         name = "p" + uuid.uuid4().hex[:8]
         ckpt = ephemeral_dir("dmr_prof_")
+        atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
         t0 = time.perf_counter()
         q = (
             df.writeStream.format("memory")

@@ -96,12 +96,20 @@ def sf1_dir():
 
 @pytest.fixture(scope="module")
 def stress_spark():
+    from pyspark.sql import SparkSession
+
     from distributed_mapreduce_spark.session import get_spark
 
     # Full-width session (the conftest `spark` fixture pins local[4]
     # for the fault-injection test; the stress smoke wants bench
-    # parallelism). Run this module standalone — in-process Spark
-    # reuses the first JVM's master via getOrCreate.
+    # parallelism). getOrCreate would silently reuse — and our teardown
+    # would stop — any session another test module already created, so
+    # refuse to run alongside one: the smoke is standalone-only.
+    if SparkSession.getActiveSession() is not None:
+        pytest.skip(
+            "sf1 stress needs its own full-width SparkSession — run "
+            "tests/test_sf1_stress.py standalone, not inside the full suite"
+        )
     spark = get_spark(app_name="dmr-sf1-stress")
     yield spark
     spark.stop()
