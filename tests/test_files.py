@@ -106,3 +106,41 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "doc_id" in plan
     assert filtered.count() == 1
+
+
+def test_events_ts_normalizes_to_session_timestamp(spark, sf_dir, tmp_path):
+    """The driver has shipped the events fixture with two different ts
+    encodings across rounds (TIMESTAMP(NANOS) → long under the legacy
+    conf; TIMESTAMP(µs, no tz) → TIMESTAMP_NTZ). catalog.table must
+    normalize BOTH to the plain session timestamp type (tz pinned UTC)
+    so time arithmetic (`unix_micros`, windows) and the DuckDB oracle
+    see one wall-clock semantics regardless of the physical encoding."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from distributed_mapreduce_spark.sources import table
+
+    # whatever encoding the current fixture carries must come out LTZ
+    assert isinstance(table(spark, sf_dir, "events").schema["ts"].dataType, TimestampType)
+
+    # synthetic NTZ-µs fixture exercises the cast branch explicitly,
+    # and the wall-clock values must survive unchanged
+    base = datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([base, base + datetime.timedelta(hours=1)], pa.timestamp("us")),
+            "user_id": pa.array([7, 8], pa.int64()),
+            "event_type": pa.array(["click", "purchase"]),
+            "value": pa.array([1.0, 2.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    df = table(spark, str(tmp_path), "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    got = [r["ts"] for r in df.orderBy("event_id").collect()]
+    assert got == [base, base + datetime.timedelta(hours=1)]
