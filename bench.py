@@ -1,12 +1,26 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract): run every registered query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and print the result JSON:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"<name>": sec, ...}, "sf": 0.1,
      "passes": N, "spread": {"<name>": max/min, ...},
-     "load_avg": [1m, 5m, 15m], "methodology": "..."}
+     "load_avg": [1m, 5m, 15m], "pass_loads": [...],
+     "methodology": "..."}
+
+Two stdout lines are printed (full record first, then a compact
+summary line carrying metric/value/total_s/passes/load) so that a
+tail-truncating capture still records the headline number; the full
+record is also written to ./bench_last.json (committed).
+
+Load-aware passes: before each pass the harness probes EXTERNAL CPU
+pressure (/proc/stat deltas while idle — 1-min loadavg is polluted by
+our own just-finished local[32] pass) and sleep-retries within a
+bounded budget ($SPARK_GRAFT_BENCH_MAX_WAIT_S, default 900 s) when
+other tenants are using > cores/4. If every planned pass still ran
+loud, up to $SPARK_GRAFT_BENCH_EXTRA_RUNS (default 2) extra passes are
+appended. Per-pass loads are recorded in-band.
 
 Timing methodology:
 - one warm SparkSession for the whole run (JVM startup excluded — the
@@ -33,6 +47,69 @@ import time
 def force(df) -> None:
     """Execute the full plan without collecting to the driver."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def _cores() -> int:
+    try:
+        return int(os.environ["SPARK_GRAFT_CPUS"])
+    except (KeyError, ValueError):
+        return os.cpu_count() or 1
+
+
+def _external_busy_cores(sample_s: float = 4.0) -> float:
+    """Measure EXTERNAL CPU pressure: non-idle cores used by other
+    processes while this process sits idle for ``sample_s``.
+
+    1-min loadavg cannot gate passes after the first one — our own
+    local[32] pass drives it above any sane threshold for ~2 min after
+    it ends, so a loadavg gate would sleep on our own wake. Sampling
+    /proc/stat deltas across a window where WE are idle measures only
+    the other tenants (this box shares hardware; see BASELINE.md).
+    Falls back to loadavg/1 if /proc/stat is unreadable.
+    """
+    def snap() -> tuple[int, int]:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+        return sum(vals), idle
+
+    try:
+        t0, i0 = snap()
+        time.sleep(sample_s)
+        t1, i1 = snap()
+        dt, di = t1 - t0, i1 - i0
+        if dt <= 0:
+            return 0.0
+        return round((1.0 - di / dt) * _cores(), 2)
+    except OSError:
+        return round(os.getloadavg()[0], 2)
+
+
+def _await_quiet(wait_budget: list[float], threshold: float) -> dict:
+    """Pre-pass load gate (VERDICT r4 #2): probe external load and, while
+    it exceeds ``threshold`` busy cores, sleep in 60 s slices until the
+    shared ``wait_budget`` (seconds, mutated in place) runs out. Returns
+    the per-pass load record that goes into the artifact in-band."""
+    rec = {
+        "load_1m": round(os.getloadavg()[0], 2),
+        "ext_busy_cores": _external_busy_cores(),
+        "waited_s": 0,
+    }
+    while rec["ext_busy_cores"] > threshold and wait_budget[0] > 0:
+        step = min(60.0, wait_budget[0])
+        print(
+            f"  (external load {rec['ext_busy_cores']} busy cores > "
+            f"{threshold}; sleeping {step:.0f}s, budget {wait_budget[0]:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(step)
+        wait_budget[0] -= step
+        rec["waited_s"] += int(step)
+        rec["load_1m"] = round(os.getloadavg()[0], 2)
+        rec["ext_busy_cores"] = _external_busy_cores()
+    rec["loud"] = rec["ext_busy_cores"] > threshold
+    return rec
 
 
 def _warm_streaming(spark) -> None:
@@ -176,8 +253,22 @@ def main() -> int:
     # its work). Runs interleave whole passes (A B C, A B C) so a noise
     # burst cannot inflate both samples of the same query.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # Load-aware passes (VERDICT r4 #2): gate each pass on EXTERNAL load
+    # (self-load-free /proc/stat probe; threshold cores/4 busy cores),
+    # sleep-retry within a bounded shared budget, and if a pass still ran
+    # loud, append up to SPARK_GRAFT_BENCH_EXTRA_RUNS extra passes so the
+    # min-of-passes floor gets a shot at a quiet window. All per-pass
+    # loads are recorded in-band ("pass_loads").
+    threshold = float(
+        os.environ.get("SPARK_GRAFT_BENCH_LOAD_THRESHOLD", _cores() / 4)
+    )
+    wait_budget = [float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "900"))]
+    extra_allowed = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_RUNS", "2")))
     samples: dict[str, list[float]] = {name: [] for name in queries}
-    for _ in range(runs):
+    pass_loads: list[dict] = []
+
+    def run_pass() -> None:
+        pass_loads.append(_await_quiet(wait_budget, threshold))
         for name in sorted(queries):
             t0 = time.perf_counter()
             force(queries[name](spark, sf_dir))
@@ -186,6 +277,16 @@ def main() -> int:
         # simhash) would otherwise accumulate cached blocks across
         # passes — every pass must run against the same storage state.
         spark.catalog.clearCache()
+
+    for _ in range(runs):
+        run_pass()
+    # Every query's min needs at least one quiet sample: keep adding
+    # passes (bounded) until some pass ran quiet end-to-end.
+    while all(p["loud"] for p in pass_loads) and extra_allowed > 0:
+        print("  (all passes ran loud; running an extra pass)", file=sys.stderr)
+        extra_allowed -= 1
+        run_pass()
+    runs = len(pass_loads)
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -206,18 +307,46 @@ def main() -> int:
     # floor itself may still be inflated). Since r3, caches are cleared
     # between passes, so every number is a COLD per-pass cost —
     # comparable to r3+, not to the warm-flattered r1/r2 files.
+    full = {
+        "metric": "total_query_set_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "passes": runs,
+        "spread": spreads,
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
+        "pass_loads": pass_loads,
+        "methodology": "min over cold interleaved passes (clearCache between passes); load-gated passes (ext_busy_cores threshold %.1f)"
+        % threshold,
+    }
+    print(json.dumps(full))
+    # The full line above has grown past what the driver's tail-capture
+    # retains (BENCH_r04.json kept only its tail ⇒ "parsed": null), so:
+    # (a) persist the full record to a committed repo file, and
+    # (b) emit a LAST, compact line that survives any tail truncation
+    #     and still satisfies the one-JSON-line contract on its own.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(repo_dir, "bench_last.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:  # pragma: no cover - never kill the run
+        print(f"  (bench_last.json not written: {exc})", file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "total_query_set_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "total_s": total,
                 "sf": sf,
                 "passes": runs,
-                "spread": spreads,
-                "load_avg": [round(x, 2) for x in os.getloadavg()],
-                "methodology": "min over cold interleaved passes (clearCache between passes)",
+                "load_avg": full["load_avg"],
+                "pass_loads": [
+                    [p["load_1m"], p["ext_busy_cores"]] for p in pass_loads
+                ],
+                "full_artifact": "bench_last.json",
             }
         )
     )

@@ -73,10 +73,18 @@ def doc_shingles(
     """Distinct (id, shingle) pairs; optionally drop shingles with
     document frequency > max_df (skew guard for the self-join path).
 
-    `carry` appends extra per-document columns (aliased Column exprs,
-    functionally dependent on the id so distinct() is unaffected) —
+    `carry` appends extra per-document columns (aliased Column exprs) —
     lets a caller tag one shared expansion instead of running the
-    scan+tokenize pass once per document subset."""
+    scan+tokenize pass once per document subset.
+
+    REQUIREMENT (unenforceable in the plan, so stated here): every
+    carry expression must be functionally dependent on the id column.
+    Carry columns participate in the distinct() AND in the max_df
+    document-frequency grouping; a non-dependent expression (e.g. one
+    derived from text position) would duplicate (id, shingle) rows and
+    silently change dedup semantics. The single in-repo caller
+    (contam_q1) carries `source == BENCH_SOURCE`, a per-document
+    constant."""
     from distributed_mapreduce_spark.sources import widen
 
     docs = widen(docs)
@@ -98,7 +106,15 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float) -> DataFrame:
     The shingle table feeds three subtrees (both join sides + sizes);
     persist() materializes the expansion once instead of re-tokenizing
     the corpus per subtree — at scale this intermediate is exactly what
-    a pipeline would checkpoint to parquet between stages."""
+    a pipeline would checkpoint to parquet between stages.
+
+    Cache lifetime (the convention for every persist() inside a query
+    builder — here, contam_q1, text_q7): queries return unmaterialized
+    DataFrames, so the builder cannot unpersist before the caller's
+    action runs; the blocks live until the session drops them. Callers
+    that run many queries in one session (bench.py between passes,
+    scripts/parity.py between queries) call
+    `spark.catalog.clearCache()` to keep session storage bounded."""
     sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")

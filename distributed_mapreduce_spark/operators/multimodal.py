@@ -2,12 +2,13 @@
 opaque binary columns with typed metadata, processed through
 Arrow-batched mapInPandas.
 
-This container has no image/audio libraries, so the graded *decode*
+This container has no image/video libraries, so the graded *decode*
 step is a STUB: `decode_stub` produces a deterministic fake feature
 vector from the raw bytes. `decode_real` carries a Pillow-backed image
 decode gated on import (grayscale → nearest resize → normalized
-intensity strip) and raises NotImplementedError for the modalities
-whose libs are absent; `decode_any` dispatches real-then-stub.
+intensity strip) and a stdlib-`wave` PCM audio decode (always
+available), and raises NotImplementedError for video (pyav absent);
+`decode_any` dispatches real-then-stub, warning on parse failures.
 Everything around the decoders — schema, binary payload handling,
 Arrow batch shape, partitioning — is identical and tested in both
 environments; graded queries pin decode_stub so results never depend
@@ -78,8 +79,15 @@ def decode_real(payload: bytes, modality: str) -> list[float]:
     image: Pillow-backed — decode, grayscale, nearest-neighbor resize
     to a FEATURE_DIM×1 strip, L1-normalized intensities (same output
     shape and normalization contract as decode_stub, so downstream
-    operators are decoder-agnostic). audio/video still require
-    soundfile / pyav, not present in this container."""
+    operators are decoder-agnostic).
+
+    audio: stdlib `wave` — parse the WAV container (8/16/24/32-bit
+    PCM), mix channels to mono, then FEATURE_DIM contiguous-bucket mean
+    absolute amplitudes, L1-normalized (same shape/normalization
+    contract). No external lib needed, so real audio decode runs in
+    this container.
+
+    video: still requires pyav, not present here."""
     if modality == "image":
         Image = _pil_image()
         if Image is not None:
@@ -92,23 +100,104 @@ def decode_real(payload: bytes, modality: str) -> list[float]:
                 arr = np.asarray(strip, dtype=np.float64).reshape(-1)
             total = arr.sum()
             return (arr / total).tolist() if total else [0.0] * FEATURE_DIM
+    if modality == "audio":
+        return _decode_wav(payload)
     raise NotImplementedError(
         f"real {modality} decoding requires "
-        f"{'PIL' if modality == 'image' else 'soundfile/pyav'}; "
+        f"{'PIL' if modality == 'image' else 'pyav'}; "
         "use decode_any/decode_stub (deterministic fake) in this environment"
     )
+
+
+def _decode_wav(payload: bytes) -> list[float]:
+    """WAV → FEATURE_DIM L1-normalized mean-|amplitude| buckets, pure
+    stdlib (`wave`) + numpy. Raises wave.Error/EOFError on non-WAV
+    bytes — decode_any turns those into the stub fallback."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sampwidth = w.getsampwidth()
+        nch = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    if not raw:
+        return [0.0] * FEATURE_DIM
+    if sampwidth == 1:  # 8-bit WAV is unsigned; center at 0
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    elif sampwidth == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    elif sampwidth == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.float64)
+    elif sampwidth == 3:  # 24-bit: sign-extend each 3-byte LE sample
+        a = np.frombuffer(raw, dtype=np.uint8)[: len(raw) - len(raw) % 3]
+        a = a.reshape(-1, 3)
+        ext = np.where(a[:, 2] >= 128, 255, 0).astype(np.uint8)
+        samples = (
+            np.ascontiguousarray(np.column_stack([a, ext]))
+            .view("<i4")
+            .reshape(-1)
+            .astype(np.float64)
+        )
+    else:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    if nch > 1:
+        samples = samples[: len(samples) - len(samples) % nch]
+        samples = samples.reshape(-1, nch).mean(axis=1)
+    if len(samples) < FEATURE_DIM:
+        samples = np.pad(samples, (0, FEATURE_DIM - len(samples)))
+    mag = np.abs(samples)
+    bounds = np.arange(FEATURE_DIM) * len(mag) // FEATURE_DIM
+    sums = np.add.reduceat(mag, bounds)
+    counts = np.diff(np.append(bounds, len(mag)))
+    feats = sums / counts
+    total = feats.sum()
+    return (feats / total).tolist() if total else [0.0] * FEATURE_DIM
+
+
+def _fallback_exceptions() -> tuple[type[BaseException], ...]:
+    """The exact set of 'payload is not decodable by the real decoder'
+    errors decode_any converts into the stub fallback: parse errors
+    from PIL (UnidentifiedImageError ⊂ OSError, DecompressionBombError
+    ⊂ Exception directly) and from wave (wave.Error, EOFError), plus
+    NotImplementedError for absent-lib modalities. Anything else (a
+    genuine bug) propagates."""
+    import wave
+
+    excs: list[type[BaseException]] = [
+        NotImplementedError,
+        OSError,
+        ValueError,
+        EOFError,
+        wave.Error,
+    ]
+    Image = _pil_image()
+    if Image is not None:
+        excs.append(Image.DecompressionBombError)
+    return tuple(excs)
 
 
 def decode_any(payload: bytes, modality: str) -> list[float]:
     """Dispatch: the real decoder when its lib is importable for the
     modality, else the deterministic stub. Also falls back on payloads
-    the real decoder cannot parse (PIL raises UnidentifiedImageError ⊂
-    OSError on non-image bytes — e.g. this repo's synthetic text
-    payloads) so the dispatcher genuinely runs anywhere. Graded queries
-    pin decode_stub directly so results stay environment-invariant."""
+    the real decoder cannot parse — with a RuntimeWarning naming the
+    error, so a genuinely corrupt input is visible and not silently
+    indistinguishable from a decoded one (the expected
+    NotImplementedError no-lib path stays silent). Graded queries pin
+    decode_stub directly so results stay environment-invariant."""
     try:
         return decode_real(payload, modality)
-    except (NotImplementedError, OSError, ValueError):
+    except _fallback_exceptions() as exc:
+        if not isinstance(exc, NotImplementedError):
+            import warnings
+
+            warnings.warn(
+                f"real {modality} decode failed ({type(exc).__name__}: {exc}); "
+                "falling back to decode_stub",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return decode_stub(payload, modality)
 
 

@@ -100,7 +100,8 @@ def contam_q1_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (bench sizes, bench hits, train distinct), which previously cost
     # three full tokenize passes (VERDICT r3 item 5). At 100 TB this
     # intermediate is exactly the stage a pipeline checkpoints to
-    # parquet; persist() is the fixture-scale stand-in.
+    # parquet; persist() is the fixture-scale stand-in (cache lifetime:
+    # see the convention note on jaccard_pairs).
     sh = doc_shingles(
         docs, carry=((F.col("source") == BENCH_SOURCE).alias("is_bench"),)
     ).persist()

@@ -55,8 +55,10 @@ def sim_q1_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sim_q2_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-similar pairs within a deterministic sample (vec_id % 5 = 0):
-    the all-pairs brute-force shape, bounded by sampling — at scale this
-    exact tier runs only on LSH/IVF candidate pairs."""
+    the all-pairs brute-force verifier tier, shaped as the same
+    grid-partitioned join as dedup_q6 (_grid_pair_join) — at scale this
+    exact tier runs only on LSH/IVF candidate pairs, but even the full
+    sampled form never broadcasts the table or relies on a cross join."""
     from distributed_mapreduce_spark.sources import widen
 
     import functools
@@ -68,7 +70,10 @@ def sim_q2_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below the exchanges (see dedup_q6): the N² projection is then one
     # multiply-add chain + one guarded division per pair instead of
     # three array folds. sqrt(Σaᵢ²) per row is the same bits as
-    # computing it per pair, so scores stay oracle-identical.
+    # computing it per pair, so scores stay oracle-identical. (Unlike
+    # dedup_q6 this keeps raw vectors + a norm column rather than
+    # pre-normalizing — the oracle's cosine divides once per pair, and
+    # x/n then dot reorders the float ops.)
     def flat(df, id_alias, pfx):
         cols = [
             F.col("embedding")[i].cast("double").alias(f"{pfx}{i}") for i in range(DIM)
@@ -81,19 +86,23 @@ def sim_q2_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{pfx}norm", F.sqrt(sq)
         )
 
-    # Widen the probe side: the fixture scan is one partition, and a
-    # 1×1-partition cross join would score every pair on one core.
+    # widen BEFORE the explode (see dedup_q6): the single-file fixture
+    # scan is one partition; unwidened, every grid cell would hash from
+    # one upstream task.
     a = widen(flat(emb, "id_i", "__a"))
-    b = F.broadcast(flat(emb, "id_j", "__b"))
+    b = flat(emb, "id_j", "__b")
     d = functools.reduce(
         operator.add, [F.col(f"__a{i}") * F.col(f"__b{i}") for i in range(DIM)]
     )
     denom = F.col("__anorm") * F.col("__bnorm")
     cos = F.when(denom > 0, d / denom).otherwise(F.lit(0.0))
     return (
-        a.crossJoin(b)
-        .where(F.col("id_i") < F.col("id_j"))
-        .select("id_i", "id_j", F.round(cos, 6).alias("cos_sim"))
+        _grid_pair_join(a, b, EMB_GRID_BLOCKS)
+        .select(
+            F.least("id_i", "id_j").alias("id_i"),
+            F.greatest("id_i", "id_j").alias("id_j"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
         .orderBy(F.desc("cos_sim"), F.asc("id_i"), F.asc("id_j"))
         .limit(TOP_PAIRS)
     )
@@ -154,6 +163,48 @@ def _flat_normalized(emb: DataFrame, id_alias: str, prefix: str) -> DataFrame:
 EMB_GRID_BLOCKS = 8
 
 
+def _grid_pair_join(a: DataFrame, b: DataFrame, B: int) -> DataFrame:
+    """Upper-triangle grid join — the shared scaffolding of every exact
+    all-pairs query (dedup_q6, sim_q2): hash ids into B blocks,
+    replicate each side across its candidate partner blocks (explode —
+    pure projection, no extra join), and equi-join on the
+    (block_a, block_b) cell key. Every unordered pair is produced in
+    exactly ONE cell and one orientation, per-task memory is bounded by
+    two id-blocks, and nothing broadcasts the table.
+
+    a-rows replicate only to partner blocks bj ≥ ba, b-rows only to
+    bi ≤ bb, so a cross-block pair lands once regardless of id order
+    (callers canonicalize ids via least/greatest — their pair scores
+    are symmetric, so orientation doesn't change values). Only
+    same-block cells need the id tiebreak. This halves replication AND
+    avoids scoring the discarded orientation of every cross-block pair
+    — Catalyst orders the pushed-down score filter ahead of cheap
+    conjuncts in the join condition, so rows eliminated by generation
+    are twice as cheap as rows eliminated by predicate.
+
+    ``a`` must carry ``id_i`` (+ payload columns), ``b`` must carry
+    ``id_j``; block/cell columns (ba/bb/bi/bj) are internal and remain
+    on the result for the caller to project away."""
+    all_blocks = F.array(*[F.lit(i) for i in range(B)])
+    a = (
+        a.withColumn("ba", F.pmod("id_i", F.lit(B)).cast("int"))
+        .withColumn("bj", F.explode(all_blocks))
+        .where(F.col("bj") >= F.col("ba"))
+    )
+    b = (
+        b.withColumn("bb", F.pmod("id_j", F.lit(B)).cast("int"))
+        .withColumn("bi", F.explode(all_blocks))
+        .where(F.col("bi") <= F.col("bb"))
+    )
+    return a.join(
+        b,
+        (F.col("ba") == F.col("bi"))
+        & (F.col("bj") == F.col("bb"))
+        & ((F.col("ba") != F.col("bj")) | (F.col("id_i") < F.col("id_j")))
+        & (F.col("id_i") != F.col("id_j")),
+    )
+
+
 def dedup_q6_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (rounded cos ≥ 0.4) as a
     grid-partitioned exact all-pairs join: hash ids into B blocks,
@@ -182,47 +233,18 @@ def dedup_q6_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from distributed_mapreduce_spark.sources import widen
 
-    B = EMB_GRID_BLOCKS
     emb = _emb(spark, sf_dir)
-    all_blocks = F.array(*[F.lit(i) for i in range(B)])
-    # widen BEFORE the explode: the single-file fixture scan is one
-    # partition, and with the build side broadcast the probe side never
-    # shuffles — unwidened, the whole pair space would score on one
-    # core. (On a real multi-partition table this is a no-op.)
-    #
-    # Upper-triangle grid: a-rows replicate only to partner blocks
-    # bj ≥ ba, b-rows only to bi ≤ bb, so a cross-block pair lands in
-    # exactly ONE cell regardless of id order (ids canonicalize via
-    # least/greatest below — the dot is symmetric, term order
-    # unchanged, so scores are bit-identical either way). Only
-    # same-block cells need the id tiebreak. This halves replication
-    # AND avoids scoring the discarded orientation of every cross-
-    # block pair — Catalyst orders the pushed-down cosine filter ahead
-    # of cheap conjuncts in the join condition, so rows eliminated by
-    # generation are twice as cheap as rows eliminated by predicate.
-    a = (
-        widen(_flat_normalized(emb, "id_i", "__a"))
-        .withColumn("ba", F.pmod("id_i", F.lit(B)).cast("int"))
-        .withColumn("bj", F.explode(all_blocks))
-        .where(F.col("bj") >= F.col("ba"))
-    )
-    b = (
-        _flat_normalized(emb, "id_j", "__b")
-        .withColumn("bb", F.pmod("id_j", F.lit(B)).cast("int"))
-        .withColumn("bi", F.explode(all_blocks))
-        .where(F.col("bi") <= F.col("bb"))
-    )
+    # widen BEFORE the explode inside _grid_pair_join: the single-file
+    # fixture scan is one partition; unwidened, the whole pair space
+    # would hash-shuffle from one upstream task. (On a real
+    # multi-partition table this is a no-op.)
+    a = widen(_flat_normalized(emb, "id_i", "__a"))
+    b = _flat_normalized(emb, "id_j", "__b")
     dot = functools.reduce(
         operator.add, [F.col(f"__a{i}") * F.col(f"__b{i}") for i in range(DIM)]
     )
     return (
-        a.join(
-            b,
-            (F.col("ba") == F.col("bi"))
-            & (F.col("bj") == F.col("bb"))
-            & ((F.col("ba") != F.col("bj")) | (F.col("id_i") < F.col("id_j")))
-            & (F.col("id_i") != F.col("id_j")),
-        )
+        _grid_pair_join(a, b, EMB_GRID_BLOCKS)
         .select(
             F.least("id_i", "id_j").alias("id_i"),
             F.greatest("id_i", "id_j").alias("id_j"),

@@ -573,8 +573,8 @@ def text_q7_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality sweep runs at 100 TB."""
     docs = widen(table(spark, sf_dir, "documents"))
     # Two aggregation subtrees read the token arrays — persist so the
-    # scan+tokenize pass runs once (same convention as jaccard_pairs
-    # and contam_q1).
+    # scan+tokenize pass runs once (same convention — incl. the cache
+    # lifetime note — as jaccard_pairs and contam_q1).
     toks = docs.select("doc_id", tokens("text").alias("ts")).persist()
     tok_stats = (
         toks.select("doc_id", F.size("ts").alias("n_tokens"), F.explode("ts").alias("tok"))

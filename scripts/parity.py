@@ -63,6 +63,9 @@ def main() -> int:
         else:
             n = fn(spark, sf_dir).count()
             print(f"OK  {name}: rows-only, {n} rows ({time.time() - t0:.1f}s)")
+        # Queries that persist() intermediates (jaccard/contam/text_q7)
+        # would otherwise accumulate cached blocks for the whole run.
+        spark.catalog.clearCache()
     if failures:
         print(f"\nFAILED: {failures}")
         return 1

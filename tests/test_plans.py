@@ -45,12 +45,13 @@ def test_anti_join_no_cartesian(spark, sf_dir):
 
 
 def test_no_cartesian_in_any_registered_query(spark, sf_dir):
-    """Registry-wide plan guard: no registered batch query may plan a
-    CartesianProduct, and none may plan a BroadcastNestedLoopJoin
-    except the range join (ev_q6), whose non-equi band predicate is
-    exactly what BNLJ is for (4-row broadcast side). Streaming queries
-    execute on call, so they're guarded by their own tests instead."""
-    from distributed_mapreduce_spark.registry import all_queries
+    """Registry-wide plan guard over BOTH tiers (50 registered + all
+    shadow queries): no batch query may plan a CartesianProduct, and
+    none may plan a BroadcastNestedLoopJoin except the range join
+    (ev_q6), whose non-equi band predicate is exactly what BNLJ is for
+    (4-row broadcast side). Streaming queries execute on call, so
+    they're guarded by their own tests instead."""
+    from distributed_mapreduce_spark.registry import all_queries, shadow_queries
 
     # BNLJ is legitimate exactly when the broadcast side is O(1) rows:
     # ev_q6 (non-equi band predicate over a 4-row dim — the intended
@@ -63,7 +64,8 @@ def test_no_cartesian_in_any_registered_query(spark, sf_dir):
         "sim_q1_topk_bruteforce",
         "sim_q3_ivf_topk",
     }
-    for name, fn in all_queries().items():
+    checked = 0
+    for name, fn in {**all_queries(), **shadow_queries()}.items():
         if name.startswith("st_"):
             continue
         plan = plans.physical_plan(fn(spark, sf_dir))
@@ -72,6 +74,8 @@ def test_no_cartesian_in_any_registered_query(spark, sf_dir):
             assert "BroadcastNestedLoopJoin" not in plan, (
                 f"{name} plans a nested-loop join:\n{plan}"
             )
+        checked += 1
+    assert checked >= 55, f"plan guard covered only {checked} queries"
 
 
 def test_stratified_sample_broadcasts_rates_and_pushes_scan(spark, sf_dir):

@@ -23,10 +23,11 @@ The sf1 fixture is synthesized on the fly (the driver ships sf≤0.1):
   pair count at τ=0.4 is the random-cosine tail (~1e5 rows at N=20k,
   d=64), comfortably materializable.
 
-Budgets are deliberately loose (3× the expected time on this host,
-local[32]): they fail on complexity-class regressions (an unbounded
-self-join or a lost grid cell constraint turns minutes into hours),
-not on host noise. Measured times land in SCALE.md.
+Budgets are deliberately loose (~10× the measured time on this host,
+local[32] — 300 s vs 23.8 s, 600 s vs 52.2 s): they fail on
+complexity-class regressions (an unbounded self-join or a lost grid
+cell constraint turns minutes into hours), not on host noise. Measured
+times land in SCALE.md.
 """
 
 from __future__ import annotations

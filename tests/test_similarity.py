@@ -121,12 +121,21 @@ def test_decode_stub_deterministic_and_real_gated():
 
     payload = b"hello multimodal world"
     assert decode_stub(payload, "image") == decode_stub(payload, "image")
-    # audio/video libs are never present here — real decode must refuse
-    # and decode_any must fall back to the stub, byte-for-byte.
-    for modality in ("audio", "video"):
-        with pytest.raises(NotImplementedError):
-            decode_real(payload, modality)
-        assert decode_any(payload, modality) == decode_stub(payload, modality)
+    # video libs are never present here — real decode must refuse and
+    # decode_any must fall back to the stub, byte-for-byte, silently
+    # (absent-lib is the expected path, not a parse failure).
+    with pytest.raises(NotImplementedError):
+        decode_real(payload, "video")
+    assert decode_any(payload, "video") == decode_stub(payload, "video")
+    # audio decodes for real via stdlib wave; on non-WAV bytes the real
+    # decoder raises a parse error and decode_any falls back to the
+    # stub WITH a RuntimeWarning (a corrupt input must be visible).
+    import wave
+
+    with pytest.raises(wave.Error):
+        decode_real(payload, "audio")
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        assert decode_any(payload, "audio") == decode_stub(payload, "audio")
 
     if _pil_image() is None:
         # no Pillow: image behaves like the other modalities.
@@ -150,6 +159,69 @@ def test_decode_stub_deterministic_and_real_gated():
         assert len(feats) == FEATURE_DIM
         assert abs(sum(feats) - 1.0) < 1e-9
         assert feats == decode_real(buf.getvalue(), "image")  # deterministic
+
+
+def test_decode_real_audio_wav_contract():
+    """Stdlib-wave audio decode (VERDICT r4 #6): every PCM width the
+    WAV container carries (8/16/24/32-bit, mono + stereo) decodes to
+    the decode_stub output contract — FEATURE_DIM floats,
+    L1-normalized — deterministically, and decode_any dispatches the
+    REAL path for a valid WAV (not the stub)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from distributed_mapreduce_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_any,
+    )
+
+    def make_wav(sampwidth: int, nch: int, nframes: int = 400) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(sampwidth)
+            w.setframerate(8000)
+            t = np.arange(nframes * nch)
+            s = np.sin(2 * np.pi * 5 * t / nframes)
+            if sampwidth == 1:
+                data = (128 + 100 * s).astype(np.uint8).tobytes()
+            elif sampwidth == 2:
+                data = (30000 * s).astype("<i2").tobytes()
+            elif sampwidth == 3:
+                data = b"".join(
+                    int(x).to_bytes(4, "little", signed=True)[:3]
+                    for x in (4_000_000 * s).astype("<i4")
+                )
+            else:
+                data = (2_000_000_000 * s).astype("<i4").tobytes()
+            w.writeframes(data)
+        return buf.getvalue()
+
+    for sampwidth in (1, 2, 3, 4):
+        for nch in (1, 2):
+            wav = make_wav(sampwidth, nch)
+            feats = decode_real(wav, "audio")
+            assert len(feats) == FEATURE_DIM
+            assert abs(sum(feats) - 1.0) < 1e-9
+            assert feats == decode_real(wav, "audio")  # deterministic
+            assert feats == decode_any(wav, "audio")  # real path taken
+            assert feats != decode_stub(wav, "audio")
+    # sample widths agree with each other on the same waveform (the
+    # bucketed |amplitude| profile is amplitude-scale-invariant after
+    # L1 normalization): 16 vs 32 bit mono within quantization error.
+    f16 = decode_real(make_wav(2, 1), "audio")
+    f32 = decode_real(make_wav(4, 1), "audio")
+    assert all(abs(a - b) < 1e-3 for a, b in zip(f16, f32))
+    # degenerate payloads: zero frames → all-zero features
+    empty = io.BytesIO()
+    with wave.open(empty, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"")
+    assert decode_real(empty.getvalue(), "audio") == [0.0] * FEATURE_DIM
 
 
 def test_blas_topk_agrees_with_jvm_topk(spark, emb):
