@@ -1,0 +1,151 @@
+#!/usr/bin/env python3
+"""Per-query quiet-host floor bookkeeping (VERDICT r4 #7).
+
+This host shares hardware with unpredictable external load (see
+BASELINE.md), so cross-round per-query comparisons need a stable
+reference: the minimum time each query has ever recorded in a run
+that contained at least one QUIET pass. A quiet pass bounds the
+min-of-passes from above, so merging `min(run value)` into the floor
+file never records a load-inflated number.
+
+Floors live in scripts/quiet_floors.json (committed):
+    {"_meta": {...}, "queries": {"<name>": {"floor_s": x, "run": "..."}}}
+
+Usage:
+    python scripts/quiet_floor.py update bench_last.json [label]
+        Merge a bench run (full-record JSON as written by bench.py)
+        into the floor file. Refuses runs with no quiet pass
+        (every pass_loads entry loud) unless --force is given.
+    python scripts/quiet_floor.py diff bench_last.json [ratio]
+        Compare a run against the floors; list queries slower than
+        ratio× floor (default 1.5) — those are load or regression
+        suspects; exit 1 if any query exceeds ratio AND the run had a
+        quiet pass (loud-run excesses are expected, reported, exit 0).
+    python scripts/quiet_floor.py table
+        Print the floors as a markdown table (pasted into SCALE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+FLOORS_PATH = os.path.join(HERE, "quiet_floors.json")
+
+
+def _load_run(path: str) -> dict:
+    with open(path) as f:
+        d = json.load(f)
+    # accept either bench.py's full record or the driver's wrapper
+    if "queries" not in d and isinstance(d.get("parsed"), dict):
+        d = d["parsed"]
+    if "queries" not in d:
+        raise SystemExit(f"{path}: no per-query timings found")
+    return d
+
+
+def _has_quiet_pass(run: dict) -> bool:
+    loads = run.get("pass_loads")
+    if not loads:
+        return False  # pre-r5 artifact: no in-band evidence of quietness
+    return any(not p.get("loud", True) for p in loads)
+
+
+def _load_floors() -> dict:
+    if os.path.exists(FLOORS_PATH):
+        with open(FLOORS_PATH) as f:
+            return json.load(f)
+    return {
+        "_meta": {
+            "definition": (
+                "min per-query seconds over all committed bench runs that "
+                "contained at least one quiet pass (pass_loads entry with "
+                "loud=false); sf0.1, cold interleaved passes"
+            )
+        },
+        "queries": {},
+    }
+
+
+def cmd_update(path: str, label: str | None, force: bool) -> int:
+    run = _load_run(path)
+    if not _has_quiet_pass(run) and not force:
+        print(
+            f"refusing: {path} has no quiet pass "
+            f"(pass_loads={run.get('pass_loads')}); use --force to override"
+        )
+        return 1
+    label = label or os.path.basename(path)
+    floors = _load_floors()
+    q = floors["queries"]
+    updated = 0
+    for name, sec in run["queries"].items():
+        cur = q.get(name)
+        if cur is None or sec < cur["floor_s"]:
+            q[name] = {"floor_s": round(sec, 3), "run": label}
+            updated += 1
+    floors["queries"] = dict(sorted(q.items()))
+    with open(FLOORS_PATH, "w") as f:
+        json.dump(floors, f, indent=1, sort_keys=True)
+        f.write("\n")
+    total = round(sum(v["floor_s"] for v in q.values()), 1)
+    print(f"{updated} floors updated from {label}; {len(q)} queries, "
+          f"floor total {total}s -> {FLOORS_PATH}")
+    return 0
+
+
+def cmd_diff(path: str, ratio: float) -> int:
+    run = _load_run(path)
+    floors = _load_floors()["queries"]
+    quiet = _has_quiet_pass(run)
+    suspects = []
+    for name, sec in sorted(run["queries"].items()):
+        f = floors.get(name)
+        if f is None:
+            print(f"  NEW  {name}: {sec:.2f}s (no floor yet)")
+            continue
+        r = sec / max(f["floor_s"], 1e-9)
+        if r > ratio:
+            suspects.append((name, sec, f["floor_s"], r))
+    if not suspects:
+        print(f"all queries within {ratio}x of their quiet floors")
+        return 0
+    kind = "REGRESSION suspects" if quiet else "load-inflated (run had no quiet pass)"
+    print(f"{len(suspects)} queries > {ratio}x floor — {kind}:")
+    for name, sec, fl, r in suspects:
+        print(f"  {name}: {sec:.2f}s vs floor {fl:.2f}s ({r:.1f}x)")
+    return 1 if quiet else 0
+
+
+def cmd_table() -> int:
+    floors = _load_floors()["queries"]
+    print("| query | quiet floor (s) | recorded in |")
+    print("|---|---|---|")
+    for name, v in sorted(floors.items()):
+        print(f"| {name} | {v['floor_s']:.2f} | {v['run']} |")
+    print(f"\nfloor total: {sum(v['floor_s'] for v in floors.values()):.1f} s "
+          f"({len(floors)} queries)")
+    return 0
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--force"]
+    force = "--force" in sys.argv
+    if not args:
+        print(__doc__)
+        return 2
+    cmd = args[0]
+    if cmd == "update":
+        return cmd_update(args[1], args[2] if len(args) > 2 else None, force)
+    if cmd == "diff":
+        return cmd_diff(args[1], float(args[2]) if len(args) > 2 else 1.5)
+    if cmd == "table":
+        return cmd_table()
+    print(__doc__)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

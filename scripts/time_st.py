@@ -15,6 +15,11 @@ if os.environ.get("ROCKSDB"):
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+# Arbitrary conf experiments: DMR_ST_CONF="key=value;key=value"
+for kv in filter(None, os.environ.get("DMR_ST_CONF", "").split(";")):
+    k, _, v = kv.partition("=")
+    print(f"  conf: {k}={v}", file=sys.stderr)
+    spark.conf.set(k.strip(), v.strip())
 from pyspark.sql import functions as F
 
 n = spark.sparkContext.defaultParallelism
