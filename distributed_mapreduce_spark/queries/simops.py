@@ -234,12 +234,25 @@ def dedup_q6_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_mapreduce_spark.sources import widen
 
     emb = _emb(spark, sf_dir)
-    # widen BEFORE the explode inside _grid_pair_join: the single-file
-    # fixture scan is one partition; unwidened, the whole pair space
-    # would hash-shuffle from one upstream task. (On a real
-    # multi-partition table this is a no-op.)
-    a = widen(_flat_normalized(emb, "id_i", "__a"))
-    b = _flat_normalized(emb, "id_j", "__b")
+    # Normalize+flatten ONCE and persist; both join sides are cheap
+    # renames of the shared table. Recomputing the 64-column projection
+    # per side cost ~0.3 s of pure Catalyst analysis per construction
+    # (measured r5) on top of the duplicate normalize work — and at
+    # scale this persisted projection is exactly the intermediate a
+    # pipeline checkpoints before a self-join (cache lifetime: see the
+    # convention note on operators/dedup.jaccard_pairs). widen BEFORE
+    # persist: the single-file fixture scan is one partition; unwidened,
+    # the whole normalize pass and every downstream explode would run
+    # on one core. (On a real multi-partition table this is a no-op.)
+    flat = widen(_flat_normalized(emb, "id", "__v")).persist()
+    a = flat.select(
+        F.col("id").alias("id_i"),
+        *[F.col(f"__v{i}").alias(f"__a{i}") for i in range(DIM)],
+    )
+    b = flat.select(
+        F.col("id").alias("id_j"),
+        *[F.col(f"__v{i}").alias(f"__b{i}") for i in range(DIM)],
+    )
     dot = functools.reduce(
         operator.add, [F.col(f"__a{i}") * F.col(f"__b{i}") for i in range(DIM)]
     )
