@@ -57,6 +57,25 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     )
 
 
+def dot_unrolled_literal(a: Column, vec: list[float]) -> Column:
+    """Σ aᵢ·vecᵢ with the second operand as driver-held literals.
+    Same per-term values and left-associative order as `dot_unrolled`
+    (a float32 element cast to double equals its Python-float literal
+    bit-for-bit), but the expression tree halves: no element_at/cast
+    pair on the literal side, and no broadcast join to carry the
+    query row. For the driver-held-query top-k path."""
+    import functools
+    import operator
+
+    return functools.reduce(
+        operator.add,
+        [
+            F.element_at(a, i + 1).cast("double") * F.lit(float(vec[i]))
+            for i in range(len(vec))
+        ],
+    )
+
+
 def cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
     """Unrolled-codegen cosine, op-order-identical to cosine_sql."""
     d = dot_unrolled(a, b, dim)

@@ -25,7 +25,10 @@ from distributed_mapreduce_spark.operators.multimodal import (
     frame_sample,
     multimodal_table,
 )
-from distributed_mapreduce_spark.operators.similarity import ivf_topk, topk_cosine
+from distributed_mapreduce_spark.operators.similarity import (
+    ivf_topk,
+    topk_cosine_literal,
+)
 from distributed_mapreduce_spark.queries.relational import dec, money
 from distributed_mapreduce_spark.sources import table
 
@@ -47,10 +50,17 @@ def _query_df(emb: DataFrame) -> DataFrame:
 
 
 def sim_q1_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 for the query vector (vec_id=0): broadcast +
-    map-side cosine + TakeOrdered. The ANN baseline/verifier."""
+    """Exact cosine top-10 for the query vector (vec_id=0): map-side
+    cosine against the driver-held query + TakeOrdered, no join at all.
+    The ANN baseline/verifier. The 1-row collect is the bounded kind
+    (same pattern as sim_q3's probe); scores are bit-identical to the
+    broadcast-join form (see topk_cosine_literal)."""
     emb = _emb(spark, sf_dir)
-    return topk_cosine(emb, _query_df(emb), TOP_K, dim=DIM)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["embedding"]
+    ]
+    return topk_cosine_literal(emb, qvec, TOP_K)
 
 
 def sim_q2_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,11 +57,11 @@ def test_no_cartesian_in_any_registered_query(spark, sf_dir):
     # ev_q6 (non-equi band predicate over a 4-row dim — the intended
     # range-join form), kv_q3 (1-row point probe whose literal key
     # constant-folds into a filter, leaving a keyless 1-row join),
-    # sim_q1/sim_q3 (crossJoin against THE 1-row query vector).
+    # sim_q3 (crossJoin against THE 1-row query vector). sim_q1 left
+    # this list in r5: the driver-held-query form has no join at all.
     bnlj_allowed = {
         "ev_q6_value_bands",
         "kv_q3_get",
-        "sim_q1_topk_bruteforce",
         "sim_q3_ivf_topk",
     }
     checked = 0
