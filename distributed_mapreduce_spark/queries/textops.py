@@ -608,6 +608,45 @@ def text_q7_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_TERMS = 3
+
+
+def text_q8_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k characteristic terms by smoothed TF-IDF —
+    the classic corpus-analytics operator behind keyword extraction and
+    topic labeling in a curation pipeline: score = tf · ln((N+1)/(df+1)),
+    top TFIDF_TOP_TERMS terms per document (rank on the ROUNDED score
+    with a token tiebreak, so engine fp ties cannot flip ranks).
+
+    Scale shape: two keyed aggregations (term frequency per (doc, tok);
+    document frequency per tok — both map-side partial-agg) joined on
+    the token key, then one per-document window for top-k. The df table
+    is vocabulary-sized (≪ corpus) so AQE broadcasts it; at 100 TB the
+    tf agg's shuffle carries distinct (doc, term) pairs, never raw
+    token occurrences. N arrives as a driver scalar (one count job) —
+    the bounded kind."""
+    from pyspark.sql import Window
+
+    docs = widen(table(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(F.lit(float(n_docs) + 1.0) / (F.col("df") + F.lit(1.0)))
+    scored = tf.join(dfreq, "tok").select(
+        "doc_id", "tok", F.round(F.col("tf") * idf, 6).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "tok", "tfidf", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
 QUERIES = {
     "text_q1_token_stats": text_q1_token_stats,
     "text_q2_quality": text_q2_quality,
@@ -628,9 +667,32 @@ QUERIES = {
 # the shadow tier (identical DuckDB parity in pytest, no driver row).
 SHADOW_QUERIES = {
     "text_q7_repetition": text_q7_repetition,
+    "text_q8_tfidf": text_q8_tfidf,
 }
 
 SHADOW_ORACLES = {
+    # Mirrors text_q8_tfidf stage by stage; ln/round in double on both
+    # engines, rank on the rounded score with tok tiebreak.
+    "text_q8_tfidf": f"""
+        WITH tf AS (
+            SELECT doc_id, tok, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)
+            GROUP BY 1, 2
+        ),
+        dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS c FROM documents),
+        scored AS (
+            SELECT doc_id, tok,
+                   round(tf * ln((c + 1.0) / (df + 1.0)), 6) AS tfidf
+            FROM tf JOIN dfq USING (tok) CROSS JOIN n
+        )
+        SELECT doc_id, tok, tfidf, rk FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC
+            ) AS rk
+            FROM scored
+        ) WHERE rk <= {TFIDF_TOP_TERMS}
+    """,
     "text_q7_repetition": f"""
         WITH t AS (
             SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
