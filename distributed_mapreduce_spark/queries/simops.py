@@ -66,7 +66,7 @@ def sim_q1_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_q2_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-similar pairs within a deterministic sample (vec_id % 5 = 0):
     the all-pairs brute-force verifier tier, shaped as the same
-    grid-partitioned join as dedup_q6 (_grid_pair_join) — at scale this
+    grid-partitioned join as dedup_q6 (_grid_self_pair_join) — at scale this
     exact tier runs only on LSH/IVF candidate pairs, but even the full
     sampled form never broadcasts the table or relies on a cross join."""
     from distributed_mapreduce_spark.sources import widen
@@ -77,40 +77,31 @@ def sim_q2_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).where(F.pmod("vec_id", F.lit(PAIR_SAMPLE_MOD)) == 0)
 
     # Flatten vectors to scalar columns AND precompute each row's norm
-    # below the exchanges (see dedup_q6): the N² projection is then one
-    # multiply-add chain + one guarded division per pair instead of
-    # three array folds. sqrt(Σaᵢ²) per row is the same bits as
-    # computing it per pair, so scores stay oracle-identical. (Unlike
-    # dedup_q6 this keeps raw vectors + a norm column rather than
-    # pre-normalizing — the oracle's cosine divides once per pair, and
-    # x/n then dot reorders the float ops.)
-    def flat(df, id_alias, pfx):
-        cols = [
-            F.col("embedding")[i].cast("double").alias(f"{pfx}{i}") for i in range(DIM)
-        ]
-        sq = functools.reduce(
-            operator.add,
-            [F.col(f"{pfx}{i}") * F.col(f"{pfx}{i}") for i in range(DIM)],
-        )
-        return df.select(F.col("vec_id").alias(id_alias), *cols).withColumn(
-            f"{pfx}norm", F.sqrt(sq)
-        )
-
-    # widen BEFORE the explode (see dedup_q6): the single-file fixture
-    # scan is one partition; unwidened, every grid cell would hash from
-    # one upstream task.
-    a = widen(flat(emb, "id_i", "__a"))
-    b = flat(emb, "id_j", "__b")
-    d = functools.reduce(
-        operator.add, [F.col(f"__a{i}") * F.col(f"__b{i}") for i in range(DIM)]
+    # below the exchanges, once into a persisted table both sides read
+    # (see dedup_q6): the N² projection is then one multiply-add chain
+    # + one guarded division per pair instead of three array folds.
+    # sqrt(Σaᵢ²) per row is the same bits as computing it per pair, so
+    # scores stay oracle-identical. (Unlike dedup_q6 this keeps raw
+    # vectors + a norm column rather than pre-normalizing — the
+    # oracle's cosine divides once per pair, and x/n then dot reorders
+    # the float ops.) widen BEFORE persist: see dedup_q6.
+    cols = [F.col("embedding")[i].cast("double").alias(f"__v{i}") for i in range(DIM)]
+    sq = functools.reduce(
+        operator.add, [F.col(f"__v{i}") * F.col(f"__v{i}") for i in range(DIM)]
     )
-    denom = F.col("__anorm") * F.col("__bnorm")
+    flat = widen(
+        emb.select(F.col("vec_id").alias("id"), *cols).withColumn("__norm", F.sqrt(sq))
+    ).persist()
+    d = functools.reduce(
+        operator.add, [F.col(f"a.__v{i}") * F.col(f"b.__v{i}") for i in range(DIM)]
+    )
+    denom = F.col("a.__norm") * F.col("b.__norm")
     cos = F.when(denom > 0, d / denom).otherwise(F.lit(0.0))
     return (
-        _grid_pair_join(a, b, EMB_GRID_BLOCKS)
+        _grid_self_pair_join(flat, EMB_GRID_BLOCKS)
         .select(
-            F.least("id_i", "id_j").alias("id_i"),
-            F.greatest("id_i", "id_j").alias("id_j"),
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_i"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_j"),
             F.round(cos, 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("id_i"), F.asc("id_j"))
@@ -173,45 +164,45 @@ def _flat_normalized(emb: DataFrame, id_alias: str, prefix: str) -> DataFrame:
 EMB_GRID_BLOCKS = 8
 
 
-def _grid_pair_join(a: DataFrame, b: DataFrame, B: int) -> DataFrame:
-    """Upper-triangle grid join — the shared scaffolding of every exact
-    all-pairs query (dedup_q6, sim_q2): hash ids into B blocks,
+def _grid_self_pair_join(flat: DataFrame, B: int) -> DataFrame:
+    """Upper-triangle grid self-join — the shared scaffolding of every
+    exact all-pairs query (dedup_q6, sim_q2): hash ids into B blocks,
     replicate each side across its candidate partner blocks (explode —
     pure projection, no extra join), and equi-join on the
     (block_a, block_b) cell key. Every unordered pair is produced in
     exactly ONE cell and one orientation, per-task memory is bounded by
     two id-blocks, and nothing broadcasts the table.
 
-    a-rows replicate only to partner blocks bj ≥ ba, b-rows only to
-    bi ≤ bb, so a cross-block pair lands once regardless of id order
-    (callers canonicalize ids via least/greatest — their pair scores
-    are symmetric, so orientation doesn't change values). Only
-    same-block cells need the id tiebreak. This halves replication AND
-    avoids scoring the discarded orientation of every cross-block pair
-    — Catalyst orders the pushed-down score filter ahead of cheap
-    conjuncts in the join condition, so rows eliminated by generation
-    are twice as cheap as rows eliminated by predicate.
+    a-rows replicate only to partner blocks ≥ their own, b-rows only to
+    partner blocks ≤ their own, so a cross-block pair lands once
+    regardless of id order (callers canonicalize ids via least/greatest
+    — their pair scores are symmetric, so orientation doesn't change
+    values). Only same-block cells need the id tiebreak. This halves
+    replication AND avoids scoring the discarded orientation of every
+    cross-block pair — Catalyst orders the pushed-down score filter
+    ahead of cheap conjuncts in the join condition, so rows eliminated
+    by generation are twice as cheap as rows eliminated by predicate.
 
-    ``a`` must carry ``id_i`` (+ payload columns), ``b`` must carry
-    ``id_j``; block/cell columns (ba/bb/bi/bj) are internal and remain
-    on the result for the caller to project away."""
+    ``flat`` must carry an ``id`` column (+ payload columns), usually
+    persisted by the caller (both sides read it). The sides come back
+    aliased ``a``/``b`` — access columns qualified
+    (``F.col("a.id")``, ``F.col("b.__v3")``) rather than through
+    per-side rename projections: the 2×(DIM+1)-column renames the
+    previous form used were pure Catalyst-analysis weight (~0.5 s per
+    construction at DIM=64, measured r5). Internal block columns
+    ``blk``/``pblk`` stay on the result for the caller to ignore."""
     all_blocks = F.array(*[F.lit(i) for i in range(B)])
-    a = (
-        a.withColumn("ba", F.pmod("id_i", F.lit(B)).cast("int"))
-        .withColumn("bj", F.explode(all_blocks))
-        .where(F.col("bj") >= F.col("ba"))
+    exploded = flat.withColumn("blk", F.pmod("id", F.lit(B)).cast("int")).withColumn(
+        "pblk", F.explode(all_blocks)
     )
-    b = (
-        b.withColumn("bb", F.pmod("id_j", F.lit(B)).cast("int"))
-        .withColumn("bi", F.explode(all_blocks))
-        .where(F.col("bi") <= F.col("bb"))
-    )
+    a = exploded.where(F.col("pblk") >= F.col("blk")).alias("a")
+    b = exploded.where(F.col("pblk") <= F.col("blk")).alias("b")
     return a.join(
         b,
-        (F.col("ba") == F.col("bi"))
-        & (F.col("bj") == F.col("bb"))
-        & ((F.col("ba") != F.col("bj")) | (F.col("id_i") < F.col("id_j")))
-        & (F.col("id_i") != F.col("id_j")),
+        (F.col("a.blk") == F.col("b.pblk"))
+        & (F.col("a.pblk") == F.col("b.blk"))
+        & ((F.col("a.blk") != F.col("a.pblk")) | (F.col("a.id") < F.col("b.id")))
+        & (F.col("a.id") != F.col("b.id")),
     )
 
 
@@ -244,33 +235,27 @@ def dedup_q6_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_mapreduce_spark.sources import widen
 
     emb = _emb(spark, sf_dir)
-    # Normalize+flatten ONCE and persist; both join sides are cheap
-    # renames of the shared table. Recomputing the 64-column projection
-    # per side cost ~0.3 s of pure Catalyst analysis per construction
-    # (measured r5) on top of the duplicate normalize work — and at
-    # scale this persisted projection is exactly the intermediate a
+    # Normalize+flatten ONCE and persist; both join sides read the
+    # shared table through aliases. Recomputing the 64-column
+    # projection per side cost duplicate normalize work plus ~0.3 s of
+    # Catalyst analysis per construction (measured r5; at sf1 the
+    # duplicated normalize halved the stress time when removed) — and
+    # at scale this persisted projection is exactly the intermediate a
     # pipeline checkpoints before a self-join (cache lifetime: see the
     # convention note on operators/dedup.jaccard_pairs). widen BEFORE
     # persist: the single-file fixture scan is one partition; unwidened,
     # the whole normalize pass and every downstream explode would run
     # on one core. (On a real multi-partition table this is a no-op.)
     flat = widen(_flat_normalized(emb, "id", "__v")).persist()
-    a = flat.select(
-        F.col("id").alias("id_i"),
-        *[F.col(f"__v{i}").alias(f"__a{i}") for i in range(DIM)],
-    )
-    b = flat.select(
-        F.col("id").alias("id_j"),
-        *[F.col(f"__v{i}").alias(f"__b{i}") for i in range(DIM)],
-    )
     dot = functools.reduce(
-        operator.add, [F.col(f"__a{i}") * F.col(f"__b{i}") for i in range(DIM)]
+        operator.add,
+        [F.col(f"a.__v{i}") * F.col(f"b.__v{i}") for i in range(DIM)],
     )
     return (
-        _grid_pair_join(a, b, EMB_GRID_BLOCKS)
+        _grid_self_pair_join(flat, EMB_GRID_BLOCKS)
         .select(
-            F.least("id_i", "id_j").alias("id_i"),
-            F.greatest("id_i", "id_j").alias("id_j"),
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_i"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_j"),
             F.round(dot, 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
