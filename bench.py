@@ -12,7 +12,10 @@ local[$SPARK_GRAFT_CPUS] and print the result JSON:
 Two stdout lines are printed (full record first, then a compact
 summary line carrying metric/value/total_s/passes/load) so that a
 tail-truncating capture still records the headline number; the full
-record is also written to ./bench_last.json (committed).
+record is also written to ./bench_last.json (committed). The compact
+line deliberately omits "queries"/"spread"/"samples" — per-query data
+parsed from a truncated capture comes from bench_last.json, which the
+compact line points at via "full_artifact".
 
 Load-aware passes: before each pass the harness probes EXTERNAL CPU
 pressure (/proc/stat deltas while idle — 1-min loadavg is polluted by
@@ -60,16 +63,50 @@ def _cores() -> int:
         return os.cpu_count() or 1
 
 
+def _own_tree_cpu_ticks() -> int:
+    """utime+stime (USER_HZ ticks) summed over this process and every
+    live descendant — the Spark JVM and its Python workers are child
+    processes, so 'the bench is idle' must mean the whole tree, not
+    just this driver."""
+    children: dict[int, list[int]] = {}
+    cpu: dict[int, int] = {}
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/stat") as f:
+                raw = f.read()
+        except OSError:
+            continue  # raced with process exit
+        # fields after the parenthesized comm (which may contain spaces)
+        fields = raw[raw.rindex(")") + 2 :].split()
+        pid = int(entry)
+        ppid = int(fields[1])  # field 4 overall
+        cpu[pid] = int(fields[11]) + int(fields[12])  # utime + stime
+        children.setdefault(ppid, []).append(pid)
+    total = 0
+    stack = [os.getpid()]
+    while stack:
+        pid = stack.pop()
+        total += cpu.get(pid, 0)
+        stack.extend(children.get(pid, ()))
+    return total
+
+
 def _external_busy_cores(sample_s: float = 4.0) -> float:
-    """Measure EXTERNAL CPU pressure: non-idle cores used by other
-    processes while this process sits idle for ``sample_s``.
+    """Measure EXTERNAL CPU pressure: non-idle cores used by processes
+    OUTSIDE this bench's process tree across a ``sample_s`` window
+    where the bench driver sits idle.
 
     1-min loadavg cannot gate passes after the first one — our own
     local[32] pass drives it above any sane threshold for ~2 min after
-    it ends, so a loadavg gate would sleep on our own wake. Sampling
-    /proc/stat deltas across a window where WE are idle measures only
-    the other tenants (this box shares hardware; see BASELINE.md).
-    Falls back to loadavg/1 if /proc/stat is unreadable.
+    it ends, so a loadavg gate would sleep on our own wake. /proc/stat
+    deltas alone are not enough either: the Spark JVM is a separate
+    child process that may still burn cores (GC, shuffle-file cleanup)
+    right after a pass, so its tree's utime+stime delta is subtracted
+    from the non-idle delta — what remains is the other tenants (this
+    box shares hardware; see BASELINE.md). Falls back to loadavg if
+    /proc is unreadable.
     """
     def snap() -> tuple[int, int]:
         with open("/proc/stat") as f:
@@ -80,12 +117,15 @@ def _external_busy_cores(sample_s: float = 4.0) -> float:
 
     try:
         t0, i0 = snap()
+        own0 = _own_tree_cpu_ticks()
         time.sleep(sample_s)
         t1, i1 = snap()
+        own1 = _own_tree_cpu_ticks()
         dt, di = t1 - t0, i1 - i0
         if dt <= 0:
             return 0.0
-        return round((1.0 - di / dt) * _cores(), 2)
+        ext = max(0, (dt - di) - max(0, own1 - own0))
+        return round(ext / dt * _cores(), 2)
     except OSError:
         return round(os.getloadavg()[0], 2)
 
@@ -272,7 +312,8 @@ def main() -> int:
     pass_loads: list[dict] = []
 
     def run_pass() -> None:
-        pass_loads.append(_await_quiet(wait_budget, threshold))
+        rec = _await_quiet(wait_budget, threshold)
+        pass_loads.append(rec)
         for name in sorted(queries):
             t0 = time.perf_counter()
             force(queries[name](spark, sf_dir))
@@ -281,14 +322,28 @@ def main() -> int:
         # simhash) would otherwise accumulate cached blocks across
         # passes — every pass must run against the same storage state.
         spark.catalog.clearCache()
+        # Re-probe AFTER the pass and OR it into the quietness label: a
+        # tenant that arrived mid-pass inflates the samples even though
+        # the pre-pass probe was quiet, and quiet_floor.py's merge
+        # invariant (floors are never load-inflated) leans on this
+        # label. A burst that starts and ends strictly inside the pass
+        # can still slip through; the post-probe closes the common case
+        # of load that arrives and stays.
+        rec["ext_busy_cores_after"] = _external_busy_cores()
+        rec["loud"] = rec["loud"] or rec["ext_busy_cores_after"] > threshold
 
     for _ in range(runs):
         run_pass()
     # Every query's min needs at least one quiet sample: keep adding
-    # passes (bounded) until some pass ran quiet end-to-end.
+    # passes (bounded) until some pass ran quiet end-to-end. The shared
+    # wait budget is usually spent by now (that's WHY every pass ran
+    # loud), so replenish it — an extra pass that cannot wait for quiet
+    # would start straight into the same sustained load it is trying to
+    # dodge.
     while all(p["loud"] for p in pass_loads) and extra_allowed > 0:
         print("  (all passes ran loud; running an extra pass)", file=sys.stderr)
         extra_allowed -= 1
+        wait_budget[0] = max(wait_budget[0], 300.0)
         run_pass()
     runs = len(pass_loads)
 

@@ -141,7 +141,7 @@ def _decode_wav(payload: bytes) -> list[float]:
             .astype(np.float64)
         )
     else:
-        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+        raise UnsupportedMediaError(f"unsupported WAV sample width {sampwidth}")
     if nch > 1:
         samples = samples[: len(samples) - len(samples) % nch]
         samples = samples.reshape(-1, nch).mean(axis=1)
@@ -156,21 +156,31 @@ def _decode_wav(payload: bytes) -> list[float]:
     return (feats / total).tolist() if total else [0.0] * FEATURE_DIM
 
 
+class UnsupportedMediaError(ValueError):
+    """A payload the real decoder understands enough to reject (e.g. a
+    valid WAV container with an exotic sample width) — fallback-eligible,
+    unlike an arbitrary ValueError from a decoder bug."""
+
+
 def _fallback_exceptions() -> tuple[type[BaseException], ...]:
     """The exact set of 'payload is not decodable by the real decoder'
     errors decode_any converts into the stub fallback: parse errors
-    from PIL (UnidentifiedImageError ⊂ OSError, DecompressionBombError
-    ⊂ Exception directly) and from wave (wave.Error, EOFError), plus
-    NotImplementedError for absent-lib modalities. Anything else (a
-    genuine bug) propagates."""
+    from PIL (UnidentifiedImageError and truncated-file errors ⊂
+    OSError; DecompressionBombError ⊂ Exception directly), parse errors
+    from wave (wave.Error, EOFError), this module's own
+    UnsupportedMediaError, and NotImplementedError for absent-lib
+    modalities. Deliberately NOT a bare ValueError: an unexpected
+    ValueError from inside a decoder (a numpy reshape bug, say) is a
+    genuine defect and propagates instead of shipping silently-wrong
+    stub features."""
     import wave
 
     excs: list[type[BaseException]] = [
         NotImplementedError,
         OSError,
-        ValueError,
         EOFError,
         wave.Error,
+        UnsupportedMediaError,
     ]
     Image = _pil_image()
     if Image is not None:

@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_spark.functions.vectors import (
-    cosine,
     cosine_sql,
     unrolled_dot_sql,
 )
@@ -29,7 +28,7 @@ from distributed_mapreduce_spark.operators.similarity import (
     ivf_topk,
     topk_cosine_literal,
 )
-from distributed_mapreduce_spark.queries.relational import dec, money
+from distributed_mapreduce_spark.queries.relational import money
 from distributed_mapreduce_spark.sources import table
 
 DIM = 64
@@ -49,6 +48,16 @@ def _query_df(emb: DataFrame) -> DataFrame:
     )
 
 
+def _qvec(emb: DataFrame) -> list[float]:
+    """THE query vector, driver-held (1-row bounded collect) — shared
+    by the exact tier (sim_q1) and the IVF probe (sim_q3) so they can
+    never diverge on which vector they score against."""
+    return [
+        float(x)
+        for x in emb.where(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["embedding"]
+    ]
+
+
 def sim_q1_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for the query vector (vec_id=0): map-side
     cosine against the driver-held query + TakeOrdered, no join at all.
@@ -56,11 +65,7 @@ def sim_q1_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same pattern as sim_q3's probe); scores are bit-identical to the
     broadcast-join form (see topk_cosine_literal)."""
     emb = _emb(spark, sf_dir)
-    qvec = [
-        float(x)
-        for x in emb.where(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["embedding"]
-    ]
-    return topk_cosine_literal(emb, qvec, TOP_K)
+    return topk_cosine_literal(emb, _qvec(emb), TOP_K)
 
 
 def sim_q2_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,11 +122,7 @@ def sim_q3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole index build + probe bit-for-bit. Recall vs the exact
     sim_q1 tier is additionally asserted in tests."""
     emb = _emb(spark, sf_dir)
-    qvec = [
-        float(x)
-        for x in emb.where(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["embedding"]
-    ]
-    return ivf_topk(emb, _query_df(emb), qvec, TOP_K)
+    return ivf_topk(emb, _query_df(emb), _qvec(emb), TOP_K)
 
 
 EMB_DUP_THRESHOLD = 0.4

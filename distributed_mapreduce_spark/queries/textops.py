@@ -627,8 +627,11 @@ def text_q8_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded kind."""
     from pyspark.sql import Window
 
+    # Count on the RAW table, not the widened one: parquet answers a
+    # bare count from row-group metadata, while count-after-repartition
+    # would shuffle every row for a scalar.
+    n_docs = table(spark, sf_dir, "documents").count()
     docs = widen(table(spark, sf_dir, "documents"))
-    n_docs = docs.count()
     tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
