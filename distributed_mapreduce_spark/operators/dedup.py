@@ -103,6 +103,17 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float) -> DataFrame:
     """Exact jaccard over a (id, shingle) set via inverted-index
     self-join: |A∩B| from the shingle join, |A∪B| = |A|+|B|−|A∩B|.
 
+    Shape note (r5, measured): a grouped-explode alternative —
+    collect_list ids per shingle, double lateral explode for the i<j
+    pairs — halves the shingle-key shuffle (one groupBy vs two join
+    sides) and won ~8% at sf0.1, but LOST ~9% at the sf1 stress scale
+    (19.3 s vs 17.7 s quiet-host): collect_list aggregates on the
+    non-codegen ObjectHashAggregate path and materializes per-shingle
+    arrays, which outgrows the shuffle saving as data scales. The join
+    form stays because the 10× fixture is the better predictor of
+    cluster behavior; revisit only with a real-network shuffle, where
+    halved shuffle volume is worth more than local spill.
+
     The shingle table feeds three subtrees (both join sides + sizes);
     persist() materializes the expansion once instead of re-tokenizing
     the corpus per subtree — at scale this intermediate is exactly what
