@@ -608,6 +608,60 @@ def text_q7_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact-substring duplicate-span detection (the signal behind
+# suffix-array training-data dedup — Lee et al. 2022 strip substrings
+# repeated verbatim anywhere in the corpus). The span unit here is the
+# word 8-gram: long enough that the fixture's small vocabulary cannot
+# collide by chance (measured: dup_frac is bimodal 0 / 1 at sf0.01),
+# short enough that every document with ≥ 8 tokens contributes spans.
+SPAN_N = 8
+DUP_SPAN_FLAG = 0.5
+
+
+def dedup_q9_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-span coverage: the fraction of a
+    document's word-8-gram positions whose gram occurs ≥ 2 times in
+    the whole corpus (any document, including repeats within the same
+    document — exactly the "substring repeated verbatim anywhere"
+    predicate of suffix-array dedup), with the heavy-duplication flag
+    at DUP_SPAN_FLAG. Documents shorter than 8 tokens have no spans
+    and no row.
+
+    Scale shape: this is the groupBy re-expression of the
+    suffix-array pass — explode positional grams once, aggregate to
+    per-(doc, gram) counts (map-side partial agg, shuffle ∝ distinct
+    pairs), derive corpus frequency from those counts with a second
+    keyed agg, and semi-join the duplicated grams back. No all-pairs
+    stage anywhere; at 100 TB the gram key would be a 64-bit hash
+    instead of the string (the string form here keeps the DuckDB
+    oracle hash-free)."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id", F.explode(shingles(tokens("text"), SPAN_N)).alias("gram")
+    )
+    per = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c")).persist()
+    dup = (
+        per.groupBy("gram")
+        .agg(F.sum("c").alias("tot"))
+        .where(F.col("tot") >= 2)
+        .select("gram")
+    )
+    stats = per.groupBy("doc_id").agg(F.sum("c").alias("n_spans"))
+    hits = (
+        per.join(dup, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_dup"))
+    )
+    frac = F.round(F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_spans"), 6)
+    return stats.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        frac.alias("dup_frac"),
+        (frac >= F.lit(DUP_SPAN_FLAG)).cast("int").alias("flagged"),
+    )
+
+
 TFIDF_TOP_TERMS = 3
 
 
@@ -671,9 +725,45 @@ QUERIES = {
 SHADOW_QUERIES = {
     "text_q7_repetition": text_q7_repetition,
     "text_q8_tfidf": text_q8_tfidf,
+    "dedup_q9_dup_spans": dedup_q9_dup_spans,
 }
 
+# SPAN_N-gram concat expression for the dedup_q9 oracle (i is the
+# 1-based start index of the span inside the token list ts).
+_SPAN_GRAM_SQL = " || ' ' || ".join(f"ts[i+{off}]" for off in range(SPAN_N))
+
 SHADOW_ORACLES = {
+    # Mirrors dedup_q9_dup_spans stage by stage: positional 8-grams
+    # (multiplicity preserved), per-(doc, gram) counts, corpus
+    # frequency from those counts, duplicated-gram semi-join back.
+    "dedup_q9_dup_spans": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(ts) - {SPAN_N - 2}, 1)),
+                                         i -> {_SPAN_GRAM_SQL})) AS gram
+            FROM t
+        ),
+        per AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+        dup AS (
+            SELECT gram FROM per GROUP BY gram HAVING sum(c) >= 2
+        ),
+        stats AS (SELECT doc_id, sum(c) AS n_spans FROM per GROUP BY 1),
+        hits AS (
+            SELECT doc_id, sum(c) AS n_dup
+            FROM per SEMI JOIN dup USING (gram)
+            GROUP BY 1
+        )
+        SELECT stats.doc_id,
+               CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_spans,
+               round(coalesce(n_dup, 0) / n_spans, 6) AS dup_frac,
+               CAST(round(coalesce(n_dup, 0) / n_spans, 6) >= {DUP_SPAN_FLAG} AS INT)
+                   AS flagged
+        FROM stats LEFT JOIN hits ON stats.doc_id = hits.doc_id
+    """,
     # Mirrors text_q8_tfidf stage by stage; ln/round in double on both
     # engines, rank on the rounded score with tok tiebreak.
     "text_q8_tfidf": f"""
