@@ -704,6 +704,50 @@ def text_q8_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_q9_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) — the
+    information-density quality signal that separates natural prose
+    from boilerplate/repetition in a cleaning pipeline (low entropy =
+    few dominant tokens; complements text_q7's top-fraction signals).
+
+    Cross-engine determinism: a plain double sum of p·ln p terms is
+    accumulation-order-dependent, and Spark and DuckDB (and Spark at
+    two different partition counts) would sum in different orders.
+    Each term is therefore rounded to 12 decimals and cast to DECIMAL
+    before the sum — decimal addition is exact and associative, so the
+    aggregate is order-independent and the oracle can match it
+    bit-for-bit. (Residual risk is only a sub-ulp ln() difference
+    landing exactly on a 0.5e-12 rounding boundary — the same accepted
+    class as text_q8's rounded TF-IDF scores.)
+
+    Scale shape: one explode → (doc, token) keyed agg with map-side
+    partial aggregation (shuffle ∝ distinct pairs), then a per-doc
+    agg — scan-dominated at 100 TB, no joins."""
+    per = (
+        widen(table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.size(tokens("text")).alias("n_tokens"),
+            F.explode(tokens("text")).alias("tok"),
+        )
+        .groupBy("doc_id", "n_tokens", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    p = F.col("c") / F.col("n_tokens").cast("double")
+    term = F.round(-p * F.log(p), 12).cast("decimal(22,12)")
+    return (
+        per.select("doc_id", "n_tokens", term.alias("te"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.sum("te").alias("ent"), F.count("*").alias("nd"))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("nd").cast("bigint").alias("n_distinct"),
+            F.round(F.col("ent"), 6).cast("double").alias("entropy"),
+        )
+    )
+
+
 QUERIES = {
     "text_q1_token_stats": text_q1_token_stats,
     "text_q2_quality": text_q2_quality,
@@ -726,6 +770,7 @@ SHADOW_QUERIES = {
     "text_q7_repetition": text_q7_repetition,
     "text_q8_tfidf": text_q8_tfidf,
     "dedup_q9_dup_spans": dedup_q9_dup_spans,
+    "text_q9_entropy": text_q9_entropy,
 }
 
 # SPAN_N-gram concat expression for the dedup_q9 oracle (i is the
@@ -763,6 +808,28 @@ SHADOW_ORACLES = {
                CAST(round(coalesce(n_dup, 0) / n_spans, 6) >= {DUP_SPAN_FLAG} AS INT)
                    AS flagged
         FROM stats LEFT JOIN hits ON stats.doc_id = hits.doc_id
+    """,
+    # Mirrors text_q9_entropy: identical per-term double math, 12-dec
+    # round into DECIMAL before the (exact, order-independent) sum.
+    "text_q9_entropy": f"""
+        WITH per AS (
+            SELECT doc_id, n_tokens, tok, count(*) AS c
+            FROM (SELECT doc_id, len(ts) AS n_tokens, unnest(ts) AS tok
+                  FROM (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents))
+            GROUP BY 1, 2, 3
+        ),
+        e AS (
+            SELECT doc_id, n_tokens,
+                   CAST(round(-(c / CAST(n_tokens AS DOUBLE))
+                              * ln(c / CAST(n_tokens AS DOUBLE)), 12)
+                        AS DECIMAL(22,12)) AS te
+            FROM per
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(round(sum(te), 6) AS DOUBLE) AS entropy
+        FROM e GROUP BY doc_id, n_tokens
     """,
     # Mirrors text_q8_tfidf stage by stage; ln/round in double on both
     # engines, rank on the rounded score with tok tiebreak.
