@@ -2,12 +2,13 @@
 opaque binary columns with typed metadata, processed through
 Arrow-batched mapInPandas.
 
-This container has no image/video libraries, so the graded *decode*
-step is a STUB: `decode_stub` produces a deterministic fake feature
-vector from the raw bytes. `decode_real` carries a Pillow-backed image
-decode gated on import (grayscale → nearest resize → normalized
-intensity strip) and a stdlib-`wave` PCM audio decode (always
-available), and raises NotImplementedError for video (pyav absent);
+This container has no media libraries, so the graded *decode* step is
+a STUB: `decode_stub` produces a deterministic fake feature vector
+from the raw bytes. `decode_real` carries a Pillow-backed image decode
+gated on import (grayscale → nearest resize → normalized intensity
+strip), a stdlib-`wave` PCM audio decode, and a stdlib-`struct`
+uncompressed RIFF/AVI video decode (both always available; compressed
+video codecs stay honestly unsupported — that genuinely needs pyav);
 `decode_any` dispatches real-then-stub, warning on parse failures.
 Everything around the decoders — schema, binary payload handling,
 Arrow batch shape, partitioning — is identical and tested in both
@@ -87,7 +88,10 @@ def decode_real(payload: bytes, modality: str) -> list[float]:
     contract). No external lib needed, so real audio decode runs in
     this container.
 
-    video: still requires pyav, not present here."""
+    video: stdlib `struct` RIFF/AVI walk — uncompressed (BI_RGB) DIB
+    frames only; per-frame mean intensity bucketed like the audio
+    path. Compressed codecs raise UnsupportedMediaError (pyav would be
+    needed; decode_any falls back visibly)."""
     if modality == "image":
         Image = _pil_image()
         if Image is not None:
@@ -102,9 +106,10 @@ def decode_real(payload: bytes, modality: str) -> list[float]:
             return (arr / total).tolist() if total else [0.0] * FEATURE_DIM
     if modality == "audio":
         return _decode_wav(payload)
+    if modality == "video":
+        return _decode_avi(payload)
     raise NotImplementedError(
-        f"real {modality} decoding requires "
-        f"{'PIL' if modality == 'image' else 'pyav'}; "
+        "real image decoding requires PIL; "
         "use decode_any/decode_stub (deterministic fake) in this environment"
     )
 
@@ -145,15 +150,105 @@ def _decode_wav(payload: bytes) -> list[float]:
     if nch > 1:
         samples = samples[: len(samples) - len(samples) % nch]
         samples = samples.reshape(-1, nch).mean(axis=1)
-    if len(samples) < FEATURE_DIM:
-        samples = np.pad(samples, (0, FEATURE_DIM - len(samples)))
-    mag = np.abs(samples)
+    return _bucket_l1(np.abs(samples))
+
+
+def _bucket_l1(mag) -> list[float]:
+    """Shared decode tail: a non-negative 1-D series → FEATURE_DIM
+    contiguous-bucket means, L1-normalized (zero-padded up to
+    FEATURE_DIM when the series is shorter) — the common output
+    contract of the audio (|amplitude| over samples) and video (frame
+    intensity over frames) real decoders."""
+    import numpy as np
+
+    if len(mag) < FEATURE_DIM:
+        mag = np.pad(mag, (0, FEATURE_DIM - len(mag)))
     bounds = np.arange(FEATURE_DIM) * len(mag) // FEATURE_DIM
     sums = np.add.reduceat(mag, bounds)
     counts = np.diff(np.append(bounds, len(mag)))
     feats = sums / counts
     total = feats.sum()
     return (feats / total).tolist() if total else [0.0] * FEATURE_DIM
+
+
+def _decode_avi(payload: bytes) -> list[float]:
+    """Uncompressed RIFF/AVI → FEATURE_DIM L1-normalized mean-frame-
+    intensity buckets, pure stdlib (`struct`) + numpy — the video twin
+    of _decode_wav: the per-frame mean byte intensity forms a time
+    series that goes through the same _bucket_l1 tail.
+
+    Container handling: walks the RIFF chunk tree (word-aligned chunk
+    sizes, LIST recursion, `rec ` groupings inside `movi`), takes the
+    FIRST `vids` stream declared in `hdrl`, and requires its `strf`
+    BITMAPINFOHEADER to declare biCompression == 0 (BI_RGB, raw DIB
+    frames — the only codec decodable without a media library). Any
+    other codec, a malformed tree, or a missing video stream raises
+    UnsupportedMediaError, which decode_any converts into the visible
+    stub fallback. Zero video frames → all-zero features (same
+    degenerate contract as an empty WAV)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise UnsupportedMediaError("not a RIFF/AVI container")
+
+    def u32(off: int) -> int:
+        return struct.unpack_from("<I", payload, off)[0]
+
+    video_stream: int | None = None
+    compression: int | None = None
+    stream_idx = -1
+    frames: list[tuple[int, int]] = []
+
+    def walk(start: int, stop: int, ltype: bytes) -> None:
+        nonlocal video_stream, compression, stream_idx
+        off = start
+        while off + 8 <= stop:
+            cid = payload[off : off + 4]
+            size = u32(off + 4)
+            body = off + 8
+            bend = min(body + size, stop)
+            if cid == b"LIST" and bend >= body + 4:
+                walk(body + 4, bend, payload[body : body + 4])
+            elif cid == b"strh" and ltype == b"strl":
+                stream_idx += 1
+                if payload[body : body + 4] == b"vids" and video_stream is None:
+                    video_stream = stream_idx
+            elif (
+                cid == b"strf"
+                and ltype == b"strl"
+                and video_stream == stream_idx
+                and compression is None
+                and bend >= body + 20
+            ):
+                compression = u32(body + 16)  # BITMAPINFOHEADER.biCompression
+            elif (
+                ltype in (b"movi", b"rec ")
+                and cid[2:4] in (b"db", b"dc")
+                and cid[:2].isdigit()
+                and int(cid[:2]) == video_stream
+            ):
+                frames.append((body, bend))
+            off = body + size + (size & 1)
+
+    walk(12, min(len(payload), 8 + u32(4)), b"AVI ")
+    if video_stream is None:
+        raise UnsupportedMediaError("AVI has no video (vids) stream")
+    if compression != 0:
+        raise UnsupportedMediaError(
+            f"AVI video compression {compression} unsupported (BI_RGB raw "
+            "DIB only without a media library)"
+        )
+    if not frames:
+        return [0.0] * FEATURE_DIM
+    intensity = np.array(
+        [
+            np.frombuffer(payload[a:b], dtype=np.uint8).mean() if b > a else 0.0
+            for a, b in frames
+        ]
+    )
+    return _bucket_l1(intensity)
 
 
 class UnsupportedMediaError(ValueError):

@@ -119,14 +119,19 @@ def test_decode_stub_deterministic_and_real_gated():
         decode_any,
     )
 
+    from distributed_mapreduce_spark.operators.multimodal import (
+        UnsupportedMediaError,
+    )
+
     payload = b"hello multimodal world"
     assert decode_stub(payload, "image") == decode_stub(payload, "image")
-    # video libs are never present here — real decode must refuse and
-    # decode_any must fall back to the stub, byte-for-byte, silently
-    # (absent-lib is the expected path, not a parse failure).
-    with pytest.raises(NotImplementedError):
+    # video decodes for real via the stdlib RIFF/AVI walk; on non-AVI
+    # bytes the real decoder raises a parse error and decode_any falls
+    # back to the stub WITH a RuntimeWarning (same contract as audio).
+    with pytest.raises(UnsupportedMediaError):
         decode_real(payload, "video")
-    assert decode_any(payload, "video") == decode_stub(payload, "video")
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        assert decode_any(payload, "video") == decode_stub(payload, "video")
     # audio decodes for real via stdlib wave; on non-WAV bytes the real
     # decoder raises a parse error and decode_any falls back to the
     # stub WITH a RuntimeWarning (a corrupt input must be visible).
@@ -222,6 +227,118 @@ def test_decode_real_audio_wav_contract():
         w.setframerate(8000)
         w.writeframes(b"")
     assert decode_real(empty.getvalue(), "audio") == [0.0] * FEATURE_DIM
+
+
+def _make_avi(
+    frame_vals,
+    width: int = 4,
+    height: int = 2,
+    compression: int = 0,
+    leading_audio_stream: bool = False,
+) -> bytes:
+    """Minimal valid RIFF/AVI with raw-DIB frames, each frame a
+    constant byte value from frame_vals. With leading_audio_stream the
+    video becomes stream 1 (chunk id 01db) behind an auds stream 0
+    whose 00wb chunks must be ignored by the decoder."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    frame_size = width * height * 3
+    avih = struct.pack(
+        "<14I", 33366, frame_size, 0, 0, len(frame_vals), 0, 1, frame_size,
+        width, height, 0, 0, 0, 0,
+    )
+    vids_strh = b"vids" + b"DIB " + b"\x00" * 48
+    vids_strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, compression, frame_size,
+        0, 0, 0, 0,
+    )
+    vids_strl = lst(b"strl", chunk(b"strh", vids_strh) + chunk(b"strf", vids_strf))
+    streams = vids_strl
+    vid_prefix = b"00"
+    if leading_audio_stream:
+        auds_strh = b"auds" + b"\x00" * 52
+        auds_strf = struct.pack("<HHIIHHH", 1, 1, 8000, 16000, 2, 16, 0)
+        streams = (
+            lst(b"strl", chunk(b"strh", auds_strh) + chunk(b"strf", auds_strf))
+            + vids_strl
+        )
+        vid_prefix = b"01"
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + streams)
+    movi_body = b""
+    for v in frame_vals:
+        if leading_audio_stream:
+            movi_body += chunk(b"00wb", b"\xff" * 32)  # audio, must be ignored
+        movi_body += chunk(vid_prefix + b"db", bytes([v]) * frame_size)
+    riff_body = b"AVI " + hdrl + lst(b"movi", movi_body)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def test_decode_real_video_avi_contract():
+    """Stdlib RIFF/AVI video decode: constant-intensity raw-DIB frames
+    produce exactly the bucketed frame-intensity profile, decode_any
+    takes the REAL path for a valid AVI, interleaved audio chunks and
+    a leading audio stream are skipped, and compressed codecs fall
+    back visibly."""
+    from distributed_mapreduce_spark.operators.multimodal import (
+        FEATURE_DIM,
+        UnsupportedMediaError,
+        decode_any,
+    )
+
+    # 16 frames, intensities 10,20,...,160 → 8 buckets of 2 frames:
+    # means 15,35,...,155; L1-normalize.
+    vals = [10 * (i + 1) for i in range(16)]
+    expected_raw = [(vals[2 * i] + vals[2 * i + 1]) / 2 for i in range(FEATURE_DIM)]
+    total = sum(expected_raw)
+    expected = [x / total for x in expected_raw]
+
+    avi = _make_avi(vals)
+    feats = decode_real(avi, "video")
+    assert len(feats) == FEATURE_DIM
+    assert abs(sum(feats) - 1.0) < 1e-9
+    assert all(abs(a - b) < 1e-12 for a, b in zip(feats, expected))
+    assert feats == decode_real(avi, "video")  # deterministic
+    assert feats == decode_any(avi, "video")  # real path taken
+    assert feats != decode_stub(avi, "video")
+
+    # video behind a leading audio stream: same frames, same features —
+    # the parser must bind to stream 1 and ignore the 00wb audio chunks.
+    multi = _make_avi(vals, leading_audio_stream=True)
+    assert decode_real(multi, "video") == feats
+
+    # fewer frames than FEATURE_DIM: zero-padded tail, still normalized
+    short = decode_real(_make_avi([100, 200]), "video")
+    assert len(short) == FEATURE_DIM
+    assert abs(sum(short) - 1.0) < 1e-9
+    assert short[2:] == [0.0] * (FEATURE_DIM - 2)
+
+    # zero frames → all-zero features (degenerate contract)
+    assert decode_real(_make_avi([]), "video") == [0.0] * FEATURE_DIM
+
+    # compressed codec (e.g. MJPG fourcc value) → UnsupportedMediaError
+    # and a VISIBLE decode_any fallback
+    mjpg = _make_avi(vals, compression=0x47504A4D)
+    with pytest.raises(UnsupportedMediaError):
+        decode_real(mjpg, "video")
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        assert decode_any(mjpg, "video") == decode_stub(mjpg, "video")
+
+    # truncated container (half the movi list sliced off) must not
+    # crash or loop — either a parse error (→ fallback) or a partial
+    # decode is acceptable; it must stay within the output contract.
+    trunc = avi[: len(avi) // 2]
+    try:
+        out = decode_real(trunc, "video")
+        assert len(out) == FEATURE_DIM
+    except UnsupportedMediaError:
+        pass
 
 
 def test_blas_topk_agrees_with_jvm_topk(spark, emb):
