@@ -341,6 +341,43 @@ def test_decode_real_video_avi_contract():
         pass
 
 
+def test_decode_avi_fuzz_never_hangs_or_crashes():
+    """The AVI walker consumes untrusted bytes inside executor UDFs, so
+    arbitrary input must terminate quickly with either a clean
+    UnsupportedMediaError or a contract-conformant feature vector —
+    never an unexpected exception type (decode_any would mask a decoder
+    bug as a stub fallback) and never an unbounded loop. Deterministic
+    fuzz: random buffers, random mutations of a valid AVI, and random
+    truncations (the header-lies-about-size cases)."""
+    import numpy as np
+
+    from distributed_mapreduce_spark.operators.multimodal import (
+        FEATURE_DIM,
+        UnsupportedMediaError,
+    )
+
+    rng = np.random.RandomState(0)
+    base = _make_avi(list(range(0, 160, 10)), leading_audio_stream=True)
+
+    def check(buf: bytes) -> None:
+        try:
+            out = decode_real(buf, "video")
+        except UnsupportedMediaError:
+            return
+        assert len(out) == FEATURE_DIM
+        assert all(x >= 0.0 for x in out)
+
+    for _ in range(50):
+        check(rng.bytes(int(rng.randint(0, 400))))
+    for _ in range(100):
+        mut = bytearray(base)
+        for pos in rng.randint(0, len(base), size=int(rng.randint(1, 9))):
+            mut[pos] = int(rng.randint(0, 256))
+        check(bytes(mut))
+    for _ in range(50):
+        check(base[: int(rng.randint(0, len(base)))])
+
+
 def test_blas_topk_agrees_with_jvm_topk(spark, emb):
     from distributed_mapreduce_spark.operators.similarity import (
         topk_cosine,
