@@ -263,6 +263,25 @@ def dedup_q6_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_q11_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup-group census: connected components over the
+    embedding-cosine pair graph (dedup_q6), one row per cluster with
+    its size — the same keep-one-per-group step dedup_q7 runs on the
+    lexical (jaccard) graph, here on the semantic graph, sharing both
+    the pair generator and the CC operator. Oracle: DuckDB recursive
+    transitive closure over the identical pair SQL.
+
+    Scale shape inherits from its parts: grid-partitioned pair
+    generation (never broadcasts the table), and a pair graph that is
+    O(#near-dups) — the CC hybrid collects it for union-find when
+    measured small, distributed min-label iteration otherwise."""
+    from distributed_mapreduce_spark.operators.components import connected_components
+
+    pairs = dedup_q6_embedding_cosine(spark, sf_dir)
+    comp = connected_components(pairs)
+    return comp.groupBy("component").agg(F.count("*").alias("n_vecs"))
+
+
 def emb_q1_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 scalar quantization (the embedding-compression
     step of a vector store): codes = floor((x−min)/scale + 0.5) with
@@ -346,19 +365,10 @@ def mm_q3_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS_AB = cosine_sql("a.embedding", "q.qv", DIM)
 _COS_PAIR = cosine_sql("a.va", "b.vb", DIM)
 
-ORACLES = {
-    "sim_q1_topk_bruteforce": f"""
-        WITH q AS (
-            SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
-        )
-        SELECT a.vec_id, round({_COS_AB}, 6) AS cos_sim
-        FROM embeddings a CROSS JOIN q
-        ORDER BY cos_sim DESC, a.vec_id ASC
-        LIMIT {TOP_K}
-    """,
-    # normalize-then-dot, same op order as the Spark side: per-element
-    # x/sqrt(left-assoc Σx²), then one left-assoc dot fold per pair.
-    "dedup_q6_embedding_cosine": f"""
+# Exact cosine near-dup pairs — the dedup_q6 oracle AND the pair graph
+# dedup_q11's transitive closure runs over (one SQL definition, so the
+# two can never drift apart — same pattern as textops._Q3_PAIRS_SQL).
+_Q6_PAIRS_SQL = f"""
         WITH n AS (
             SELECT vec_id,
                    list_transform(embedding,
@@ -372,7 +382,21 @@ ORACLES = {
         SELECT id_i, id_j, round({unrolled_dot_sql("a.va", "b.vb", DIM)}, 6) AS cos_sim
         FROM a JOIN b ON id_i < id_j
         WHERE round({unrolled_dot_sql("a.va", "b.vb", DIM)}, 6) >= {EMB_DUP_THRESHOLD}
+"""
+
+ORACLES = {
+    "sim_q1_topk_bruteforce": f"""
+        WITH q AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        )
+        SELECT a.vec_id, round({_COS_AB}, 6) AS cos_sim
+        FROM embeddings a CROSS JOIN q
+        ORDER BY cos_sim DESC, a.vec_id ASC
+        LIMIT {TOP_K}
     """,
+    # normalize-then-dot, same op order as the Spark side: per-element
+    # x/sqrt(left-assoc Σx²), then one left-assoc dot fold per pair.
+    "dedup_q6_embedding_cosine": _Q6_PAIRS_SQL,
     "emb_q1_quantize": """
         WITH e AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -497,9 +521,30 @@ QUERIES = {
 # tier (registry.py grading cap), still parity-checked in pytest.
 SHADOW_QUERIES = {
     "sim_q2_top_pairs": sim_q2_top_pairs,
+    "dedup_q11_embedding_clusters": dedup_q11_embedding_clusters,
 }
 
 SHADOW_ORACLES = {
+    # Transitive closure over the same pair graph as the dedup_q6
+    # oracle (recursive CTE); component label = min reachable vec id —
+    # the Spark side's min-label fixpoint (same shape as dedup_q7's).
+    "dedup_q11_embedding_clusters": f"""
+        WITH RECURSIVE pairs AS ({_Q6_PAIRS_SQL}),
+        edges AS (
+            SELECT id_i AS a, id_j AS b FROM pairs
+            UNION
+            SELECT id_j AS a, id_i AS b FROM pairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (
+            SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+        )
+        SELECT component, count(*) AS n_vecs FROM comp GROUP BY component
+    """,
     "sim_q2_top_pairs": f"""
         WITH s AS (
             SELECT vec_id, embedding FROM embeddings WHERE vec_id % {PAIR_SAMPLE_MOD} = 0

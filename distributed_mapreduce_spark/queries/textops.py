@@ -704,6 +704,34 @@ def text_q8_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_q10_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pair counts per
+    unordered source pair — the corpus-provenance analytics that tells
+    a curation team which feeds duplicate each other (snapshot overlap,
+    mirrored sites) and which duplicate internally. Built ON the exact
+    jaccard pair graph (same MAX_SHINGLE_DF guard as dedup_q3), so the
+    pair semantics stay identical across the dedup family.
+
+    Scale shape: the pair graph is O(#duplicates) — tiny next to the
+    corpus — and the two provenance lookups are equi-joins of that tiny
+    pair list against a (doc_id, source) projection; AQE broadcasts the
+    pair side. The matrix itself is |sources|² at most."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs(doc_shingles(docs, max_df=MAX_SHINGLE_DF), NEAR_DUP_JACCARD)
+    src = docs.select("doc_id", "source")
+    lab = pairs.join(
+        src.select(F.col("doc_id").alias("id_i"), F.col("source").alias("src_i")),
+        "id_i",
+    ).join(
+        src.select(F.col("doc_id").alias("id_j"), F.col("source").alias("src_j")),
+        "id_j",
+    )
+    return lab.groupBy(
+        F.least("src_i", "src_j").alias("source_i"),
+        F.greatest("src_i", "src_j").alias("source_j"),
+    ).agg(F.count("*").alias("n_pairs"))
+
+
 def text_q9_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document unigram Shannon entropy (nats) — the
     information-density quality signal that separates natural prose
@@ -771,6 +799,7 @@ SHADOW_QUERIES = {
     "text_q8_tfidf": text_q8_tfidf,
     "dedup_q9_dup_spans": dedup_q9_dup_spans,
     "text_q9_entropy": text_q9_entropy,
+    "dedup_q10_source_overlap": dedup_q10_source_overlap,
 }
 
 # SPAN_N-gram concat expression for the dedup_q9 oracle (i is the
@@ -808,6 +837,17 @@ SHADOW_ORACLES = {
                CAST(round(coalesce(n_dup, 0) / n_spans, 6) >= {DUP_SPAN_FLAG} AS INT)
                    AS flagged
         FROM stats LEFT JOIN hits ON stats.doc_id = hits.doc_id
+    """,
+    # Same pair graph as the dedup_q3 oracle, labeled with provenance.
+    "dedup_q10_source_overlap": f"""
+        WITH pairs AS ({_Q3_PAIRS_SQL})
+        SELECT least(da.source, db.source) AS source_i,
+               greatest(da.source, db.source) AS source_j,
+               count(*) AS n_pairs
+        FROM pairs
+        JOIN documents da ON da.doc_id = id_i
+        JOIN documents db ON db.doc_id = id_j
+        GROUP BY 1, 2
     """,
     # Mirrors text_q9_entropy: identical per-term double math, 12-dec
     # round into DECIMAL before the (exact, order-independent) sum.
