@@ -353,3 +353,58 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# --- tier 6: exact-substring duplicate spans --------------------------------
+
+
+def dup_span_coverage(
+    docs: DataFrame,
+    span_n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicate-span coverage — the signal behind
+    suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    the fraction of its word-`span_n`-gram positions whose gram occurs
+    ≥ 2 times in the whole corpus (any document, including repeats
+    within the same document — exactly the "substring repeated
+    verbatim anywhere" predicate). Returns
+    (id, n_spans, n_dup_spans, dup_frac); documents shorter than
+    span_n tokens have no spans and no row. Callers threshold
+    dup_frac to flag/strip heavily-duplicated documents.
+
+    Scale shape: the groupBy re-expression of the suffix-array pass —
+    explode positional grams once, aggregate to per-(doc, gram) counts
+    (map-side partial agg, shuffle ∝ distinct pairs), derive corpus
+    frequency from those counts with a second keyed agg, and semi-join
+    the duplicated grams back. No all-pairs stage; at 100 TB the gram
+    key would be a 64-bit hash instead of the string (the string form
+    keeps the DuckDB oracle hash-free). The per-(doc, gram) table is
+    read by three subtrees, so it is persisted (cache lifetime: see
+    the convention note on jaccard_pairs)."""
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(tokens(text_col), span_n)).alias("gram"),
+    )
+    per = grams.groupBy("id", "gram").agg(F.count("*").alias("c")).persist()
+    dup = (
+        per.groupBy("gram")
+        .agg(F.sum("c").alias("tot"))
+        .where(F.col("tot") >= 2)
+        .select("gram")
+    )
+    stats = per.groupBy("id").agg(F.sum("c").alias("n_spans"))
+    hits = (
+        per.join(dup, "gram", "left_semi")
+        .groupBy("id")
+        .agg(F.sum("c").alias("n_dup"))
+    )
+    frac = F.round(F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_spans"), 6)
+    return stats.join(hits, "id", "left").select(
+        "id",
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        frac.alias("dup_frac"),
+    )

@@ -31,6 +31,7 @@ from distributed_mapreduce_spark.functions.text import (
 )
 from distributed_mapreduce_spark.operators.dedup import (
     doc_shingles,
+    dup_span_coverage,
     jaccard_pairs,
     minhash_near_dup_pairs,
     simhash_near_dup_pairs,
@@ -627,38 +628,16 @@ def dedup_q9_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     at DUP_SPAN_FLAG. Documents shorter than 8 tokens have no spans
     and no row.
 
-    Scale shape: this is the groupBy re-expression of the
-    suffix-array pass — explode positional grams once, aggregate to
-    per-(doc, gram) counts (map-side partial agg, shuffle ∝ distinct
-    pairs), derive corpus frequency from those counts with a second
-    keyed agg, and semi-join the duplicated grams back. No all-pairs
-    stage anywhere; at 100 TB the gram key would be a 64-bit hash
-    instead of the string (the string form here keeps the DuckDB
-    oracle hash-free)."""
+    Scale shape: see operators/dedup.dup_span_coverage (the groupBy
+    re-expression of the suffix-array pass — no all-pairs stage)."""
     docs = widen(table(spark, sf_dir, "documents"))
-    grams = docs.select(
-        "doc_id", F.explode(shingles(tokens("text"), SPAN_N)).alias("gram")
-    )
-    per = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c")).persist()
-    dup = (
-        per.groupBy("gram")
-        .agg(F.sum("c").alias("tot"))
-        .where(F.col("tot") >= 2)
-        .select("gram")
-    )
-    stats = per.groupBy("doc_id").agg(F.sum("c").alias("n_spans"))
-    hits = (
-        per.join(dup, "gram", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("n_dup"))
-    )
-    frac = F.round(F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_spans"), 6)
-    return stats.join(hits, "doc_id", "left").select(
-        "doc_id",
-        F.col("n_spans").cast("bigint").alias("n_spans"),
-        F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
-        frac.alias("dup_frac"),
-        (frac >= F.lit(DUP_SPAN_FLAG)).cast("int").alias("flagged"),
+    cov = dup_span_coverage(docs, span_n=SPAN_N)
+    return cov.select(
+        F.col("id").alias("doc_id"),
+        "n_spans",
+        "n_dup_spans",
+        "dup_frac",
+        (F.col("dup_frac") >= F.lit(DUP_SPAN_FLAG)).cast("int").alias("flagged"),
     )
 
 
@@ -751,24 +730,34 @@ def text_q9_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one explode → (doc, token) keyed agg with map-side
     partial aggregation (shuffle ∝ distinct pairs), then a per-doc
     agg — scan-dominated at 100 TB, no joins."""
+    return unigram_entropy(widen(table(spark, sf_dir, "documents"))).select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_distinct", "entropy"
+    )
+
+
+def unigram_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram Shannon entropy core (see text_q9_entropy
+    for the determinism rationale): returns
+    (id, n_tokens, n_distinct, entropy)."""
     per = (
-        widen(table(spark, sf_dir, "documents"))
-        .select(
-            "doc_id",
-            F.size(tokens("text")).alias("n_tokens"),
-            F.explode(tokens("text")).alias("tok"),
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.size(tokens(text_col)).alias("n_tokens"),
+            F.explode(tokens(text_col)).alias("tok"),
         )
-        .groupBy("doc_id", "n_tokens", "tok")
+        .groupBy("id", "n_tokens", "tok")
         .agg(F.count("*").alias("c"))
     )
     p = F.col("c") / F.col("n_tokens").cast("double")
     term = F.round(-p * F.log(p), 12).cast("decimal(22,12)")
     return (
-        per.select("doc_id", "n_tokens", term.alias("te"))
-        .groupBy("doc_id", "n_tokens")
+        per.select("id", "n_tokens", term.alias("te"))
+        .groupBy("id", "n_tokens")
         .agg(F.sum("te").alias("ent"), F.count("*").alias("nd"))
         .select(
-            "doc_id",
+            "id",
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
             F.col("nd").cast("bigint").alias("n_distinct"),
             F.round(F.col("ent"), 6).cast("double").alias("entropy"),

@@ -72,3 +72,77 @@ def test_minhash_signature_shape(spark, docs):
     sig = minhash_signatures(doc_shingles(docs.limit(20)), num_hashes=16)
     row = sig.select(F.size("sig").alias("k")).distinct().collect()
     assert [r.k for r in row] == [16]
+
+
+def test_dup_span_coverage_semantics(spark):
+    """The exact-substring signal (operators/dedup.dup_span_coverage):
+    corpus-wide duplicated 8-grams count as dup spans — across
+    documents AND within one document — while unique text scores 0;
+    sub-span_n documents produce no row."""
+    from distributed_mapreduce_spark.operators.dedup import dup_span_coverage
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    uniq = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, dup),                     # duplicated verbatim by doc 2
+        (2, dup),
+        (3, uniq),                    # 10 unique tokens → 3 unique 8-grams
+        (4, f"{dup} filler {dup}"),   # internal repeat: its copy of the
+                                      # dup 8-gram repeats within the corpus
+        (5, "too short to have any spans"),  # 6 tokens < 8 → no row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in dup_span_coverage(docs, span_n=8).collect()}
+
+    assert set(out) == {1, 2, 3, 4}
+    # exact duplicates: every span duplicated
+    assert out[1].n_spans == 1 and out[1].dup_frac == 1.0
+    assert out[2].n_spans == 1 and out[2].dup_frac == 1.0
+    # unique doc: no span appears twice anywhere
+    assert out[3].n_spans == 3 and out[3].n_dup_spans == 0 and out[3].dup_frac == 0.0
+    # doc 4 contains the dup phrase twice (plus bridging spans through
+    # 'filler' that exist nowhere else): 17 tokens → 10 spans, of which
+    # the two pure-dup spans are duplicated (also matching docs 1/2)
+    assert out[4].n_spans == 10 and out[4].n_dup_spans == 2
+    # invariants
+    for r in out.values():
+        assert 0 <= r.n_dup_spans <= r.n_spans
+        assert 0.0 <= r.dup_frac <= 1.0
+
+
+def test_dup_span_internal_repeat_counts_without_cross_doc_match(spark):
+    """A document repeating its own 8-gram is flagged even when no
+    OTHER document shares it — the 'anywhere in the corpus' predicate
+    (suffix-array semantics), not a cross-document-only one."""
+    from distributed_mapreduce_spark.operators.dedup import dup_span_coverage
+
+    phrase = "q w e r t y u i"
+    rows = [(1, f"{phrase} {phrase}"), (2, "totally unrelated words here live nine ten eleven")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in dup_span_coverage(docs, span_n=8).collect()}
+    # 16 tokens → 9 spans; spans 0 and 8 are the repeated phrase
+    assert out[1].n_spans == 9 and out[1].n_dup_spans == 2
+    assert out[2].n_dup_spans == 0
+
+
+def test_unigram_entropy_bounds_and_known_values(spark):
+    """Entropy core: 0 for a constant stream, ln(k) for a uniform
+    stream over k tokens, and always within [0, ln(n_distinct)]."""
+    import math
+
+    from distributed_mapreduce_spark.queries.textops import unigram_entropy
+
+    rows = [
+        (1, "same same same same"),             # constant → 0
+        (2, "a b c d a b c d"),                 # uniform over 4 → ln 4
+        (3, "x x x y"),                         # skewed: known closed form
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in unigram_entropy(docs).collect()}
+
+    assert out[1].entropy == 0.0
+    assert abs(out[2].entropy - math.log(4)) < 1e-6
+    h3 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert abs(out[3].entropy - h3) < 1e-6
+    for r in out.values():
+        assert 0.0 <= r.entropy <= math.log(max(r.n_distinct, 1)) + 1e-9
