@@ -71,3 +71,52 @@ def pack_greedy(
         .groupBy(group_col)
         .applyInPandas(pack, schema=PACK_SCHEMA)
     )
+
+
+def chunk_fixed(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the sibling of
+    pack_greedy on the other side of the sequence-length problem:
+    packing concatenates short documents up to a budget, chunking
+    splits long documents down to one. This is the chunk step of an
+    embedding/RAG pipeline (window the token stream so every chunk
+    fits the encoder's context, overlapping so no span loses its
+    context at a boundary).
+
+    Rule: chunk starts at token offsets 0, s, 2s, … (s = chunk_tokens −
+    overlap) while the offset is inside the document; each chunk takes
+    the next chunk_tokens tokens (the final chunk may be shorter).
+    Deterministic and layout-independent; empty documents produce no
+    chunk. Returns (id, chunk_idx, n_chunk_tokens, chunk_md5) — the
+    md5 of the space-joined chunk text stands in for the chunk payload
+    so results are value-checkable without shipping text.
+
+    Scale shape: a pure per-row generator expression (sequence →
+    posexplode → slice) — no shuffle, no state, scan-speed at 100 TB;
+    the fan-out is bounded by ⌈n_tokens/s⌉ rows per document."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.functions.text import tokens
+
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    t = docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("ts")).where(
+        F.size("ts") > 0
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("ts") - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = t.select("id", "ts", F.posexplode(starts).alias("chunk_idx", "start"))
+    chunk = F.slice("ts", F.col("start") + 1, chunk_tokens)
+    return exploded.select(
+        "id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )

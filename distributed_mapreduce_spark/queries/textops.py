@@ -765,6 +765,22 @@ def unigram_entropy(
     )
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8
+
+
+def text_q10_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (the embedding/RAG chunk
+    step — operators/packing.chunk_fixed): one row per chunk with its
+    token count and content fingerprint, value-checked chunk by chunk
+    against DuckDB list slicing."""
+    from distributed_mapreduce_spark.operators.packing import chunk_fixed
+
+    docs = widen(table(spark, sf_dir, "documents"))
+    return chunk_fixed(docs, CHUNK_TOKENS, CHUNK_OVERLAP).select(
+        F.col("id").alias("doc_id"), "chunk_idx", "n_chunk_tokens", "chunk_md5"
+    )
+
+
 QUERIES = {
     "text_q1_token_stats": text_q1_token_stats,
     "text_q2_quality": text_q2_quality,
@@ -789,6 +805,7 @@ SHADOW_QUERIES = {
     "dedup_q9_dup_spans": dedup_q9_dup_spans,
     "text_q9_entropy": text_q9_entropy,
     "dedup_q10_source_overlap": dedup_q10_source_overlap,
+    "text_q10_chunks": text_q10_chunks,
 }
 
 # SPAN_N-gram concat expression for the dedup_q9 oracle (i is the
@@ -826,6 +843,26 @@ SHADOW_ORACLES = {
                CAST(round(coalesce(n_dup, 0) / n_spans, 6) >= {DUP_SPAN_FLAG} AS INT)
                    AS flagged
         FROM stats LEFT JOIN hits ON stats.doc_id = hits.doc_id
+    """,
+    # Mirrors chunk_fixed: starts 0, s, 2s… inside the doc; DuckDB list
+    # slice ts[a:b] is 1-based inclusive, so chunk = ts[start+1 :
+    # start+CHUNK_TOKENS] (clamped by DuckDB at the list end exactly as
+    # Spark's slice() is).
+    "text_q10_chunks": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+        ),
+        e AS (
+            SELECT doc_id, ts,
+                   unnest(range(0, len(ts), {CHUNK_TOKENS - CHUNK_OVERLAP})) AS start,
+                   unnest(range(0, CAST(ceil(len(ts) / {CHUNK_TOKENS - CHUNK_OVERLAP}.0) AS BIGINT))) AS chunk_idx
+            FROM t WHERE len(ts) > 0
+        )
+        SELECT doc_id,
+               chunk_idx,
+               CAST(len(ts[start + 1 : start + {CHUNK_TOKENS}]) AS BIGINT) AS n_chunk_tokens,
+               md5(array_to_string(ts[start + 1 : start + {CHUNK_TOKENS}], ' ')) AS chunk_md5
+        FROM e
     """,
     # Same pair graph as the dedup_q3 oracle, labeled with provenance.
     "dedup_q10_source_overlap": f"""

@@ -164,3 +164,47 @@ def test_pack_greedy_oversized_doc_gets_own_bin(spark):
     got = {r["doc_id"]: (r["bin_idx"], r["bin_fill"]) for r in pack_greedy(docs, 30).collect()}
     # doc1 → bin0(10); doc2 (99>30) → bin1 alone; doc3 → bin2(10); doc4 → bin2(25)
     assert got == {1: (0, 10), 2: (1, 99), 3: (2, 10), 4: (2, 25)}
+
+
+def test_chunk_fixed_boundaries_and_overlap(spark):
+    """chunk_fixed (operators/packing.py): starts at 0, s, 2s…; every
+    full chunk carries chunk_tokens tokens; consecutive chunks share
+    exactly `overlap` tokens; the final chunk is the remainder; empty
+    docs vanish; overlap ≥ chunk_tokens is rejected."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from distributed_mapreduce_spark.operators.packing import chunk_fixed
+
+    # letter-only tokens (the letter-run tokenizer drops digits)
+    toks = [
+        "w" + chr(ord("a") + i // 26) + chr(ord("a") + i % 26) for i in range(50)
+    ]
+    rows = [
+        (1, " ".join(toks)),   # 50 tokens: chunks at 0/24/48 → 32, 26, 2 tokens
+        (2, "a b c"),          # shorter than one chunk → single chunk of 3
+        (3, ""),               # empty → no rows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_fixed(docs, chunk_tokens=32, overlap=8)
+    got = {(r.id, r.chunk_idx): r for r in out.collect()}
+
+    assert set(got) == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    assert got[(1, 0)].n_chunk_tokens == 32
+    assert got[(1, 1)].n_chunk_tokens == 26
+    assert got[(1, 2)].n_chunk_tokens == 2
+    assert got[(2, 0)].n_chunk_tokens == 3
+
+    def md5_of(sl):
+        return hashlib.md5(" ".join(sl).encode()).hexdigest()
+
+    # boundary exactness: chunk k covers tokens [k·24, k·24+32)
+    assert got[(1, 0)].chunk_md5 == md5_of(toks[0:32])
+    assert got[(1, 1)].chunk_md5 == md5_of(toks[24:56])  # clamps to 50
+    assert got[(1, 2)].chunk_md5 == md5_of(toks[48:50])
+    # overlap property: chunk 0's last 8 tokens == chunk 1's first 8
+    assert toks[24:32] == toks[32 - 8 : 32]
+
+    with _pytest.raises(ValueError):
+        chunk_fixed(docs, chunk_tokens=8, overlap=8)
