@@ -152,3 +152,42 @@ def langid_guess(toks: Column, threshold: float = 0.04) -> Column:
         best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
         best_ratio = F.when(better, ratio).otherwise(best_ratio)
     return F.when(best_ratio >= F.lit(threshold), best_lang).otherwise(F.lit("unknown"))
+
+
+def unigram_entropy(
+    docs: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Per-document unigram Shannon entropy (nats): the
+    information-density quality signal of a cleaning pipeline. Returns
+    (id, n_tokens, n_distinct, entropy); empty documents have no row.
+
+    Determinism: each p·ln p term is rounded to 12 decimals and cast
+    to DECIMAL before the sum, so the aggregate is accumulation-order-
+    independent and a DuckDB oracle matches it bit-for-bit (see
+    queries/textops.text_q9_entropy for the full rationale).
+
+    Scale shape: one explode → (doc, token) keyed agg with map-side
+    partial aggregation (shuffle ∝ distinct pairs), then a per-doc
+    agg — scan-dominated, no joins."""
+    per = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.size(tokens(text_col)).alias("n_tokens"),
+            F.explode(tokens(text_col)).alias("tok"),
+        )
+        .groupBy("id", "n_tokens", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    p = F.col("c") / F.col("n_tokens").cast("double")
+    term = F.round(-p * F.log(p), 12).cast("decimal(22,12)")
+    return (
+        per.select("id", "n_tokens", term.alias("te"))
+        .groupBy("id", "n_tokens")
+        .agg(F.sum("te").alias("ent"), F.count("*").alias("nd"))
+        .select(
+            "id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("nd").cast("bigint").alias("n_distinct"),
+            F.round(F.col("ent"), 6).cast("double").alias("entropy"),
+        )
+    )

@@ -108,10 +108,12 @@ def decode_real(payload: bytes, modality: str) -> list[float]:
         return _decode_wav(payload)
     if modality == "video":
         return _decode_avi(payload)
-    raise NotImplementedError(
-        "real image decoding requires PIL; "
-        "use decode_any/decode_stub (deterministic fake) in this environment"
-    )
+    if modality == "image":  # reached only when Pillow is absent
+        raise NotImplementedError(
+            "real image decoding requires PIL; "
+            "use decode_any/decode_stub (deterministic fake) in this environment"
+        )
+    raise UnsupportedMediaError(f"no real decoder for modality {modality!r}")
 
 
 def _decode_wav(payload: bytes) -> list[float]:
@@ -201,8 +203,16 @@ def _decode_avi(payload: bytes) -> list[float]:
     stream_idx = -1
     frames: list[tuple[int, int]] = []
 
-    def walk(start: int, stop: int, ltype: bytes) -> None:
+    # A well-formed AVI nests LISTs a handful deep (hdrl→strl,
+    # movi→rec); bound the recursion so an adversarial tower of nested
+    # LIST chunks surfaces as the fallback-eligible parse error the
+    # module contract promises, not a RecursionError.
+    MAX_LIST_DEPTH = 32
+
+    def walk(start: int, stop: int, ltype: bytes, depth: int = 0) -> None:
         nonlocal video_stream, compression, stream_idx
+        if depth > MAX_LIST_DEPTH:
+            raise UnsupportedMediaError("AVI LIST nesting exceeds sane depth")
         off = start
         while off + 8 <= stop:
             cid = payload[off : off + 4]
@@ -210,7 +220,7 @@ def _decode_avi(payload: bytes) -> list[float]:
             body = off + 8
             bend = min(body + size, stop)
             if cid == b"LIST" and bend >= body + 4:
-                walk(body + 4, bend, payload[body : body + 4])
+                walk(body + 4, bend, payload[body : body + 4], depth + 1)
             elif cid == b"strh" and ltype == b"strl":
                 stream_idx += 1
                 if payload[body : body + 4] == b"vids" and video_stream is None:

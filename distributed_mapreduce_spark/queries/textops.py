@@ -27,6 +27,7 @@ from distributed_mapreduce_spark.functions.text import (
     stopword_ratio,
     token_count,
     tokens,
+    unigram_entropy,
     ws_token_count,
 )
 from distributed_mapreduce_spark.operators.dedup import (
@@ -732,36 +733,6 @@ def text_q9_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg — scan-dominated at 100 TB, no joins."""
     return unigram_entropy(widen(table(spark, sf_dir, "documents"))).select(
         F.col("id").alias("doc_id"), "n_tokens", "n_distinct", "entropy"
-    )
-
-
-def unigram_entropy(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Per-document unigram Shannon entropy core (see text_q9_entropy
-    for the determinism rationale): returns
-    (id, n_tokens, n_distinct, entropy)."""
-    per = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.size(tokens(text_col)).alias("n_tokens"),
-            F.explode(tokens(text_col)).alias("tok"),
-        )
-        .groupBy("id", "n_tokens", "tok")
-        .agg(F.count("*").alias("c"))
-    )
-    p = F.col("c") / F.col("n_tokens").cast("double")
-    term = F.round(-p * F.log(p), 12).cast("decimal(22,12)")
-    return (
-        per.select("id", "n_tokens", term.alias("te"))
-        .groupBy("id", "n_tokens")
-        .agg(F.sum("te").alias("ent"), F.count("*").alias("nd"))
-        .select(
-            "id",
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            F.col("nd").cast("bigint").alias("n_distinct"),
-            F.round(F.col("ent"), 6).cast("double").alias("entropy"),
-        )
     )
 
 

@@ -130,7 +130,7 @@ def test_unigram_entropy_bounds_and_known_values(spark):
     stream over k tokens, and always within [0, ln(n_distinct)]."""
     import math
 
-    from distributed_mapreduce_spark.queries.textops import unigram_entropy
+    from distributed_mapreduce_spark.functions.text import unigram_entropy
 
     rows = [
         (1, "same same same same"),             # constant → 0

@@ -377,6 +377,22 @@ def test_decode_avi_fuzz_never_hangs_or_crashes():
     for _ in range(50):
         check(base[: int(rng.randint(0, len(base)))])
 
+    # adversarial LIST tower: thousands of nested LIST chunks must hit
+    # the depth bound (UnsupportedMediaError), not RecursionError
+    import struct
+
+    depth = 5000
+    inner = b""
+    for _ in range(depth):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"nest" + inner
+    tower = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    from distributed_mapreduce_spark.operators.multimodal import (
+        UnsupportedMediaError,
+    )
+
+    with pytest.raises(UnsupportedMediaError):
+        decode_real(tower, "video")
+
 
 def test_blas_topk_agrees_with_jvm_topk(spark, emb):
     from distributed_mapreduce_spark.operators.similarity import (
