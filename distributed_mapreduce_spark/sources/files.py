@@ -82,3 +82,37 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan; filters and projected columns push into the reader
     exactly as with parquet (assert via PushedFilters in .explain)."""
     return spark.read.orc(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], dynamic: bool = False
+) -> None:
+    """Hive-layout partitioned parquet sink (`col=value/` directories)
+    — the write layout that makes 100 TB readable: a reader filtering
+    on a partition column prunes whole directories at planning time
+    (PartitionFilters in the scan, zero IO for pruned partitions), and
+    downstream jobs process partitions independently.
+
+    With dynamic=True, overwrite replaces ONLY the partitions present
+    in `df` (partitionOverwriteMode=dynamic) — the idempotent
+    daily-ingest pattern: re-running a day's load rewrites that day's
+    directory and leaves the rest of the dataset untouched. Static
+    overwrite (the default) replaces the whole dataset.
+
+    Scale notes: partition columns must be low-cardinality (date,
+    lang, source-shard) — a high-cardinality partition column creates
+    millions of directories and small files; repartition df by the
+    partition columns first so each partition's files come from few
+    tasks rather than every task writing into every partition."""
+    writer = df.repartition(*[F.col(c) for c in partition_cols]).write
+    if dynamic:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a Hive-layout partitioned dataset back; partition columns
+    are reconstructed from directory names and filters on them become
+    planning-time PartitionFilters (assert via .explain — pruned
+    partitions are never listed, opened, or scanned)."""
+    return spark.read.parquet(path)

@@ -144,3 +144,63 @@ def test_events_ts_normalizes_to_session_timestamp(spark, sf_dir, tmp_path):
     assert isinstance(df.schema["ts"].dataType, TimestampType)
     got = [r["ts"] for r in df.orderBy("event_id").collect()]
     assert got == [base, base + datetime.timedelta(hours=1)]
+
+
+def test_partitioned_write_prunes_and_roundtrips(spark, tmp_path):
+    """Hive-layout partitioned parquet (sources/files.py): the dataset
+    round-trips with the partition column reconstructed from directory
+    names, and a filter on the partition column prunes at PLANNING
+    time — the pruned partitions' files are never even listed as scan
+    inputs (the property that makes a 100 TB dataset readable)."""
+    from distributed_mapreduce_spark.sources.files import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    rows = [(i, ["en", "de", "fr"][i % 3], f"doc {i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    path = str(tmp_path / "part_ds")
+    write_partitioned(df, path, ["lang"])
+
+    back = read_partitioned(spark, path)
+    assert sorted((r.doc_id, r.lang, r.text) for r in back.collect()) == sorted(rows)
+
+    filtered = back.where(F.col("lang") == "en")
+    assert filtered.count() == 20
+    # planning-time pruning: the lang predicate must land in the
+    # scan's PartitionFilters (directory pruning — pruned partitions
+    # are never opened), NOT as a row-level PushedFilters/DataFilters
+    # predicate. (inputFiles() reflects the unfiltered relation, so
+    # the plan is the right place to assert.)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    part_clause = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_clause, plan
+    assert any("lang" in ln and "en" in ln for ln in part_clause), part_clause
+
+
+def test_partitioned_dynamic_overwrite_touches_only_written_partitions(spark, tmp_path):
+    """partitionOverwriteMode=dynamic: rewriting one partition's data
+    replaces that directory only — the idempotent daily-ingest
+    pattern. Static overwrite would drop the other partitions."""
+    from distributed_mapreduce_spark.sources.files import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    schema = "doc_id long, lang string, text string"
+    full = spark.createDataFrame(
+        [(1, "en", "one"), (2, "de", "zwei"), (3, "fr", "trois")], schema
+    )
+    path = str(tmp_path / "dyn_ds")
+    write_partitioned(full, path, ["lang"])
+
+    patch = spark.createDataFrame([(2, "de", "zwei NEU"), (4, "de", "vier")], schema)
+    write_partitioned(patch, path, ["lang"], dynamic=True)
+
+    back = {(r.doc_id, r.lang): r.text for r in read_partitioned(spark, path).collect()}
+    assert back == {
+        (1, "en"): "one",          # untouched partition survives
+        (3, "fr"): "trois",        # untouched partition survives
+        (2, "de"): "zwei NEU",     # rewritten
+        (4, "de"): "vier",         # added
+    }
