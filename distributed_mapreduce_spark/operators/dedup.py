@@ -363,6 +363,7 @@ def dup_span_coverage(
     span_n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Per-document duplicate-span coverage — the signal behind
     suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
@@ -379,15 +380,21 @@ def dup_span_coverage(
     explode positional grams once, aggregate to per-(doc, gram) counts
     (map-side partial agg, shuffle ∝ distinct pairs), derive corpus
     frequency from those counts with a second keyed agg, and semi-join
-    the duplicated grams back. No all-pairs stage; at 100 TB the gram
-    key would be a 64-bit hash instead of the string (the string form
-    keeps the DuckDB oracle hash-free). The per-(doc, gram) table is
-    read by three subtrees, so it is persisted (cache lifetime: see
-    the convention note on jaccard_pairs)."""
+    the duplicated grams back. No all-pairs stage. hash_grams=True is
+    the 100 TB form: the gram key becomes xxhash64(gram) before any
+    shuffle, cutting shuffle bytes ~6× (8-byte key vs ~50-byte
+    string) at the cost of a vanishing collision probability
+    (n²/2⁶⁵); results are identical unless two distinct grams collide.
+    The default string form keeps the DuckDB oracle hash-free. The
+    per-(doc, gram) table is read by three subtrees, so it is
+    persisted (cache lifetime: see the convention note on
+    jaccard_pairs)."""
     grams = docs.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(tokens(text_col), span_n)).alias("gram"),
     )
+    if hash_grams:
+        grams = grams.select("id", F.xxhash64("gram").alias("gram"))
     per = grams.groupBy("id", "gram").agg(F.count("*").alias("c")).persist()
     dup = (
         per.groupBy("gram")

@@ -146,3 +146,17 @@ def test_unigram_entropy_bounds_and_known_values(spark):
     assert abs(out[3].entropy - h3) < 1e-6
     for r in out.values():
         assert 0.0 <= r.entropy <= math.log(max(r.n_distinct, 1)) + 1e-9
+
+
+def test_dup_span_hash_grams_equivalent(spark, docs):
+    """The hash_grams=True scale form (64-bit gram keys instead of
+    ~50-byte strings in the shuffle) produces the identical coverage
+    table on the fixture corpus — collisions are the only way the two
+    can diverge."""
+    from distributed_mapreduce_spark.operators.dedup import dup_span_coverage
+
+    plain = {tuple(r) for r in dup_span_coverage(docs, span_n=8).collect()}
+    hashed = {
+        tuple(r) for r in dup_span_coverage(docs, span_n=8, hash_grams=True).collect()
+    }
+    assert plain == hashed and plain
