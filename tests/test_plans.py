@@ -152,3 +152,30 @@ def test_ivf_build_has_no_window_exchange(spark, sf_dir):
     p = plans.physical_plan(sim_q3_ivf_topk(spark, sf_dir))
     assert "Window" not in p
     plans.assert_partial_agg(sim_q3_ivf_topk(spark, sf_dir))
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """text_q10's scan-speed claim, asserted: the chunk generator is a
+    pure projection pipeline — no KEYED shuffle anywhere (the only
+    Exchange is widen()'s deliberate round-robin fan-out of the
+    single-file fixture scan, which disappears on a real
+    multi-partition table)."""
+    from distributed_mapreduce_spark.queries.textops import text_q10_chunks
+
+    p = plans.physical_plan(text_q10_chunks(spark, sf_dir))
+    assert "hashpartitioning" not in p, p
+    assert "rangepartitioning" not in p, p
+    assert "Generate" in p  # posexplode fan-out stays executor-side
+
+
+def test_dup_spans_partial_agg_and_semi_join(spark, sf_dir):
+    """dedup_q9's scale shape, asserted: keyed aggregations carry
+    map-side partial aggregation (shuffle ∝ distinct (doc, gram)
+    pairs, not gram occurrences) and the duplicated-gram membership
+    probe is a semi join, never a pair-space join."""
+    from distributed_mapreduce_spark.queries.textops import dedup_q9_dup_spans
+
+    df = dedup_q9_dup_spans(spark, sf_dir)
+    plans.assert_partial_agg(df)
+    p = plans.physical_plan(df)
+    assert "LeftSemi" in p, p
