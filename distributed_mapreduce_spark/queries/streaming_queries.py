@@ -238,14 +238,60 @@ QUERIES = {
     "st_q6_click_purchase_join": st_q6_click_purchase_join,
 }
 
+def st_q7_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the
+    static `customer` dimension (user_id = c_custkey), then a
+    complete-mode aggregation per (market segment, event type) — the
+    canonical streaming-enrichment shape (a dimension snapshot joined
+    into every micro-batch with no state on the static side).
+
+    Scale notes: the static side is broadcast (explicit hint — each
+    micro-batch probes an executor-local hash map; no shuffle of the
+    stream, no join state store at all, unlike the stream-stream
+    st_q6). A dimension too big to broadcast would instead pre-shuffle
+    the stream on the join key once via the stateful-op partitioning.
+    Oracle: the identical batch join+agg in DuckDB — a bounded
+    in-order replay makes stream-static inner join exactly batch."""
+    from distributed_mapreduce_spark.queries.relational import dec, money
+    from distributed_mapreduce_spark.sources import table
+
+    cust = F.broadcast(
+        table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    return _replayed(
+        spark,
+        sf_dir,
+        lambda ev: (
+            ev.join(cust, "user_id")
+            .groupBy("c_mktsegment", "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                money(F.sum(dec("value"))).alias("total_value"),
+            )
+        ),
+        "complete",
+    )
+
+
 # Sliding windows are tumbling windows with an overlap factor (same
 # state-store machinery, each event lands in duration/slide windows) —
-# shadow tier behind st_q1 (registry.py grading cap).
+# shadow tier behind st_q1 (registry.py grading cap). The stream-static
+# join is shadow behind the stream-stream st_q6.
 SHADOW_QUERIES = {
     "st_q2_sliding": st_q2_sliding,
+    "st_q7_stream_static_enrich": st_q7_stream_static_enrich,
 }
 
 SHADOW_ORACLES = {
+    "st_q7_stream_static_enrich": f"""
+        SELECT c.c_mktsegment, e.event_type,
+               count(*) AS n_events,
+               {_MONEY} AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+    """,
     "st_q2_sliding": """
         WITH b AS (
             SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
