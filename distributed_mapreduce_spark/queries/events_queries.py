@@ -204,6 +204,63 @@ ORACLES = {
     """,
 }
 
+def ev_q7_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (signup → click → purchase): per user,
+    the earliest signup, the earliest click at-or-after that signup,
+    and the earliest purchase at-or-after that click — the
+    order-constrained conversion analysis that a bare per-type pivot
+    (ev_q3) cannot express, plus the stage the user reached (0–3).
+    Timestamps compare as exact microsecond instants, so the oracle
+    matches bit-for-bit.
+
+    Scale shape: three conditional min-aggregations keyed on user_id.
+    The first is a plain groupBy; the later stages need the previous
+    stage's timestamp, so they join the (tiny, one-row-per-user) stage
+    table back to the events and re-aggregate — each pass shuffles the
+    events once on user_id, and AQE broadcasts the per-user stage
+    tables. A window formulation would also work but sorts every
+    user's events; the conditional-min form only aggregates."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    users = ev.select("user_id").distinct()
+    stage = (
+        F.when(F.col("purchase_ts").isNotNull(), 3)
+        .when(F.col("click_ts").isNotNull(), 2)
+        .when(F.col("signup_ts").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(s, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "signup_ts",
+            "click_ts",
+            "purchase_ts",
+            stage.cast("int").alias("stage"),
+        )
+    )
+
+
 QUERIES = {
     "ev_q1_json_extract": ev_q1_json_extract,
     "ev_q2_sessionize": ev_q2_sessionize,
@@ -217,9 +274,39 @@ QUERIES = {
 # tumbling-window twin st_q1, so it rides the shadow tier (registry.py).
 SHADOW_QUERIES = {
     "ev_q4_daily_active": ev_q4_daily_active,
+    "ev_q7_funnel": ev_q7_funnel,
 }
 
 SHADOW_ORACLES = {
+    # Mirrors ev_q7_funnel stage by stage (conditional mins chained on
+    # the previous stage's timestamp).
+    "ev_q7_funnel": """
+        WITH s AS (
+            SELECT user_id, min(ts) AS signup_ts
+            FROM events WHERE event_type = 'signup' GROUP BY 1
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS click_ts
+            FROM events e JOIN s ON e.user_id = s.user_id
+            WHERE e.event_type = 'click' AND e.ts >= s.signup_ts
+            GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS purchase_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+            GROUP BY 1
+        )
+        SELECT u.user_id, s.signup_ts, c.click_ts, p.purchase_ts,
+               CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+                         WHEN c.click_ts IS NOT NULL THEN 2
+                         WHEN s.signup_ts IS NOT NULL THEN 1
+                         ELSE 0 END AS INT) AS stage
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN s ON u.user_id = s.user_id
+        LEFT JOIN c ON u.user_id = c.user_id
+        LEFT JOIN p ON u.user_id = p.user_id
+    """,
     "ev_q4_daily_active": """
         SELECT CAST(ts AS DATE) AS day,
                count(DISTINCT user_id) AS active_users,
