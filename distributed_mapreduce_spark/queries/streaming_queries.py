@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_spark.operators.kv import _FOLD_SQL, ops_projection
+from distributed_mapreduce_spark.queries.relational import dec, money
+from distributed_mapreduce_spark.sources import table
 from distributed_mapreduce_spark.streaming.replay import (
     event_stream,
     run_available_now,
@@ -252,9 +254,6 @@ def st_q7_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stream on the join key once via the stateful-op partitioning.
     Oracle: the identical batch join+agg in DuckDB — a bounded
     in-order replay makes stream-static inner join exactly batch."""
-    from distributed_mapreduce_spark.queries.relational import dec, money
-    from distributed_mapreduce_spark.sources import table
-
     cust = F.broadcast(
         table(spark, sf_dir, "customer").select(
             F.col("c_custkey").alias("user_id"), "c_mktsegment"

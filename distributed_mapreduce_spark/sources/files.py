@@ -85,7 +85,11 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_partitioned(
-    df: DataFrame, path: str, partition_cols: list[str], dynamic: bool = False
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    dynamic: bool = False,
+    files_per_partition: int = 1,
 ) -> None:
     """Hive-layout partitioned parquet sink (`col=value/` directories)
     — the write layout that makes 100 TB readable: a reader filtering
@@ -101,12 +105,33 @@ def write_partitioned(
 
     Scale notes: partition columns must be low-cardinality (date,
     lang, source-shard) — a high-cardinality partition column creates
-    millions of directories and small files; repartition df by the
-    partition columns first so each partition's files come from few
-    tasks rather than every task writing into every partition."""
-    writer = df.repartition(*[F.col(c) for c in partition_cols]).write
-    if dynamic:
-        writer = writer.option("partitionOverwriteMode", "dynamic")
+    millions of directories and small files. The pre-write repartition
+    keys on the partition columns so each directory's files come from
+    few tasks rather than every task writing into every partition; but
+    keyed alone, one hot partition value funnels through ONE task, so
+    `files_per_partition` adds a deterministic spread key (xxhash64 of
+    the full row — NOT rand(), whose non-deterministic partitioning
+    can drop/duplicate rows when a task retries) giving each partition
+    value up to that many writer tasks/files. Size it to hot-partition
+    volume ÷ target file size (~128 MB-1 GB files)."""
+    if not partition_cols:
+        raise ValueError("partition_cols must be non-empty; use a plain write otherwise")
+    keys = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        spread = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per_partition)
+        )
+        keys.append(spread)
+        # Explicit numPartitions: a bare keyed repartition is an AQE
+        # coalesce target, which would merge the spread right back into
+        # one task at small volume and defeats the hot-partition split.
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        part = df.repartition(max(n, files_per_partition), *keys)
+    else:
+        part = df.repartition(*keys)
+    writer = part.write.option(
+        "partitionOverwriteMode", "dynamic" if dynamic else "static"
+    )
     writer.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 

@@ -204,3 +204,48 @@ def test_partitioned_dynamic_overwrite_touches_only_written_partitions(spark, tm
         (2, "de"): "zwei NEU",     # rewritten
         (4, "de"): "vier",         # added
     }
+
+
+def test_partitioned_write_spread_key_and_guards(spark, tmp_path):
+    """files_per_partition > 1 splits a hot partition value across
+    multiple files (write parallelism within a partition) with zero
+    data loss; empty partition_cols is rejected; static overwrite is
+    pinned per-write, immune to a session-level dynamic default."""
+    import pathlib
+
+    import pytest as _pytest
+
+    from distributed_mapreduce_spark.sources.files import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    schema = "doc_id long, lang string, text string"
+    rows = [(i, "en", f"doc {i}") for i in range(40)]  # one hot partition
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "spread_ds")
+    write_partitioned(df, path, ["lang"], files_per_partition=4)
+
+    back = read_partitioned(spark, path)
+    assert sorted((r.doc_id, r.lang, r.text) for r in back.collect()) == sorted(rows)
+    files = list((pathlib.Path(path) / "lang=en").glob("part-*.parquet"))
+    assert len(files) > 1, "hot partition should split across writer files"
+
+    with _pytest.raises(ValueError, match="partition_cols"):
+        write_partitioned(df, path, [])
+
+    # static overwrite must replace the WHOLE dataset even when the
+    # session default is dynamic
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        full = spark.createDataFrame(
+            [(1, "en", "one"), (2, "de", "zwei")], schema
+        )
+        p2 = str(tmp_path / "static_ds")
+        write_partitioned(full, p2, ["lang"])
+        only_fr = spark.createDataFrame([(3, "fr", "trois")], schema)
+        write_partitioned(only_fr, p2, ["lang"])  # static: replaces all
+        left = [(r.doc_id, r.lang) for r in read_partitioned(spark, p2).collect()]
+        assert left == [(3, "fr")]
+    finally:
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
