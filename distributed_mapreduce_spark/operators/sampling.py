@@ -78,3 +78,59 @@ def split_train_holdout(
     layout-independence argument as stratified_sample)."""
     b = hash_bucket(key_col, buckets)
     return df.where(b >= holdout_pct), df.where(b < holdout_pct)
+
+
+# 12 md5 hex digits: 48 bits of uniformity, exact in a double (< 2^53)
+# on both engines.
+_U_DENOM = float(16**12 + 1)
+
+
+def hash_uniform(key) -> F.Column:
+    """Deterministic uniform in (0, 1): 12-hex-digit md5 prefix mapped
+    to (h+1)/(16¹²+1) — never 0 (safe under ln) and never 1.
+    Layout-independent for the same reason as hash_bucket, and
+    bit-identical in DuckDB (hash_uniform_sql)."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast("double")
+    return (h + F.lit(1.0)) / F.lit(_U_DENOM)
+
+
+def hash_uniform_sql(key_sql: str) -> str:
+    return (
+        f"((('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 12))::BIGINT"
+        f" + 1.0) / {_U_DENOM!r})"
+    )
+
+
+def weighted_sample_k(
+    df: DataFrame, strata_col: str, weight_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement, k per stratum —
+    Efraimidis–Spirakis A-ES with the randomness replaced by the
+    content-addressed uniform: keep the k rows maximizing ln(u)/w
+    (⟺ maximizing u^(1/w); ln u < 0, w > 0 required). This is the
+    temperature-mixing step of corpus curation (sample long/valuable
+    documents proportionally more) with the same reproducibility
+    contract as stratified_sample: the selected ROWS depend only on
+    content, never on layout, cluster width, or run count.
+
+    The score is rounded to 12 decimals before ranking (with a key
+    tiebreak) so both engines rank identically even at float-ulp
+    score gaps. Scale shape: one window shuffle on the stratum key —
+    same plan as mix_q3's uniform k-per-stratum cousin.
+
+    Rows with weight ≤ 0 are excluded (their u^(1/w) is undefined)."""
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    score = F.round(F.log(hash_uniform(key_col)) / w, 12)
+    win = Window.partitionBy(strata_col).orderBy(
+        score.desc(), F.col(key_col).asc()
+    )
+    return (
+        df.where(w > 0)
+        .withColumn("__rk", F.row_number().over(win))
+        .where(F.col("__rk") <= k)
+        .withColumn("rk", F.col("__rk").cast("bigint"))
+        .drop("__rk")
+    )

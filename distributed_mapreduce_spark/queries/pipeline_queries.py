@@ -19,8 +19,10 @@ from distributed_mapreduce_spark.operators.dedup import doc_shingles
 from distributed_mapreduce_spark.operators.packing import pack_greedy
 from distributed_mapreduce_spark.operators.sampling import (
     hash_bucket_sql,
+    hash_uniform_sql,
     split_train_holdout,
     stratified_sample,
+    weighted_sample_k,
 )
 from distributed_mapreduce_spark.sources import table, widen
 
@@ -86,6 +88,20 @@ def mix_q3_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= K_PER_STRATUM)
         .select("lang", "doc_id", "source", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+WEIGHTED_K = 6
+
+
+def mix_q5_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional k-per-stratum sample (Efraimidis–Spirakis
+    over the content-addressed uniform — operators/sampling.
+    weighted_sample_k): 6 documents per language, selection probability
+    ∝ n_chars — the temperature-mixing sampler next to mix_q3's uniform
+    cousin. Graded on the exact selected ROW SET."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    kept = weighted_sample_k(docs, "lang", "n_chars", "doc_id", WEIGHTED_K)
+    return kept.select("lang", "doc_id", "n_chars", "rk")
 
 
 def contam_q1_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,9 +237,26 @@ QUERIES = {
 # stratified sampling — shadow tier (registry.py grading cap).
 SHADOW_QUERIES = {
     "mix_q2_train_holdout": mix_q2_train_holdout,
+    "mix_q5_weighted_sample": mix_q5_weighted_sample,
 }
 
 SHADOW_ORACLES = {
+    # Same A-ES score, same 12-dec round, same tiebreak.
+    "mix_q5_weighted_sample": f"""
+        WITH scored AS (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY round(ln({hash_uniform_sql("doc_id")})
+                                      / CAST(n_chars AS DOUBLE), 12) DESC,
+                                doc_id ASC
+                   ) AS rk
+            FROM documents
+            WHERE CAST(n_chars AS DOUBLE) > 0
+        )
+        SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+        FROM scored WHERE rk <= {WEIGHTED_K}
+    """,
     "mix_q2_train_holdout": f"""
         SELECT CASE WHEN {_BUCKET} < {HOLDOUT_PCT} THEN 'holdout' ELSE 'train' END AS split,
                count(*) AS n_docs,

@@ -736,6 +736,60 @@ def text_q9_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+
+def text_q11_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PMI bigram collocations: pointwise mutual information
+    ln(p(xy) / (p(x)·p(y))) over adjacent word pairs with min support
+    PMI_MIN_COUNT, top PMI_TOP by (rounded score, bigram) — the
+    corpus statistic behind collocation mining and BPE-style vocab
+    induction. Ranked on the ROUNDED score with a lexical tiebreak so
+    engine float ties cannot flip ranks (the text_q8 discipline).
+
+    Scale shape: unigram and bigram keyed aggregations (map-side
+    partial agg) + two vocabulary-sized broadcast joins, then a global
+    TakeOrdered of PMI_TOP rows. The corpus totals arrive as driver
+    scalars (two bounded count jobs)."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    toks = docs.select(tokens("text").alias("ts"))
+    totals = toks.select(
+        F.sum(F.size("ts")).alias("nu"),
+        F.sum(F.greatest(F.size("ts") - 1, F.lit(0))).alias("nb"),
+    ).collect()[0]
+    nu, nb = float(totals.nu), float(totals.nb)
+    uni = (
+        toks.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    bg = F.split(F.col("bg"), " ")
+    big = (
+        toks.select(F.explode(shingles(F.col("ts"), 2)).alias("bg"))
+        .select(bg[0].alias("w1"), bg[1].alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= PMI_MIN_COUNT)
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c") / F.lit(nb))
+            / ((F.col("c1") / F.lit(nu)) * (F.col("c2") / F.lit(nu)))
+        ),
+        6,
+    )
+    return (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select("w1", "w2", "c", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP)
+    )
+
+
 CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8
 
 
@@ -777,6 +831,7 @@ SHADOW_QUERIES = {
     "text_q9_entropy": text_q9_entropy,
     "dedup_q10_source_overlap": dedup_q10_source_overlap,
     "text_q10_chunks": text_q10_chunks,
+    "text_q11_pmi": text_q11_pmi,
 }
 
 # SPAN_N-gram concat expression for the dedup_q9 oracle (i is the
@@ -814,6 +869,50 @@ SHADOW_ORACLES = {
                CAST(round(coalesce(n_dup, 0) / n_spans, 6) >= {DUP_SPAN_FLAG} AS INT)
                    AS flagged
         FROM stats LEFT JOIN hits ON stats.doc_id = hits.doc_id
+    """,
+    # Mirrors text_q11_pmi: identical probability expression shape and
+    # 6-dec round; corpus totals inlined as subquery scalars (DuckDB
+    # folds them), rank on (rounded pmi, w1, w2).
+    "text_q11_pmi": f"""
+        WITH t AS (SELECT {_TOKS_SQL} AS ts FROM documents),
+        uni AS (
+            SELECT tok, count(*) AS c
+            FROM (SELECT unnest(ts) AS tok FROM t) GROUP BY 1
+        ),
+        big AS (
+            SELECT w1, w2, count(*) AS c
+            FROM (
+                SELECT unnest(list_transform(range(1, greatest(len(ts), 1)),
+                                             i -> ts[i])) AS w1,
+                       unnest(list_transform(range(1, greatest(len(ts), 1)),
+                                             i -> ts[i+1])) AS w2
+                FROM t
+            )
+            WHERE w2 IS NOT NULL
+            GROUP BY 1, 2
+            HAVING count(*) >= {PMI_MIN_COUNT}
+        ),
+        big_all AS (
+            SELECT count(*) AS c
+            FROM (
+                SELECT unnest(list_transform(range(1, greatest(len(ts), 1)),
+                                             i -> ts[i+1])) AS w2
+                FROM t
+            )
+            WHERE w2 IS NOT NULL
+        ),
+        tot AS (
+            SELECT CAST((SELECT sum(c) FROM uni) AS DOUBLE) AS nu,
+                   CAST((SELECT c FROM big_all) AS DOUBLE) AS nb
+        )
+        SELECT b.w1, b.w2, b.c,
+               round(ln((b.c / nb) / ((u1.c / nu) * (u2.c / nu))), 6) AS pmi
+        FROM big b
+        JOIN uni u1 ON b.w1 = u1.tok
+        JOIN uni u2 ON b.w2 = u2.tok
+        CROSS JOIN tot
+        ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC
+        LIMIT {PMI_TOP}
     """,
     # Mirrors chunk_fixed: starts 0, s, 2s… inside the doc; DuckDB list
     # slice ts[a:b] is 1-based inclusive, so chunk = ts[start+1 :

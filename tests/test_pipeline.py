@@ -209,3 +209,38 @@ def test_chunk_fixed_boundaries_and_overlap(spark):
 
     with _pytest.raises(ValueError):
         chunk_fixed(docs, chunk_tokens=8, overlap=8)
+
+
+def test_weighted_sample_k_properties(spark):
+    """weighted_sample_k (A-ES over the content-addressed uniform):
+    exactly k rows per stratum, non-positive weights excluded, the
+    selected ROW SET is layout-independent, and selection is
+    weight-monotone in aggregate (a 100×-weight row group wins far
+    more slots than its count share)."""
+    from distributed_mapreduce_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, "s", 1000 if i < 20 else 10) for i in range(200)]
+    rows += [(1000 + i, "t", 50) for i in range(10)]
+    rows += [(2000, "t", 0), (2001, "t", -5)]  # excluded: w <= 0
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+    kept = weighted_sample_k(df, "lang", "n_chars", "doc_id", 10)
+    by_stratum = {}
+    for r in kept.collect():
+        by_stratum.setdefault(r.lang, []).append(r)
+    assert len(by_stratum["s"]) == 10
+    # stratum t has 10 positive-weight rows: all kept, w<=0 never
+    assert sorted(r.doc_id for r in by_stratum["t"]) == [1000 + i for i in range(10)]
+    # heavy rows are 10% of stratum s but ~100x the weight: they must
+    # take well over their count share of the 10 slots (deterministic
+    # given the md5 uniform; observed 7/10 at these parameters)
+    heavy = sum(1 for r in by_stratum["s"] if r.doc_id < 20)
+    assert heavy >= 5, f"only {heavy}/10 heavy rows selected"
+
+    # layout-independence: same rows after an adversarial repartition
+    re_kept = weighted_sample_k(
+        df.repartition(7, "doc_id"), "lang", "n_chars", "doc_id", 10
+    )
+    assert {(r.lang, r.doc_id) for r in re_kept.collect()} == {
+        (r.lang, r.doc_id) for r in kept.collect()
+    }
