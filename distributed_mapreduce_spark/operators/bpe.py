@@ -1,0 +1,154 @@
+"""BPE merge training ([EXT] — the vocabulary-induction step of an LLM
+pipeline): learn the top-N byte-pair merges from a corpus, distributed.
+
+Algorithm (Sennrich et al. 2016, word-internal BPE): represent each
+WORD TYPE as its character-symbol sequence with the word's corpus
+frequency; repeatedly (1) count adjacent symbol pairs weighted by word
+frequency, (2) take the most frequent pair (deterministic lexicographic
+tiebreak), (3) merge every non-overlapping occurrence left-to-right.
+
+Why this decomposition scales: the iteration state is the WORD-TYPE
+table (vocabulary-sized — millions of rows at 100 TB corpus scale, not
+corpus-sized), built once by the same keyed wordcount aggregation as
+mr_q1. Each round is one pair-count aggregation (map-side partial agg,
+shuffle ∝ distinct pairs) + a 1-row driver argmax (the bounded-collect
+kind) + an Arrow-batched merge application. Lineage is truncated every
+few rounds with localCheckpoint, the same discipline as
+operators/components.py's iterative min-label loop.
+
+The merge application is genuinely sequential per word (leftmost-first,
+non-overlapping) — a per-row Python fold over a vocabulary-sized table
+via mapInPandas, not a corpus scan; the corpus itself is touched once.
+
+Correctness gate: tests/test_bpe.py replays the identical algorithm as
+a pure sequential Python fold (the run_mapreduce/testing.py pattern)
+and asserts the learned merge tables are equal, plus golden merges on a
+hand-computable corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.functions.text import tokens
+
+# Truncate iteration lineage every K merge rounds: each round stacks a
+# mapInPandas + aggregation on the plan; unchecked, analysis cost grows
+# superlinearly with merges (same rationale as components.MAX_ITERS).
+CHECKPOINT_EVERY = 8
+
+END = "</w>"  # end-of-word marker (standard BPE; lets merges learn suffixes)
+
+
+def word_types(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(symbols array<string>, freq bigint) — one row per word TYPE:
+    characters + end-of-word marker, weighted by corpus frequency.
+    This is the one corpus-wide pass; everything after iterates on the
+    vocabulary."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.concat(F.split("w", ""), F.array(F.lit(END))).alias("symbols"),
+            "freq",
+        )
+    )
+
+
+def _merge_symbols(symbols: list[str], left: str, right: str) -> list[str]:
+    """Leftmost-first non-overlapping merge of (left, right) → left+right."""
+    out: list[str] = []
+    i = 0
+    n = len(symbols)
+    while i < n:
+        if i + 1 < n and symbols[i] == left and symbols[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text") -> list[dict]:
+    """Learn `n_merges` BPE merges; returns the merge table as a list
+    of {rank, left, right, pair_count} dicts (driver-sized: one row
+    per merge — the artifact a tokenizer ships)."""
+    import pandas as pd
+
+    spark = docs.sparkSession
+    vocab = word_types(docs, text_col).localCheckpoint()
+    merges: list[dict] = []
+    for rank in range(n_merges):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("symbols", 1, F.size("symbols") - 1).alias("l"),
+                        F.slice("symbols", 2, F.size("symbols") - 1).alias("r"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        # deterministic argmax: highest count, then lexicographic pair —
+        # a bounded 1-row collect (the driver never sees the vocabulary)
+        top = pairs.orderBy(
+            F.desc("pair_count"), F.asc("left"), F.asc("right")
+        ).first()
+        if top is None or top.pair_count is None:
+            break
+        left, right = top.left, top.right
+        merges.append(
+            {
+                "rank": rank,
+                "left": left,
+                "right": right,
+                "pair_count": int(top.pair_count),
+            }
+        )
+
+        def apply(batches, left=left, right=right):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "symbols": [
+                            _merge_symbols(list(s), left, right)
+                            for s in pdf["symbols"]
+                        ],
+                        "freq": pdf["freq"],
+                    }
+                )
+
+        vocab = vocab.mapInPandas(apply, schema="symbols array<string>, freq bigint")
+        if (rank + 1) % CHECKPOINT_EVERY == 0:
+            vocab = vocab.localCheckpoint()
+    return merges
+
+
+def bpe_train_sequential(word_freqs: dict[str, int], n_merges: int) -> list[dict]:
+    """Pure-Python sequential oracle: the identical algorithm over a
+    {word: freq} dict (tests compare bpe_train against this — the
+    testing.py mrsequential pattern)."""
+    from collections import Counter
+
+    vocab = {w: [*w, END] for w in word_freqs}
+    merges: list[dict] = []
+    for rank in range(n_merges):
+        counts: Counter = Counter()
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (left, right), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append({"rank": rank, "left": left, "right": right, "pair_count": c})
+        vocab = {w: _merge_symbols(s, left, right) for w, s in vocab.items()}
+    return merges
