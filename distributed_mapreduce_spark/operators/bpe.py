@@ -152,3 +152,48 @@ def bpe_train_sequential(word_freqs: dict[str, int], n_merges: int) -> list[dict
         merges.append({"rank": rank, "left": left, "right": right, "pair_count": c})
         vocab = {w: _merge_symbols(s, left, right) for w, s in vocab.items()}
     return merges
+
+
+def bpe_encode(
+    docs: DataFrame, merges: list[dict], text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Tokenize with a learned merge table: per document, split words
+    to character symbols and apply every merge in rank order
+    (leftmost-first, the training rule) — returns
+    (id, n_words, n_symbols) where n_symbols is the document's BPE
+    token count, the unit an LLM pipeline bills by once the vocab is
+    fixed.
+
+    Scale shape: the merge table is a driver-side list (one row per
+    merge — broadcast by closure) and encoding is a pure per-row map
+    over an Arrow batch: corpus-scan speed, no shuffle beyond the
+    final per-doc aggregation (which the select avoids entirely —
+    counts are computed in the same pass)."""
+    import pandas as pd
+
+    ordered = [(m["left"], m["right"]) for m in sorted(merges, key=lambda m: m["rank"])]
+
+    def encode_word(w: str) -> int:
+        syms = [*w, END]
+        for left, right in ordered:
+            if len(syms) < 2:
+                break
+            syms = _merge_symbols(syms, left, right)
+        return len(syms)
+
+    def run(batches):
+        for pdf in batches:
+            n_words = []
+            n_symbols = []
+            for toks_ in pdf["ts"]:
+                words = list(toks_)
+                n_words.append(len(words))
+                n_symbols.append(sum(encode_word(w) for w in words))
+            yield pd.DataFrame(
+                {"id": pdf["id"], "n_words": n_words, "n_symbols": n_symbols}
+            )
+
+    prepped = docs.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("ts")
+    )
+    return prepped.mapInPandas(run, schema="id bigint, n_words bigint, n_symbols bigint")

@@ -59,3 +59,40 @@ def test_bpe_distributed_equals_sequential(spark, sf_dir):
     # merged tokens actually grow: the last merge's parts must include
     # at least one multi-char symbol or the end marker
     assert any(len(m["left"]) > 1 or m["right"] == END for m in dist)
+
+
+def test_bpe_encode_compresses_and_bounds(spark, sf_dir):
+    """Encoding with learned merges: every document's BPE token count
+    is ≤ its raw symbol count (chars + end markers) and ≥ its word
+    count (a word never merges past one symbol... except fully-merged
+    single-symbol words, which still count 1) — and more merges never
+    increase any document's count."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.functions.text import tokens
+    from distributed_mapreduce_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, 12)
+    enc = {r.id: r for r in bpe_encode(docs, merges).collect()}
+    enc0 = {r.id: r for r in bpe_encode(docs, []).collect()}
+    raw = {
+        r.doc_id: (r.nw, r.nc)
+        for r in docs.select(
+            "doc_id",
+            F.size(tokens("text")).alias("nw"),
+            F.aggregate(
+                F.transform(tokens("text"), lambda w: F.length(w) + 1),
+                F.lit(0),
+                lambda a, x: a + x,
+            ).alias("nc"),
+        ).collect()
+    }
+    assert set(enc) == set(raw)
+    for did, r in enc.items():
+        nw, nc = raw[did]
+        assert r.n_words == nw
+        assert enc0[did].n_symbols == nc  # zero merges = raw symbols
+        assert nw <= r.n_symbols <= nc
+    # merges strictly helped somewhere
+    assert any(enc[d].n_symbols < enc0[d].n_symbols for d in enc)
