@@ -261,6 +261,36 @@ def ev_q7_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RETENTION_MAX_OFFSET = 7
+
+
+def ev_q8_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    as active on each of the following RETENTION_MAX_OFFSET days — the
+    (cohort day, day offset) → active-users matrix behind every
+    retention curve. Pure date arithmetic (exact integers on both
+    engines).
+
+    Scale shape: distinct (user, day) activity (keyed agg), a
+    per-user min (keyed agg), one equi-join back on user_id, and the
+    final matrix agg — every stage shuffles on user_id or the tiny
+    matrix key; the activity table is ∝ active user-days, far below
+    raw event volume."""
+    act = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    off = F.datediff("day", "cohort_day")
+    return (
+        act.join(first, "user_id")
+        .where(off <= RETENTION_MAX_OFFSET)
+        .groupBy("cohort_day", off.cast("bigint").alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 QUERIES = {
     "ev_q1_json_extract": ev_q1_json_extract,
     "ev_q2_sessionize": ev_q2_sessionize,
@@ -275,9 +305,24 @@ QUERIES = {
 SHADOW_QUERIES = {
     "ev_q4_daily_active": ev_q4_daily_active,
     "ev_q7_funnel": ev_q7_funnel,
+    "ev_q8_retention": ev_q8_retention,
 }
 
 SHADOW_ORACLES = {
+    # Mirrors ev_q8_retention: DuckDB date subtraction yields integer
+    # days = Spark datediff.
+    "ev_q8_retention": f"""
+        WITH a AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+        SELECT f.cohort_day,
+               CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
+               count(DISTINCT a.user_id) AS n_active
+        FROM a JOIN f ON a.user_id = f.user_id
+        WHERE a.day - f.cohort_day <= {RETENTION_MAX_OFFSET}
+        GROUP BY 1, 2
+    """,
     # Mirrors ev_q7_funnel stage by stage (conditional mins chained on
     # the previous stage's timestamp).
     "ev_q7_funnel": """
