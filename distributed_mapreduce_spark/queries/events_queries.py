@@ -291,6 +291,51 @@ def ev_q8_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_q9_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with forward-fill — the time-series
+    gap-filling operator (regularize an irregular event stream onto an
+    hourly grid; empty hours carry the last observed value forward):
+    per user, the grid spans their first..last active hour; each
+    hour's observation is the value of the LATEST event in that hour
+    (deterministic (ts, event_id) tiebreak); gaps fill from the last
+    non-null. The filled value is a stored double copied, never
+    recomputed — so the oracle matches bit-for-bit with no rounding
+    discipline needed.
+
+    Scale shape: one keyed agg for per-user bounds, a generator
+    explode for the grid (rows ∝ user-hours, never driver-side), one
+    keyed agg for per-hour latest observations, an equi-join of grid
+    and observations on (user, hour), and one ordered window per user
+    for the fill — all shuffles on user_id."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value", F.date_trunc("hour", "ts").alias("hour")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    obs = ev.groupBy("user_id", "hour").agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("v")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.last("v", ignorenulls=True).over(w).alias("value_ff"),
+            F.col("v").isNotNull().cast("int").alias("observed"),
+        )
+    )
+
+
 QUERIES = {
     "ev_q1_json_extract": ev_q1_json_extract,
     "ev_q2_sessionize": ev_q2_sessionize,
@@ -306,9 +351,43 @@ SHADOW_QUERIES = {
     "ev_q4_daily_active": ev_q4_daily_active,
     "ev_q7_funnel": ev_q7_funnel,
     "ev_q8_retention": ev_q8_retention,
+    "ev_q9_resample_ffill": ev_q9_resample_ffill,
 }
 
 SHADOW_ORACLES = {
+    # Mirrors ev_q9_resample_ffill: same grid, same latest-in-hour
+    # tiebreak, same ignore-nulls running fill; the filled double is a
+    # stored value copied, so equality is exact.
+    "ev_q9_resample_ffill": """
+        WITH e AS (
+            SELECT user_id, ts, event_id, value,
+                   time_bucket(INTERVAL '1 hour', ts) AS hour
+            FROM events
+        ),
+        bounds AS (
+            SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM e GROUP BY 1
+        ),
+        grid AS (
+            SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour
+            FROM bounds
+        ),
+        obs AS (
+            SELECT user_id, hour, value AS v
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, hour ORDER BY ts DESC, event_id DESC
+                ) AS rn
+                FROM e
+            ) WHERE rn = 1
+        )
+        SELECT g.user_id, g.hour,
+               last_value(o.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS UNBOUNDED PRECEDING
+               ) AS value_ff,
+               CAST(o.v IS NOT NULL AS INT) AS observed
+        FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.hour = o.hour
+    """,
     # Mirrors ev_q8_retention: DuckDB date subtraction yields integer
     # days = Spark datediff.
     "ev_q8_retention": f"""
