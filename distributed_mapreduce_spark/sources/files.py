@@ -141,3 +141,27 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     planning-time PartitionFilters (assert via .explain — pruned
     partitions are never listed, opened, or scanned)."""
     return spark.read.parquet(path)
+
+
+def compact_dataset(
+    spark: SparkSession, path: str, out_path: str, target_file_bytes: int = 128 << 20
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ⌈total_bytes / target⌉ files — the maintenance job every
+    long-lived 100 TB dataset needs (streaming sinks and incremental
+    ingests accrete small files; scan task count and file-listing cost
+    grow with file count, not data size). Returns the file count
+    written. Partition-preserving compaction of a Hive-layout dataset
+    is this per partition directory; this helper is the flat-dataset
+    core. Sizing reads the FILESYSTEM footprint (compressed bytes),
+    the quantity the target is denominated in."""
+    import pathlib
+
+    total = sum(
+        p.stat().st_size for p in pathlib.Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, -(-total // target_file_bytes))
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(
+        out_path
+    )
+    return n_files

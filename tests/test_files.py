@@ -249,3 +249,26 @@ def test_partitioned_write_spread_key_and_guards(spark, tmp_path):
         assert left == [(3, "fr")]
     finally:
         spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+
+def test_compact_dataset_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction: a fragmented dataset (one file per input partition)
+    rewrites into the computed file count with identical rows."""
+    from distributed_mapreduce_spark.sources.files import compact_dataset
+
+    df = spark.createDataFrame(
+        [(i, f"row {i}") for i in range(1000)], "id long, s string"
+    ).repartition(37)
+    frag = str(tmp_path / "frag")
+    df.write.parquet(frag)
+    import pathlib
+
+    assert len(list(pathlib.Path(frag).rglob("*.parquet"))) == 37
+
+    out = str(tmp_path / "compact")
+    n = compact_dataset(spark, frag, out, target_file_bytes=1 << 30)
+    assert n == 1
+    written = list(pathlib.Path(out).rglob("*.parquet"))
+    assert len(written) == 1
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
