@@ -336,6 +336,82 @@ def ev_q9_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_q10_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov next-event transition matrix: per user, order events by
+    (ts, event_id) and count (event_type → next event_type) pairs, plus
+    the row-normalized transition probability — the first-order
+    behavioral model behind next-action prediction and funnel
+    discovery. Probability is an exact-decimal quotient of two bigints
+    rounded to 6 places, so both engines agree bit-for-bit.
+
+    Scale shape: one window (shuffle+sort on user_id) to pair each
+    event with its successor, then a count agg on the tiny (from, to)
+    key space, and a 25-row window for row normalization — the heavy
+    lifting is the single user_id shuffle; everything after is
+    group-cardinality-sized."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("to_type", F.lead("event_type").over(w)).where(
+        F.col("to_type").isNotNull()
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count("*").alias("n"))
+    row_w = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("decimal(18,12)") / F.sum("n").over(row_w), 6
+        )
+        .cast("double")
+        .alias("p"),
+    )
+
+
+def ev_q11_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 run collapse: treat each user's event stream as a
+    changing attribute and emit one validity interval per consecutive
+    run of the same event_type — (user_id, event_type, valid_from,
+    valid_to, n_events, is_current), with valid_to = the next run's
+    start (NULL on the open current run). This is the
+    slowly-changing-dimension history build every warehouse ingest
+    needs and the reference's KV config history (kv_q4) generalized to
+    arbitrary attribute streams. All values are copied instants and
+    exact integers — no rounding discipline needed.
+
+    Scale shape: one shuffle+sort on user_id feeds both the
+    change-point window and the run aggregation (same partitioning, so
+    Catalyst reuses the sort); the post-agg valid_to window runs on the
+    collapsed run table, ∝ change points, far below event volume."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    change = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = (
+        ev.withColumn("run_id", F.sum(change).over(w))
+        .groupBy("user_id", "run_id")
+        .agg(
+            F.min("event_type").alias("event_type"),
+            F.min("ts").alias("valid_from"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    run_w = Window.partitionBy("user_id").orderBy("run_id")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(run_w).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(run_w).isNull().cast("int").alias("is_current"),
+    )
+
+
 QUERIES = {
     "ev_q1_json_extract": ev_q1_json_extract,
     "ev_q2_sessionize": ev_q2_sessionize,
@@ -352,6 +428,8 @@ SHADOW_QUERIES = {
     "ev_q7_funnel": ev_q7_funnel,
     "ev_q8_retention": ev_q8_retention,
     "ev_q9_resample_ffill": ev_q9_resample_ffill,
+    "ev_q10_transitions": ev_q10_transitions,
+    "ev_q11_scd2": ev_q11_scd2,
 }
 
 SHADOW_ORACLES = {
@@ -430,6 +508,58 @@ SHADOW_ORACLES = {
         LEFT JOIN s ON u.user_id = s.user_id
         LEFT JOIN c ON u.user_id = c.user_id
         LEFT JOIN p ON u.user_id = p.user_id
+    """,
+    # Mirrors ev_q10_transitions: lead over the same (ts, event_id)
+    # order; p is the same decimal quotient rounded to 6.
+    "ev_q10_transitions": """
+        WITH pairs AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        ),
+        counts AS (
+            SELECT from_type, to_type, count(*) AS n
+            FROM pairs WHERE to_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               CAST(round(CAST(n AS DECIMAL(18,12))
+                          / sum(n) OVER (PARTITION BY from_type), 6)
+                    AS DOUBLE) AS p
+        FROM counts
+    """,
+    # Mirrors ev_q11_scd2: same change-point cumulative sum, same run
+    # collapse, same lead-based valid_to.
+    "ev_q11_scd2": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                             OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS change
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT *, sum(change) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS run_id
+            FROM flagged
+        ),
+        runs AS (
+            SELECT user_id, run_id, min(event_type) AS event_type,
+                   min(ts) AS valid_from, count(*) AS n_events
+            FROM numbered
+            GROUP BY 1, 2
+        )
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER w2 AS valid_to,
+               n_events,
+               CAST(lead(valid_from) OVER w2 IS NULL AS INT) AS is_current
+        FROM runs
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
     """,
     "ev_q4_daily_active": """
         SELECT CAST(ts AS DATE) AS day,
