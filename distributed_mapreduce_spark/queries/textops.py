@@ -790,6 +790,67 @@ def text_q11_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_ALPHA = 0.5
+
+
+def text_q12_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency scoring: train add-α-smoothed
+    bigram statistics over the corpus, then score every document by
+    its average bigram log-probability — the KenLM-style perplexity
+    quality filter of a training-data pipeline (low avg log-prob =
+    improbable token sequences = gibberish or boilerplate). The LM is
+    self-inclusive (each doc contributes to the counts that score it),
+    the standard single-pass corpus-filter formulation.
+
+    P(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V), α = 0.5, V = corpus
+    vocabulary size (a driver scalar from a bounded count job, the
+    text_q11 pattern). Per-position ln P terms are rounded to 12
+    decimals into DECIMAL and summed exactly (the text_q9 discipline),
+    so the per-doc aggregate is accumulation-order-independent and the
+    oracle matches bit-for-bit; the final mean divides the exact sum
+    as a double and rounds to 6. Docs with <2 tokens have no bigram
+    and no row.
+
+    Scale shape: per-doc bigram counts (explode → keyed agg with
+    map-side combine), corpus counts as a second agg OVER the per-doc
+    table (never re-scanning text), context counts as a third — each
+    shuffle is ∝ distinct-bigram cardinality, far below corpus token
+    volume. Scoring joins the per-doc table to the two stat tables on
+    (w1,w2)/(w1) — equi-joins whose hot keys (stopword bigrams) AQE
+    skew-splits — then one per-doc agg."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens("text").alias("ts"))
+    bg = F.split(F.col("bg"), " ")
+    perdoc = (
+        toks.select("doc_id", F.explode(shingles(F.col("ts"), 2)).alias("bg"))
+        .select("doc_id", bg[0].alias("w1"), bg[1].alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("k"))
+    )
+    corpus = perdoc.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    ctx = corpus.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = toks.select(F.explode("ts").alias("tok")).distinct().count()
+    lp = F.round(
+        F.log(
+            (F.col("c12") + F.lit(LM_ALPHA))
+            / (F.col("c1") + F.lit(LM_ALPHA * vocab))
+        ),
+        12,
+    ).cast("decimal(22,12)")
+    return (
+        perdoc.join(corpus, ["w1", "w2"])
+        .join(ctx, "w1")
+        .select("doc_id", "k", (F.col("k").cast("decimal(10,0)") * lp).alias("klp"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum("klp").cast("double") / F.sum("k").cast("bigint"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8
 
 
@@ -832,6 +893,7 @@ SHADOW_QUERIES = {
     "dedup_q10_source_overlap": dedup_q10_source_overlap,
     "text_q10_chunks": text_q10_chunks,
     "text_q11_pmi": text_q11_pmi,
+    "text_q12_lm_score": text_q12_lm_score,
 }
 
 # SPAN_N-gram concat expression for the dedup_q9 oracle (i is the
@@ -839,6 +901,48 @@ SHADOW_QUERIES = {
 _SPAN_GRAM_SQL = " || ' ' || ".join(f"ts[i+{off}]" for off in range(SPAN_N))
 
 SHADOW_ORACLES = {
+    # Mirrors text_q12_lm_score stage by stage: per-doc bigram counts,
+    # corpus/context counts aggregated FROM the per-doc table, the same
+    # smoothed-probability double expression rounded to 12 into DECIMAL
+    # (exact order-independent sum), mean finalized in double at 6.
+    "text_q12_lm_score": f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+        pos AS (
+            SELECT doc_id, w1, w2 FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(ts), 1)),
+                                             i -> ts[i])) AS w1,
+                       unnest(list_transform(range(1, greatest(len(ts), 1)),
+                                             i -> ts[i+1])) AS w2
+                FROM t
+            ) WHERE w2 IS NOT NULL
+        ),
+        perdoc AS (
+            SELECT doc_id, w1, w2, count(*) AS k FROM pos GROUP BY 1, 2, 3
+        ),
+        corpus AS (SELECT w1, w2, sum(k) AS c12 FROM perdoc GROUP BY 1, 2),
+        ctx AS (SELECT w1, sum(c12) AS c1 FROM corpus GROUP BY 1),
+        v AS (
+            SELECT count(DISTINCT tok) AS vocab
+            FROM (SELECT unnest(ts) AS tok FROM t)
+        ),
+        terms AS (
+            SELECT doc_id, k,
+                   CAST(k AS DECIMAL(10,0)) *
+                   CAST(round(ln((c12 + {LM_ALPHA})
+                                 / (c1 + {LM_ALPHA} * vocab)), 12)
+                        AS DECIMAL(22,12)) AS klp
+            FROM perdoc
+            JOIN corpus USING (w1, w2)
+            JOIN ctx USING (w1)
+            CROSS JOIN v
+        )
+        SELECT doc_id,
+               CAST(sum(k) AS BIGINT) AS n_bigrams,
+               round(CAST(sum(klp) AS DOUBLE) / CAST(sum(k) AS BIGINT), 6)
+                   AS avg_logprob
+        FROM terms GROUP BY 1
+    """,
     # Mirrors dedup_q9_dup_spans stage by stage: positional 8-grams
     # (multiplicity preserved), per-(doc, gram) counts, corpus
     # frequency from those counts, duplicated-gram semi-join back.
