@@ -412,6 +412,53 @@ def ev_q11_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OUTLIER_Z = 3
+
+
+def ev_q12_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly detection with EXACT cross-engine
+    flagging: an event is an outlier iff |value − μ| > Z·σ within its
+    event_type. A float μ/σ comparison would be engine- and
+    accumulation-order-dependent at the threshold boundary, so the
+    predicate is algebraized into integer arithmetic instead: with
+    value lifted to scale-4 fixed point i (exact — fixture doubles are
+    2-decimal clean), |x−μ| > Z·σ  ⟺  (i·n − S)² > Z²·(n·SS − S²)
+    where S = Σi, SS = Σi² per type — every quantity an exact integer
+    (DECIMAL(38,0) on Spark, HUGEINT in the oracle; magnitudes ≤ ~1e24
+    at sf1, far under 128-bit range). Both engines therefore flag the
+    identical event set, no epsilon anywhere.
+
+    Scale shape: one per-type agg (5 groups, map-side combine → tiny
+    shuffle), a 5-row broadcast join back, and a final per-type count —
+    two passes over the scan, no wide shuffle. At petabyte scale the
+    stats pass collapses to bytes; the predicate stays map-side."""
+    i = F.round(F.col("value") * F.lit(10000.0), 0).cast("decimal(19,0)")
+    ev = table(spark, sf_dir, "events").select("event_type", i.alias("i"))
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").cast("decimal(19,0)").alias("n"),
+        F.sum("i").cast("decimal(19,0)").alias("s"),
+        F.sum((F.col("i") * F.col("i")).cast("decimal(38,0)")).alias("ss"),
+    )
+    d = F.col("i") * F.col("n") - F.col("s")
+    lhs = (d * d).cast("decimal(38,0)")
+    rhs = (
+        F.lit(OUTLIER_Z * OUTLIER_Z).cast("decimal(19,0)")
+        * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    ).cast("decimal(38,0)")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_type", "n", (lhs > rhs).cast("bigint").alias("is_out"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.sum("is_out").alias("n_outliers"),
+            F.round(F.sum("is_out") / F.max("n").cast("bigint"), 6).alias(
+                "outlier_frac"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "ev_q1_json_extract": ev_q1_json_extract,
     "ev_q2_sessionize": ev_q2_sessionize,
@@ -430,6 +477,7 @@ SHADOW_QUERIES = {
     "ev_q9_resample_ffill": ev_q9_resample_ffill,
     "ev_q10_transitions": ev_q10_transitions,
     "ev_q11_scd2": ev_q11_scd2,
+    "ev_q12_outliers": ev_q12_outliers,
 }
 
 SHADOW_ORACLES = {
@@ -508,6 +556,36 @@ SHADOW_ORACLES = {
         LEFT JOIN s ON u.user_id = s.user_id
         LEFT JOIN c ON u.user_id = c.user_id
         LEFT JOIN p ON u.user_id = p.user_id
+    """,
+    # Mirrors ev_q12_outliers: identical fixed-point lift, the same
+    # algebraized predicate in exact HUGEINT (Spark side: DECIMAL(38,0))
+    # — both engines flag the identical event set.
+    "ev_q12_outliers": f"""
+        WITH e AS (
+            SELECT event_type,
+                   CAST(round(value * 10000.0) AS HUGEINT) AS i
+            FROM events
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(i) AS HUGEINT) AS s,
+                   CAST(sum(i * i) AS HUGEINT) AS ss
+            FROM e GROUP BY 1
+        ),
+        flagged AS (
+            SELECT e.event_type, n,
+                   CASE WHEN (i * n - s) * (i * n - s)
+                             > {OUTLIER_Z * OUTLIER_Z} * (n * ss - s * s)
+                        THEN 1 ELSE 0 END AS is_out
+            FROM e JOIN stats USING (event_type)
+        )
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n_events,
+               CAST(sum(is_out) AS BIGINT) AS n_outliers,
+               round(CAST(sum(is_out) AS BIGINT)
+                     / CAST(max(n) AS BIGINT), 6) AS outlier_frac
+        FROM flagged GROUP BY 1
     """,
     # Mirrors ev_q10_transitions: lead over the same (ts, event_id)
     # order; p is the same decimal quotient rounded to 6.
