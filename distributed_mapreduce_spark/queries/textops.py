@@ -790,6 +790,48 @@ def text_q11_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_q12_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation in the near-dup pair graph —
+    the local-density signal that separates tight duplicate cliques
+    (template families, mirror sites) from incidental pairwise overlap,
+    complementing dedup_q7's connected components (a chain and a clique
+    have the same component but very different triangle counts).
+
+    Canonical distributed triangle enumeration over ordered edges
+    (a<b): E(a,b) ⨝ E(b,c) ⨝ E(a,c) — the ordering makes each triangle
+    appear exactly once, and every join is an equi-join on document
+    ids, so the plan is three hash joins, no cartesian. Each triangle
+    then credits its three corners (explode → keyed count).
+
+    Scale shape: edge generation is the banded/df-bounded dedup_q3
+    machinery; the triangle joins run on the O(#duplicate-pairs) edge
+    list, orders of magnitude below corpus size, and skew is bounded
+    because max_df caps any document's degree."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    e = jaccard_pairs(
+        doc_shingles(docs, max_df=MAX_SHINGLE_DF), NEAR_DUP_JACCARD
+    ).select("id_i", "id_j")
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.id_j") == F.col("e2.id_i"))
+        .join(
+            e3,
+            (F.col("e1.id_i") == F.col("e3.id_i"))
+            & (F.col("e2.id_j") == F.col("e3.id_j")),
+        )
+        .select(
+            F.col("e1.id_i").alias("a"),
+            F.col("e1.id_j").alias("b"),
+            F.col("e2.id_j").alias("c"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
 LM_ALPHA = 0.5
 
 
@@ -894,6 +936,7 @@ SHADOW_QUERIES = {
     "text_q10_chunks": text_q10_chunks,
     "text_q11_pmi": text_q11_pmi,
     "text_q12_lm_score": text_q12_lm_score,
+    "dedup_q12_triangles": dedup_q12_triangles,
 }
 
 # SPAN_N-gram concat expression for the dedup_q9 oracle (i is the
@@ -1037,6 +1080,22 @@ SHADOW_ORACLES = {
                CAST(len(ts[start + 1 : start + {CHUNK_TOKENS}]) AS BIGINT) AS n_chunk_tokens,
                md5(array_to_string(ts[start + 1 : start + {CHUNK_TOKENS}], ' ')) AS chunk_md5
         FROM e
+    """,
+    # Same pair graph as the dedup_q3 oracle; identical ordered-edge
+    # triangle enumeration, three corner credits per triangle.
+    "dedup_q12_triangles": f"""
+        WITH e AS ({_Q3_PAIRS_SQL}),
+        tri AS (
+            SELECT e1.id_i AS a, e1.id_j AS b, e2.id_j AS c
+            FROM e e1
+            JOIN e e2 ON e1.id_j = e2.id_i
+            JOIN e e3 ON e1.id_i = e3.id_i AND e2.id_j = e3.id_j
+        )
+        SELECT doc_id, count(*) AS n_triangles
+        FROM (
+            SELECT unnest([a, b, c]) AS doc_id FROM tri
+        )
+        GROUP BY 1
     """,
     # Same pair graph as the dedup_q3 oracle, labeled with provenance.
     "dedup_q10_source_overlap": f"""
