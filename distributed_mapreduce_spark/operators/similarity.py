@@ -208,6 +208,140 @@ def assign_cells(
     return emb.join(best, id_col)
 
 
+PQ_M = 8  # subspaces
+PQ_CODEBOOK = 16  # codewords per subspace
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    codebook_size: int = PQ_CODEBOOK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: subspace j's
+    codewords are the j-th subvectors of the `codebook_size` lowest-id
+    vectors — the same reproducible stand-in for k-means that
+    train_centroids uses (a per-subspace KMeans drops in without
+    changing the encode/ADC shape). Returns codebooks[j][c] =
+    codeword c of subspace j (dim/m floats each)."""
+    rows = emb.orderBy(id_col).limit(codebook_size).select(vec_col).collect()
+    sub = dim // m
+    return [
+        [[float(r[0][j * sub + i]) for i in range(sub)] for r in rows]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encode: each vector → m small integer codes (argmin L2 to the
+    subspace codebook), the 8-byte-per-vector compression that makes a
+    billion-vector index RAM-resident (Jégou et al., PAMI 2011).
+
+    Relational argmin, the assign_cells pattern: explode each vector
+    into its m subspaces, broadcast-join the (m × codebook_size)-row
+    codebook table, score every (vector, subspace, codeword) candidate
+    with an unrolled left-associative squared-L2 chain (JVM codegen, no
+    UDF), and keep the best code per (vector, subspace) via a
+    min-of-struct aggregation — partial-agg friendly, deterministic
+    lowest-code tiebreak. Codes then pivot to m flat columns c0..c{m-1}
+    (fixed pivot values ⇒ single pass).
+
+    Scale shape: one broadcast join + two keyed aggs on (id, sub)/(id);
+    the exchange carries m rows per vector, nothing quadratic."""
+    import functools
+    import operator
+
+    m = len(codebooks)
+    cb_size = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    spark = emb.sparkSession
+    cb = spark.createDataFrame(
+        [(j, c, codebooks[j][c]) for j in range(m) for c in range(cb_size)],
+        "sub int, code int, cvec array<double>",
+    )
+    exploded = emb.select(id_col, vec_col).withColumn(
+        "sub", F.explode(F.array(*[F.lit(j) for j in range(m)]))
+    )
+    diff = [
+        F.element_at(vec_col, F.col("sub") * sub + i + 1).cast("double")
+        - F.element_at("cvec", i + 1)
+        for i in range(sub)
+    ]
+    dist = functools.reduce(operator.add, [d * d for d in diff])
+    best = (
+        exploded.join(F.broadcast(cb), "sub")
+        .select(id_col, "sub", "code", dist.alias("dist"))
+        .groupBy(id_col, "sub")
+        .agg(F.min(F.struct(F.col("dist"), F.col("code"))).alias("m"))
+        .select(id_col, "sub", F.col("m.code").alias("code"))
+    )
+    return best.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("sub") == j, F.col("code")))
+            .cast("int")
+            .alias(f"c{j}")
+            for j in range(m)
+        ]
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the driver precomputes
+    the m × codebook_size lookup table lut[j][c] = dot(query_j,
+    codeword) (left-associative, so the oracle reproduces the bits),
+    and each row's approximate dot is m table lookups summed — the
+    scan never touches a float vector, only the m int codes.
+
+    Cross-engine determinism: each lut partial is rounded to 12
+    decimals and staged through DECIMAL(22,12); decimal addition is
+    exact and associative, so the fixed-order Spark chain equals the
+    oracle's decimal sum bit-for-bit (the text_q9 discipline applied
+    to ADC). Final score rounds to 6 with an id tiebreak.
+
+    Scale shape: pure map expression over the codes table + global
+    TakeOrdered(k) — ADC over 100 TB of codes streams at scan speed."""
+    import functools
+    import operator
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    luts = []
+    for j in range(m):
+        row = []
+        for cw in codebooks[j]:
+            d = 0.0
+            for i in range(sub):
+                d = d + float(query_vec[j * sub + i]) * cw[i]
+            row.append(round(d, 12))
+        luts.append(row)
+    partials = [
+        F.element_at(
+            F.array(*[F.lit(v).cast("decimal(22,12)") for v in luts[j]]),
+            F.col(f"c{j}") + 1,
+        )
+        for j in range(m)
+    ]
+    score = functools.reduce(operator.add, partials)
+    return (
+        codes.select(id_col, F.round(score, 6).cast("double").alias("approx_dot"))
+        .orderBy(F.desc("approx_dot"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query: DataFrame,

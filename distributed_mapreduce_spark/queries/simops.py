@@ -125,6 +125,27 @@ def sim_q3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _query_df(emb), _qvec(emb), TOP_K)
 
 
+def sim_q4_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 — the compression tier of the
+    ANN stack (IVF shrinks the SEARCH, PQ shrinks the STORAGE: m=8
+    codes/vector instead of 64 floats). Fully value-hash graded: the
+    codebooks are the deterministic sampling build (subvectors of the
+    16 lowest-id vectors, the train_centroids pattern), encode is an
+    exact relational argmin, and ADC partials stage through DECIMAL,
+    so the DuckDB oracle replays codebook → encode → lookup-table
+    scoring bit-for-bit. Approximation QUALITY (vs the exact sim_q1
+    tier) is asserted separately in tests."""
+    from distributed_mapreduce_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cbs = train_pq_codebooks(emb, DIM)
+    return pq_adc_topk(pq_encode(emb, cbs), cbs, _qvec(emb), TOP_K)
+
+
 EMB_DUP_THRESHOLD = 0.4
 
 
@@ -522,9 +543,69 @@ QUERIES = {
 SHADOW_QUERIES = {
     "sim_q2_top_pairs": sim_q2_top_pairs,
     "dedup_q11_embedding_clusters": dedup_q11_embedding_clusters,
+    "sim_q4_pq_topk": sim_q4_pq_topk,
 }
 
+
+def _pq_sql() -> str:
+    """DuckDB replay of the PQ build + encode + ADC (operators/
+    similarity.py::train_pq_codebooks/pq_encode/pq_adc_topk), with the
+    identical float-op order everywhere: squared-L2 encode distances
+    and lut dots are left-associative chains over CAST-to-DOUBLE
+    elements; lut partials round to 12 into DECIMAL(22,12) so the
+    per-row sum is exact and order-independent on both engines."""
+    from distributed_mapreduce_spark.operators.similarity import PQ_CODEBOOK, PQ_M
+
+    sub = DIM // PQ_M
+    dist = " + ".join(
+        f"(CAST(e.embedding[s.sub*{sub}+{i}+1] AS DOUBLE)"
+        f" - CAST(c.cvec[s.sub*{sub}+{i}+1] AS DOUBLE))"
+        f" * (CAST(e.embedding[s.sub*{sub}+{i}+1] AS DOUBLE)"
+        f" - CAST(c.cvec[s.sub*{sub}+{i}+1] AS DOUBLE))"
+        for i in range(sub)
+    )
+    lut_dot = " + ".join(
+        f"CAST(q.qv[s.sub*{sub}+{i}+1] AS DOUBLE)"
+        f" * CAST(c.cvec[s.sub*{sub}+{i}+1] AS DOUBLE)"
+        for i in range(sub)
+    )
+    return f"""
+        WITH cent AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+                   embedding AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT {PQ_CODEBOOK})
+        ),
+        subs AS (SELECT unnest(range(0, {PQ_M})) AS sub),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+        cand AS (
+            SELECT e.vec_id, s.sub, c.code, {dist} AS dist
+            FROM embeddings e CROSS JOIN subs s CROSS JOIN cent c
+        ),
+        best AS (
+            SELECT vec_id, sub, code FROM (
+                SELECT vec_id, sub, code,
+                       row_number() OVER (
+                           PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC
+                       ) AS rn
+                FROM cand
+            ) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT s.sub, c.code,
+                   CAST(round({lut_dot}, 12) AS DECIMAL(22,12)) AS p
+            FROM cent c CROSS JOIN subs s CROSS JOIN q
+        )
+        SELECT b.vec_id,
+               CAST(round(sum(l.p), 6) AS DOUBLE) AS approx_dot
+        FROM best b JOIN lut l ON b.sub = l.sub AND b.code = l.code
+        GROUP BY b.vec_id
+        ORDER BY approx_dot DESC, b.vec_id ASC
+        LIMIT {TOP_K}
+    """
+
 SHADOW_ORACLES = {
+    "sim_q4_pq_topk": _pq_sql(),
     # Transitive closure over the same pair graph as the dedup_q6
     # oracle (recursive CTE); component label = min reachable vec id —
     # the Spark side's min-label fixpoint (same shape as dedup_q7's).

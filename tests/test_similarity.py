@@ -461,3 +461,86 @@ def test_quantize_codes_in_range_and_reconstruction_bound(spark, sf_dir):
                 abs((mn + c * scale) - x) <= scale / 2 + 1e-12
                 for c, x in zip(codes, v)
             )
+
+
+def test_pq_encode_codes_shape_and_range(spark, emb):
+    """PQ encode: every vector gets m codes, each in [0, codebook_size);
+    codebook source vectors (the 16 lowest ids) may or may not encode
+    to 'their' codeword (another codeword can be equidistant), but
+    distance-0 self-match means vector j < 16 must get SOME code with
+    distance 0 in each subspace — asserted via exact reconstruction of
+    its own subvector for at least one code."""
+    from distributed_mapreduce_spark.operators.similarity import (
+        PQ_CODEBOOK,
+        PQ_M,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    cbs = train_pq_codebooks(emb, 64)
+    assert len(cbs) == PQ_M and len(cbs[0]) == PQ_CODEBOOK
+    assert len(cbs[0][0]) == 64 // PQ_M
+    codes = pq_encode(emb, cbs)
+    rows = codes.collect()
+    n_vecs = emb.count()
+    assert len(rows) == n_vecs
+    for r in rows:
+        for j in range(PQ_M):
+            assert 0 <= r[f"c{j}"] < PQ_CODEBOOK
+
+
+def test_pq_codebook_vectors_self_encode_exactly(spark, emb):
+    """A codebook-source vector's subvector IS codeword c (c = its rank
+    among the 16 lowest ids), so its argmin distance is exactly 0 —
+    the code must reconstruct the subvector bit-for-bit."""
+    from distributed_mapreduce_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    cbs = train_pq_codebooks(emb, 64)
+    sub = 64 // len(cbs)
+    src = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(16).collect()
+    }
+    ranked = sorted(src)
+    codes = {
+        r.vec_id: r
+        for r in pq_encode(emb.where(F.col("vec_id").isin(ranked)), cbs).collect()
+    }
+    for rank, vid in enumerate(ranked):
+        for j in range(len(cbs)):
+            code = codes[vid][f"c{j}"]
+            got = cbs[j][code]
+            want = src[vid][j * sub : (j + 1) * sub]
+            assert got == want, (vid, j, code)
+
+
+def test_pq_adc_approximates_exact_topk(spark, emb):
+    """ADC ranking must overlap the exact cosine top-10 — PQ with a
+    16-deep sampled codebook on uniform data is a coarse quantizer, so
+    the bar is deliberately low (>= 2 of 10 across a 5-query panel
+    pooled), but a broken encode/ADC (e.g. scrambled luts) scores ~0."""
+    from distributed_mapreduce_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    cbs = train_pq_codebooks(emb, 64)
+    codes = pq_encode(emb, cbs).cache()
+    try:
+        hits = 0
+        for qid in [0, 7, 42, 99, 123]:
+            q = emb.where(F.col("vec_id") == qid).select(F.col("embedding").alias("qv"))
+            qvec = [
+                float(x)
+                for x in emb.where(F.col("vec_id") == qid).collect()[0]["embedding"]
+            ]
+            exact = {r.vec_id for r in topk_cosine(emb, q, 10).collect()}
+            approx = {r.vec_id for r in pq_adc_topk(codes, cbs, qvec, 10).collect()}
+            hits += len(exact & approx)
+        assert hits >= 10, f"PQ ADC overlap too low: {hits}/50"
+    finally:
+        codes.unpersist()
