@@ -400,7 +400,83 @@ def rel_q15_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_q16_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment balance deciles: ntile(10) over a UNIQUE order
+    (c_acctbal, c_custkey) — the tiebreak makes tile assignment
+    engine-deterministic — then per-(segment, decile) count and
+    decimal-staged min/avg/max. The equal-frequency binning behind
+    quantile feature bucketing and monotonicity checks.
+
+    Scale shape: one shuffle+sort on the segment key for the window,
+    then a group-cardinality agg. At 100 TB the exact per-partition
+    sort is the cost; an approx_percentile cut-point pass (see
+    operators/sketches.py) replaces ntile at the same output shape."""
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            money(F.min(dec("c_acctbal"))).alias("min_bal"),
+            money(F.avg(dec("c_acctbal")), 4).alias("avg_bal"),
+            money(F.max(dec("c_acctbal"))).alias("max_bal"),
+        )
+    )
+
+
+HIST_STEP, HIST_BUCKETS = 30_000, 20
+
+
+def rel_q17_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: bucket = floor(x/step)
+    clamped to the last bin — the one-pass distribution profile of an
+    ETL data-quality check. floor of an IEEE double division is
+    bit-deterministic on both engines, so bucket assignment is exact
+    (no width_bucket needed).
+
+    Scale shape: single groupBy on a 20-value derived key with
+    map-side partial agg — the shuffle carries ≤ 20 rows per task
+    regardless of input size; pure scan-bound."""
+    orders = table(spark, sf_dir, "orders")
+    b = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(float(HIST_STEP))),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("bigint")
+    return orders.groupBy(b.alias("bucket")).agg(
+        F.count("*").alias("n_orders"),
+        money(F.sum(dec("o_totalprice"))).alias("total"),
+    )
+
+
 _SQL = {
+    "rel_q16_deciles": """
+        SELECT c_mktsegment,
+               CAST(decile AS BIGINT) AS decile,
+               count(*) AS n_customers,
+               CAST(round(min(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS min_bal,
+               CAST(round(avg(CAST(c_acctbal AS DECIMAL(18,4))), 4) AS DOUBLE) AS avg_bal,
+               CAST(round(max(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS max_bal
+        FROM (
+            SELECT c_mktsegment, c_acctbal,
+                   ntile(10) OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal ASC, c_custkey ASC
+                   ) AS decile
+            FROM customer
+        )
+        GROUP BY 1, 2
+    """,
+    "rel_q17_histogram": f"""
+        SELECT CAST(least(floor(o_totalprice / {float(HIST_STEP)}),
+                          {HIST_BUCKETS - 1}) AS BIGINT) AS bucket,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY 1
+    """,
     "rel_q15_percentiles": """
         SELECT l_returnflag,
                round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS p50_price,
@@ -598,6 +674,8 @@ SHADOW_QUERIES = {
     "rel_q9_segment_stats": rel_q9_segment_stats,
     "rel_q10_orders_by_month": rel_q10_orders_by_month,
     "rel_q11_brand_stats": rel_q11_brand_stats,
+    "rel_q16_deciles": rel_q16_deciles,
+    "rel_q17_histogram": rel_q17_histogram,
 }
 
 ORACLES = {name: _SQL[name] for name in QUERIES}
