@@ -146,6 +146,18 @@ def sim_q4_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(pq_encode(emb, cbs), cbs, _qvec(emb), TOP_K)
 
 
+def sim_q5_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed top-10 (operators/similarity.py::ivfpq_topk) —
+    the FAISS-IVFADC serving shape: probe 4 of 16 cells, ADC-rank the
+    candidates from their 8 PQ codes. Every stage deterministic, so
+    the oracle replays centroids → assignment → probe → codebooks →
+    encode → lookup-table scoring bit-for-bit."""
+    from distributed_mapreduce_spark.operators.similarity import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivfpq_topk(emb, _qvec(emb), TOP_K, dim=DIM)
+
+
 EMB_DUP_THRESHOLD = 0.4
 
 
@@ -544,7 +556,98 @@ SHADOW_QUERIES = {
     "sim_q2_top_pairs": sim_q2_top_pairs,
     "dedup_q11_embedding_clusters": dedup_q11_embedding_clusters,
     "sim_q4_pq_topk": sim_q4_pq_topk,
+    "sim_q5_ivfpq_topk": sim_q5_ivfpq_topk,
 }
+
+
+def _ivfpq_sql() -> str:
+    """DuckDB replay of the composed IVF+PQ pipeline: the sim_q3 IVF
+    CTEs (centroids, argmax assignment, probe) select the candidate
+    set; the sim_q4 PQ CTEs (codebooks, argmin encode, decimal-staged
+    ADC lut) rank it. Every float expression keeps the Spark side's
+    left-associative op order."""
+    from distributed_mapreduce_spark.operators.similarity import (
+        DEFAULT_NPROBE,
+        DEFAULT_NUM_CELLS,
+        PQ_CODEBOOK,
+        PQ_M,
+    )
+
+    sub = DIM // PQ_M
+    dist = " + ".join(
+        f"(CAST(e.embedding[s.sub*{sub}+{i}+1] AS DOUBLE)"
+        f" - CAST(c.cvec[s.sub*{sub}+{i}+1] AS DOUBLE))"
+        f" * (CAST(e.embedding[s.sub*{sub}+{i}+1] AS DOUBLE)"
+        f" - CAST(c.cvec[s.sub*{sub}+{i}+1] AS DOUBLE))"
+        for i in range(sub)
+    )
+    lut_dot = " + ".join(
+        f"CAST(q.qv[s.sub*{sub}+{i}+1] AS DOUBLE)"
+        f" * CAST(c.cvec[s.sub*{sub}+{i}+1] AS DOUBLE)"
+        for i in range(sub)
+    )
+    return f"""
+        WITH ivfc AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+                   embedding AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT {DEFAULT_NUM_CELLS})
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+        assign AS (
+            SELECT e.vec_id, c.cell,
+                   {cosine_sql("e.embedding", "c.cvec", DIM)} AS score
+            FROM embeddings e CROSS JOIN ivfc c
+        ),
+        icell AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY score DESC, cell ASC
+                       ) AS rn
+                FROM assign
+            ) WHERE rn = 1
+        ),
+        probe AS (
+            SELECT cell FROM ivfc CROSS JOIN q
+            ORDER BY {cosine_sql("ivfc.cvec", "q.qv", DIM)} DESC, cell ASC
+            LIMIT {DEFAULT_NPROBE}
+        ),
+        pqc AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+                   embedding AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT {PQ_CODEBOOK})
+        ),
+        subs AS (SELECT unnest(range(0, {PQ_M})) AS sub),
+        cand AS (
+            SELECT e.vec_id, s.sub, c.code, {dist} AS dist
+            FROM embeddings e
+            SEMI JOIN (SELECT vec_id FROM icell
+                       WHERE cell IN (SELECT cell FROM probe)) USING (vec_id)
+            CROSS JOIN subs s CROSS JOIN pqc c
+        ),
+        best AS (
+            SELECT vec_id, sub, code FROM (
+                SELECT vec_id, sub, code,
+                       row_number() OVER (
+                           PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC
+                       ) AS rn
+                FROM cand
+            ) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT s.sub, c.code,
+                   CAST(round({lut_dot}, 12) AS DECIMAL(22,12)) AS p
+            FROM pqc c CROSS JOIN subs s CROSS JOIN q
+        )
+        SELECT b.vec_id,
+               CAST(round(sum(l.p), 6) AS DOUBLE) AS approx_dot
+        FROM best b JOIN lut l ON b.sub = l.sub AND b.code = l.code
+        GROUP BY b.vec_id
+        ORDER BY approx_dot DESC, b.vec_id ASC
+        LIMIT {TOP_K}
+    """
 
 
 def _pq_sql() -> str:
@@ -606,6 +709,7 @@ def _pq_sql() -> str:
 
 SHADOW_ORACLES = {
     "sim_q4_pq_topk": _pq_sql(),
+    "sim_q5_ivfpq_topk": _ivfpq_sql(),
     # Transitive closure over the same pair graph as the dedup_q6
     # oracle (recursive CTE); component label = min reachable vec id —
     # the Spark side's min-label fixpoint (same shape as dedup_q7's).

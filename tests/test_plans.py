@@ -59,10 +59,14 @@ def test_no_cartesian_in_any_registered_query(spark, sf_dir):
     # constant-folds into a filter, leaving a keyless 1-row join),
     # sim_q3 (crossJoin against THE 1-row query vector). sim_q1 left
     # this list in r5: the driver-held-query form has no join at all.
+    # sim_q5 composes sim_q3's IVF assignment (the same 16-row centroid
+    # crossJoin) ahead of the PQ encode; its only BNLJ side is that
+    # O(1)-row centroid table.
     bnlj_allowed = {
         "ev_q6_value_bands",
         "kv_q3_get",
         "sim_q3_ivf_topk",
+        "sim_q5_ivfpq_topk",
     }
     checked = 0
     for name, fn in {**all_queries(), **shadow_queries()}.items():
