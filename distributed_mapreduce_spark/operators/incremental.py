@@ -1,0 +1,106 @@
+"""Incremental aggregate maintenance over a partitioned rollup store.
+
+The 100 TB ingest pattern behind every "daily metrics" table: facts
+arrive in batches, the rollup is stored as Hive-partitioned parquet
+(sources/files.write_partitioned), and a batch refreshes ONLY the
+partitions it touches — merging its partial aggregates into the stored
+partials and dynamic-overwriting those partitions. Cost is
+∝ batch + affected-partition size, never ∝ store size; re-running the
+same batch is idempotent (the same partitions get the same bytes).
+
+Correctness rests on the aggregates being algebraic (mergeable
+partials): count/sum merge by SUM over partials, min/max by MIN/MAX.
+Non-mergeable measures (exact distinct, exact percentile) need either
+the raw facts of affected partitions or a mergeable sketch
+(operators/sketches.py HLL for distinct) — the operator rejects kinds
+it can't merge rather than silently corrupting the store.
+
+For engine-order-independent results use DECIMAL measure columns (the
+repo-wide parity discipline): double sums merge in a different order
+incrementally than in one shot, decimal sums are exact either way —
+asserted bit-for-bit in tests/test_incremental.py.
+
+Reference parity note: the reference has no incremental surface at all
+(SURVEY.md §2.4 gap list) — this is [EXT] north-star coverage shaped
+by its O7 text-sink atomicity contract (/root/reference/src/mr/
+worker.go temp+rename): the partition directory swap is the same
+atomic-commit idea at dataset granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.sources.files import write_partitioned
+
+# measure kind -> (raw aggregation, partial-merge aggregation)
+_KINDS = {
+    "count": (lambda c: F.count(F.lit(1)), lambda c: F.sum(c)),
+    "sum": (lambda c: F.sum(c), lambda c: F.sum(c)),
+    "min": (lambda c: F.min(c), lambda c: F.min(c)),
+    "max": (lambda c: F.max(c), lambda c: F.max(c)),
+}
+
+Measures = dict[str, tuple[str, str | None]]
+
+
+def _aggs(measures: Measures, merge: bool) -> list:
+    cols = []
+    for name, (kind, src) in measures.items():
+        if kind not in _KINDS:
+            raise ValueError(
+                f"measure {name!r}: kind {kind!r} is not mergeable "
+                f"(supported: {sorted(_KINDS)}); use a mergeable sketch "
+                f"or recompute from raw facts"
+            )
+        raw, mrg = _KINDS[kind]
+        fn = mrg if merge else raw
+        cols.append(fn(F.col(name if merge else (src or name))).alias(name))
+    return cols
+
+
+def rollup(facts: DataFrame, keys: list[str], measures: Measures) -> DataFrame:
+    """One-shot rollup of raw facts: groupBy(keys) with the raw form of
+    every measure — the full-recompute baseline refresh_rollup must
+    reproduce partition-by-partition."""
+    return facts.groupBy(*keys).agg(*_aggs(measures, merge=False))
+
+
+def refresh_rollup(
+    spark: SparkSession,
+    store_path: str,
+    batch: DataFrame,
+    partition_col: str,
+    keys: list[str],
+    measures: Measures,
+) -> list:
+    """Merge a fact batch into the partitioned rollup store.
+
+    1. Aggregate the batch to partials (groupBy keys — map-side
+       combine, shuffle ∝ batch key cardinality).
+    2. Read back ONLY the affected partitions: the partition-value
+       filter becomes a planning-time PartitionFilter, so unaffected
+       directories are never listed or scanned.
+    3. Merge stored + batch partials with the merge form of each
+       measure, and dynamic-overwrite exactly the affected partitions.
+
+    The affected-value collect is bounded by construction: partition
+    columns are low-cardinality by the write_partitioned contract (a
+    batch touches days/languages, not arbitrary keys). Returns the
+    affected partition values (useful for logging/compaction)."""
+    from pyspark.errors import AnalysisException
+
+    part = rollup(batch, keys, measures)
+    affected = [r[0] for r in part.select(partition_col).distinct().collect()]
+    try:
+        stored = spark.read.parquet(store_path).where(
+            F.col(partition_col).isin(affected)
+        )
+        merged_src = stored.unionByName(part)
+    except AnalysisException:
+        # First load: no store yet — the batch partials ARE the store.
+        merged_src = part
+    merged = merged_src.groupBy(*keys).agg(*_aggs(measures, merge=True))
+    write_partitioned(merged, store_path, [partition_col], dynamic=True)
+    return affected
