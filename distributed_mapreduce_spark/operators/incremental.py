@@ -35,11 +35,21 @@ from pyspark.sql import functions as F
 from distributed_mapreduce_spark.sources.files import write_partitioned
 
 # measure kind -> (raw aggregation, partial-merge aggregation)
+# "hll" covers the canonical non-algebraic aggregate (exact distinct)
+# with its mergeable-sketch form: the stored column is a DataSketches
+# HLL binary whose union is an elementwise register max — associative
+# and commutative, so ANY batch arrival order yields the identical
+# sketch bytes (asserted vs one-shot in tests). Read the estimate out
+# with sketches.hll_estimate.
 _KINDS = {
     "count": (lambda c: F.count(F.lit(1)), lambda c: F.sum(c)),
     "sum": (lambda c: F.sum(c), lambda c: F.sum(c)),
     "min": (lambda c: F.min(c), lambda c: F.min(c)),
     "max": (lambda c: F.max(c), lambda c: F.max(c)),
+    "hll": (
+        lambda c: F.hll_sketch_agg(c, F.lit(12)),
+        lambda c: F.hll_union_agg(c, F.lit(False)),
+    ),
 }
 
 Measures = dict[str, tuple[str, str | None]]

@@ -121,6 +121,39 @@ def test_refresh_is_idempotent_on_replay(spark, facts, tmp_path):
     assert _store_rows(spark, store) == before
 
 
+def test_hll_measure_merges_exactly(spark, facts, tmp_path):
+    """Distinct-count maintenance via the mergeable HLL kind: sketch
+    union is an elementwise register max (associative, commutative),
+    so the incrementally maintained store must yield the IDENTICAL
+    estimate as the one-shot rollup — exact equality, not a tolerance
+    — and the estimate must sit within HLL error of exact distinct."""
+    from distributed_mapreduce_spark.operators.sketches import hll_estimate
+
+    store = str(tmp_path / "rollup")
+    measures = {"users": ("hll", "event_id")}
+    h = F.pmod(F.xxhash64("event_id"), F.lit(10))
+    refresh_rollup(spark, store, facts.where(h < 7), "day", KEYS, measures)
+    refresh_rollup(spark, store, facts.where(h >= 7), "day", KEYS, measures)
+
+    est = lambda df: {
+        (str(r.day), r.event_type): r.est
+        for r in df.select(
+            "day", "event_type", hll_estimate("users").alias("est")
+        ).collect()
+    }
+    incr = est(spark.read.parquet(store))
+    full = est(rollup(facts, KEYS, measures))
+    assert incr == full
+    exact = {
+        (str(r.day), r.event_type): r.n
+        for r in facts.groupBy(*KEYS)
+        .agg(F.countDistinct("event_id").alias("n"))
+        .collect()
+    }
+    for key, n in exact.items():
+        assert abs(incr[key] - n) <= max(2, 0.1 * n), (key, incr[key], n)
+
+
 def test_unmergeable_measure_rejected(spark, facts, tmp_path):
     with pytest.raises(ValueError, match="not mergeable"):
         refresh_rollup(
