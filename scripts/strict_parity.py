@@ -52,6 +52,13 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = e.queries(), e.oracle_sql()
+    # Shadow-tier queries never see the driver's hash, but they carry
+    # the same bit-exactness contract — include them so a new shadow
+    # oracle gets the strict check before its first round ends.
+    from distributed_mapreduce_spark.registry import shadow_oracles, shadow_queries
+
+    qs = {**qs, **shadow_queries()}
+    oracles = {**oracles, **shadow_oracles()}
 
     bad = []
     for name in sorted(oracles):
