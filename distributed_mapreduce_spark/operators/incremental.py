@@ -77,6 +77,17 @@ def rollup(facts: DataFrame, keys: list[str], measures: Measures) -> DataFrame:
     return facts.groupBy(*keys).agg(*_aggs(measures, merge=False))
 
 
+def merge_partials(partials: DataFrame, keys: list[str], measures: Measures) -> DataFrame:
+    """Merge-at-read over a store of per-batch partial aggregates: the
+    LSM-style sibling of refresh_rollup. Writers append partials under
+    `batch=<id>/` with overwrite (idempotent on redelivery — see
+    streaming/sinks.foreach_batch_rollup_partials); readers fold them
+    with the merge form of each measure. Periodically compact by
+    writing merge_partials(...) back as a single base partial — the
+    fold is associative, so base+new merges stay exact."""
+    return partials.groupBy(*keys).agg(*_aggs(measures, merge=True))
+
+
 def refresh_rollup(
     spark: SparkSession,
     store_path: str,
