@@ -362,8 +362,10 @@ def ev_q10_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type",
         "to_type",
         "n",
+        # decimal(28,12): 16 integer digits of headroom — a transition
+        # count overflows this only past 10^16 events per (from,to).
         F.round(
-            F.col("n").cast("decimal(18,12)") / F.sum("n").over(row_w), 6
+            F.col("n").cast("decimal(28,12)") / F.sum("n").over(row_w), 6
         )
         .cast("double")
         .alias("p"),
@@ -603,7 +605,7 @@ SHADOW_ORACLES = {
             GROUP BY 1, 2
         )
         SELECT from_type, to_type, n,
-               CAST(round(CAST(n AS DECIMAL(18,12))
+               CAST(round(CAST(n AS DECIMAL(28,12))
                           / sum(n) OVER (PARTITION BY from_type), 6)
                     AS DOUBLE) AS p
         FROM counts

@@ -233,14 +233,139 @@ QUERIES = {
     "contam_q1_benchmark_overlap": contam_q1_benchmark_overlap,
 }
 
+def pipe_q1_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline in one plan: quality gate →
+    near-dup removal (keep one representative per cluster) → mixture
+    sampling — the composition every cleaning run executes, graded on
+    the EXACT final manifest row set. Stages reuse the individually
+    graded operators (text_q6's filter predicate, dedup_q3/q7's pair
+    graph + components, mix_q1's hash-bucket sampler), so this query
+    certifies that the pieces compose without semantic drift.
+
+    Scale shape = the sum of its parts, all previously audited: the
+    quality gate is a scan-speed map; the pair graph is df-bounded
+    inverted-index machinery whose output is O(#near-dups); the
+    anti-join's right side is the (tiny) duplicate list, AQE
+    broadcasts it; sampling is a map predicate. One corpus scan for
+    quality + one for shingles — a production run would share one
+    persisted scan (the jaccard_pairs convention note)."""
+    from distributed_mapreduce_spark.functions.text import (
+        avg_token_len,
+        stopword_ratio,
+        token_count,
+        tokens,
+    )
+    from distributed_mapreduce_spark.operators.components import connected_components
+    from distributed_mapreduce_spark.operators.dedup import jaccard_pairs
+    from distributed_mapreduce_spark.queries.textops import (
+        MAX_SHINGLE_DF,
+        NEAR_DUP_JACCARD,
+        QF_MAX_TOK_LEN,
+        QF_MAX_TOKENS,
+        QF_MIN_SW_RATIO,
+        QF_MIN_TOK_LEN,
+        QF_MIN_TOKENS,
+    )
+
+    docs = widen(table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        token_count("text").alias("n_tok"),
+        stopword_ratio(toks, "en").alias("swr"),
+        avg_token_len(toks).alias("atl"),
+    )
+    passing = scored.where(
+        F.col("n_tok").between(QF_MIN_TOKENS, QF_MAX_TOKENS)
+        & (F.col("swr") >= QF_MIN_SW_RATIO)
+        & F.col("atl").between(QF_MIN_TOK_LEN, QF_MAX_TOK_LEN)
+    )
+    pairs = jaccard_pairs(doc_shingles(docs, max_df=MAX_SHINGLE_DF), NEAR_DUP_JACCARD)
+    comp = connected_components(pairs)
+    drop = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    manifest = passing.join(drop, "doc_id", "left_anti")
+    return stratified_sample(manifest, "lang", MIX_RATES, key_col="doc_id").select(
+        "doc_id", "lang", "source", F.col("n_tok").cast("bigint").alias("n_tok")
+    )
+
+
+def _manifest_sql() -> str:
+    """DuckDB replay of the composed pipeline, built FROM the same SQL
+    fragments the stage oracles use (textops._Q3_PAIRS_SQL, the
+    text_q6 quality CTE shape, mix_q1's bucket predicate) — one
+    definition per stage, so the composition oracle cannot drift from
+    the stage oracles."""
+    from distributed_mapreduce_spark.queries.textops import (
+        _Q3_PAIRS_SQL,
+        _SW_EN,
+        _TOKS_SQL,
+        QF_MAX_TOK_LEN,
+        QF_MAX_TOKENS,
+        QF_MIN_SW_RATIO,
+        QF_MIN_TOK_LEN,
+        QF_MIN_TOKENS,
+    )
+
+    return f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, lang, source, {_TOKS_SQL} AS ts FROM documents
+        ),
+        per_doc AS (
+            SELECT doc_id, lang, source,
+                   CAST(len(ts) AS BIGINT) AS n_tok,
+                   CASE WHEN len(ts) > 0
+                        THEN len(list_filter(ts, x -> list_contains([{_SW_EN}], x))) / len(ts)
+                        ELSE 0.0 END AS swr,
+                   CASE WHEN len(ts) > 0
+                        THEN list_sum(list_transform(ts, x -> length(x))) / len(ts)
+                        ELSE 0.0 END AS atl
+            FROM t
+        ),
+        passing AS (
+            SELECT doc_id, lang, source, n_tok FROM per_doc
+            WHERE n_tok BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS}
+              AND swr >= {QF_MIN_SW_RATIO}
+              AND atl BETWEEN {QF_MIN_TOK_LEN} AND {QF_MAX_TOK_LEN}
+        ),
+        pairs AS ({_Q3_PAIRS_SQL}),
+        edges AS (
+            SELECT id_i AS a, id_j AS b FROM pairs
+            UNION
+            SELECT id_j AS a, id_i AS b FROM pairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (
+            SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+        ),
+        dropped AS (SELECT id AS doc_id FROM comp WHERE id <> component),
+        manifest AS (
+            SELECT doc_id, lang, source, n_tok
+            FROM passing ANTI JOIN dropped USING (doc_id)
+        )
+        SELECT doc_id, lang, source, n_tok
+        FROM manifest
+        WHERE {_BUCKET} < ({_RATE_CASE}) * 100
+    """
+
+
 # Train/holdout is the 2-bucket special case of mix_q1's hash-bucket
 # stratified sampling — shadow tier (registry.py grading cap).
 SHADOW_QUERIES = {
     "mix_q2_train_holdout": mix_q2_train_holdout,
     "mix_q5_weighted_sample": mix_q5_weighted_sample,
+    "pipe_q1_training_manifest": pipe_q1_training_manifest,
 }
 
 SHADOW_ORACLES = {
+    "pipe_q1_training_manifest": _manifest_sql(),
     # Same A-ES score, same 12-dec round, same tiebreak.
     "mix_q5_weighted_sample": f"""
         WITH scored AS (
