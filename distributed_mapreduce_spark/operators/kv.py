@@ -75,6 +75,34 @@ def fold_kv_log(ops: DataFrame) -> DataFrame:
     return live.groupBy("key").agg(ordered_concat.alias("value"))
 
 
+def compact_kv_log(ops: DataFrame, upto_seq: int) -> DataFrame:
+    """Log compaction — the reference's kvraft snapshot concept
+    (maxraftstate bound + SnapshotSize checks,
+    /root/reference/src/kvraft/config.go:54,94-97) re-expressed for an
+    op-log table: replace the prefix `seq <= upto_seq` with its folded
+    state as synthetic `put` ops AT the boundary seq, keep the tail
+    verbatim. Folding the compacted log equals folding the full log
+    (✓test, multiple cut points): a put at the boundary supersedes
+    every earlier op for its key by the last-put-wins rule, and every
+    tail op sorts after it. Retried-op duplicates share one seq, so a
+    duplicate pair can never straddle the boundary — the exactly-once
+    dedup is unaffected.
+
+    Scale: the prefix fold is one keyed shuffle; the compacted log is
+    |state| + |tail| rows — the maxraftstate log-bytes bound becomes a
+    storage bound. Run on a cadence (like raft snapshots) to keep
+    replay cost ∝ live keys + recent ops instead of history length."""
+    prefix = ops.where(F.col("seq") <= upto_seq)
+    tail = ops.where(F.col("seq") > upto_seq).select("key", "seq", "op", "value")
+    snap = fold_kv_log(prefix).select(
+        "key",
+        F.lit(upto_seq).cast("bigint").alias("seq"),
+        F.lit("put").alias("op"),
+        "value",
+    )
+    return snap.unionByName(tail)
+
+
 def kv_get(state: DataFrame, spark: SparkSession, key: str) -> DataFrame:
     """K1 Get: point lookup; absent key reads as ""
     (/root/reference/src/kvraft/client.go:27-31)."""
