@@ -893,6 +893,39 @@ def text_q12_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DYN_QUALITY_P = 0.25
+
+
+def text_q13_dynamic_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-threshold quality filter: keep documents whose unigram
+    entropy is at or above the corpus 25th percentile — the adaptive
+    cutoff pattern (threshold derived FROM the data, not a constant),
+    used when corpus statistics drift batch to batch. Graded on the
+    exact surviving row set.
+
+    Determinism: entropy is the 6-rounded decimal-staged value
+    (text_q9); the percentile threshold interpolates over those exact
+    values and is rounded to 6 on both engines before the comparison,
+    so the boundary set cannot flip on sub-ulp interpolation drift
+    (the rel_q15 discipline).
+
+    Scale shape: the entropy pass (explode → keyed aggs) dominates;
+    the threshold is a 1-row global aggregate (AQE broadcasts it back)
+    — at 100 TB swap exact percentile for approx_percentile
+    (operators/sketches.py), same query shape."""
+    ent = unigram_entropy(widen(table(spark, sf_dir, "documents"))).select(
+        F.col("id").alias("doc_id"), "entropy"
+    )
+    thr = ent.agg(
+        F.round(F.percentile("entropy", F.lit(DYN_QUALITY_P)), 6).alias("t")
+    )
+    return (
+        ent.crossJoin(F.broadcast(thr))
+        .where(F.col("entropy") >= F.col("t"))
+        .select("doc_id", "entropy", "t")
+    )
+
+
 CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8
 
 
@@ -937,6 +970,7 @@ SHADOW_QUERIES = {
     "text_q11_pmi": text_q11_pmi,
     "text_q12_lm_score": text_q12_lm_score,
     "dedup_q12_triangles": dedup_q12_triangles,
+    "text_q13_dynamic_quality": text_q13_dynamic_quality,
 }
 
 # SPAN_N-gram concat expression for the dedup_q9 oracle (i is the
@@ -1107,6 +1141,32 @@ SHADOW_ORACLES = {
         JOIN documents da ON da.doc_id = id_i
         JOIN documents db ON db.doc_id = id_j
         GROUP BY 1, 2
+    """,
+    # Mirrors text_q13: the text_q9 entropy core, quantile_cont
+    # threshold rounded to 6 (= Spark percentile, rel_q15 parity), and
+    # the same >= boundary on the 6-rounded entropy values.
+    "text_q13_dynamic_quality": f"""
+        WITH per AS (
+            SELECT doc_id, n_tokens, tok, count(*) AS c
+            FROM (SELECT doc_id, len(ts) AS n_tokens, unnest(ts) AS tok
+                  FROM (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents))
+            GROUP BY 1, 2, 3
+        ),
+        e AS (
+            SELECT doc_id, n_tokens,
+                   CAST(round(-(c / CAST(n_tokens AS DOUBLE))
+                              * ln(c / CAST(n_tokens AS DOUBLE)), 12)
+                        AS DECIMAL(22,12)) AS te
+            FROM per
+        ),
+        ent AS (
+            SELECT doc_id, CAST(round(sum(te), 6) AS DOUBLE) AS entropy
+            FROM e GROUP BY doc_id, n_tokens
+        ),
+        thr AS (SELECT round(quantile_cont(entropy, {DYN_QUALITY_P}), 6) AS t FROM ent)
+        SELECT doc_id, entropy, t
+        FROM ent CROSS JOIN thr
+        WHERE entropy >= t
     """,
     # Mirrors text_q9_entropy: identical per-term double math, 12-dec
     # round into DECIMAL before the (exact, order-independent) sum.
