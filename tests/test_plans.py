@@ -62,11 +62,13 @@ def test_no_cartesian_in_any_registered_query(spark, sf_dir):
     # sim_q5 composes sim_q3's IVF assignment (the same 16-row centroid
     # crossJoin) ahead of the PQ encode; its only BNLJ side is that
     # O(1)-row centroid table.
+    # text_q13 crossJoins THE 1-row percentile-threshold aggregate.
     bnlj_allowed = {
         "ev_q6_value_bands",
         "kv_q3_get",
         "sim_q3_ivf_topk",
         "sim_q5_ivfpq_topk",
+        "text_q13_dynamic_quality",
     }
     checked = 0
     for name, fn in {**all_queries(), **shadow_queries()}.items():
