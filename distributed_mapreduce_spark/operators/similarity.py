@@ -342,6 +342,82 @@ def pq_adc_topk(
     )
 
 
+KM_K = 8
+KM_ITERS = 2
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    dim: int,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means, every stage engine-deterministic so a DuckDB
+    oracle can replay the FULL iterative algorithm bit-for-bit — the
+    pattern that turns "iterative ML on Spark" from rows-only-checkable
+    into value-graded: deterministic init (the k lowest-id vectors),
+    relational argmin assignment (min-of-struct, lowest-cell tiebreak,
+    left-associative squared-L2 chains), and decimal-staged means
+    (coordinates round to 12 into DECIMAL, the exact order-independent
+    sum divides out as a double rounded to 12 — so the new centroids
+    are identical doubles on both engines and the next iteration's
+    distances are too).
+
+    Returns the final assignment (id, cell). The per-iteration
+    centroid table is k×dim driver-side floats (bounded collect, the
+    IVF-probe pattern); assignment shuffles one row per vector into
+    the min-of-struct agg, and means are a k-group aggregate —
+    per-iteration cost is two keyed aggs over N rows, nothing
+    quadratic. (pyspark.ml KMeans remains the production trainer —
+    train_centroids_kmeans; this operator exists for *graded*
+    iterative clustering and small-k refinement.)"""
+    import functools
+    import operator
+
+    flat = emb.select(
+        id_col, *[F.col(vec_col)[i].cast("double").alias(f"x{i}") for i in range(dim)]
+    )
+    spark = emb.sparkSession
+    init = flat.orderBy(id_col).limit(k).collect()
+    cents = [[float(r[f"x{i}"]) for i in range(dim)] for r in init]
+
+    def assign(centroids: list[list[float]]) -> DataFrame:
+        cdf = spark.createDataFrame(
+            [(c, *centroids[c]) for c in range(len(centroids))],
+            "cell int, " + ", ".join(f"m{i} double" for i in range(dim)),
+        )
+        diff = [F.col(f"x{i}") - F.col(f"m{i}") for i in range(dim)]
+        dist = functools.reduce(operator.add, [d * d for d in diff])
+        return (
+            flat.crossJoin(F.broadcast(cdf))
+            .select(id_col, "cell", dist.alias("dist"))
+            .groupBy(id_col)
+            .agg(F.min(F.struct(F.col("dist"), F.col("cell"))).alias("m"))
+            .select(id_col, F.col("m.cell").alias("cell"))
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents).join(flat, id_col)
+        mean_cols = [
+            F.round(
+                F.sum(F.round(F.col(f"x{i}"), 12).cast("decimal(22,12)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                12,
+            ).alias(f"m{i}")
+            for i in range(dim)
+        ]
+        rows = assigned.groupBy("cell").agg(*mean_cols).collect()
+        new = {r["cell"]: [float(r[f"m{i}"]) for i in range(dim)] for r in rows}
+        # Empty cells keep their previous centroid (deterministic, and
+        # what the SQL replay's left-join-coalesce mirrors).
+        cents = [new.get(c, cents[c]) for c in range(k)]
+    return assign(cents)
+
+
 def ivfpq_topk(
     emb: DataFrame,
     query_vec: list[float],

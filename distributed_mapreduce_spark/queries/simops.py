@@ -158,6 +158,100 @@ def sim_q5_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, _qvec(emb), TOP_K, dim=DIM)
 
 
+def sim_q6_kmeans_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded iterative clustering: 2 Lloyd iterations of k=8 k-means
+    (operators/similarity.py::kmeans_lloyd), census of the final
+    assignment (cell, n_vecs, sum of member ids). Every stage is
+    engine-deterministic (deterministic init, argmin with cell
+    tiebreak, decimal-staged means), so the DuckDB oracle replays the
+    ENTIRE iterative algorithm — init → assign → means → assign →
+    means → final assign — bit-for-bit: the strongest correctness
+    signal an iterative ML loop can carry (BPE's sequential-fold
+    grading is the fallback pattern for loops SQL can't express)."""
+    from distributed_mapreduce_spark.operators.similarity import kmeans_lloyd
+
+    a = kmeans_lloyd(_emb(spark, sf_dir), DIM)
+    return a.groupBy("cell").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("vec_id").cast("bigint").alias("sum_id"),
+    )
+
+
+def _kmeans_sql() -> str:
+    """DuckDB replay of kmeans_lloyd (same k/iters/dim constants):
+    generated CTE chain c0 → a1 → c1 → a2 → c2 → a3, with identical
+    float-op order everywhere — left-associative squared-L2 chains,
+    round-to-12 DECIMAL(22,12) coordinate sums, double division,
+    coalesce-to-previous for empty cells."""
+    from distributed_mapreduce_spark.operators.similarity import KM_ITERS, KM_K
+
+    d = DIM
+    xs = ", ".join(f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(d))
+    ms0 = ", ".join(f"x{i} AS m{i}" for i in range(d))
+    dist = " + ".join(f"(f.x{i} - c.m{i}) * (f.x{i} - c.m{i})" for i in range(d))
+    mean_cols = ", ".join(
+        f"round(CAST(sum(CAST(round(f.x{i}, 12) AS DECIMAL(22,12))) AS DOUBLE)"
+        f" / count(*), 12) AS m{i}"
+        for i in range(d)
+    )
+    parts = [
+        f"WITH flat AS (SELECT vec_id, {xs} FROM embeddings)",
+        f"""c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+                   {ms0}
+            FROM (SELECT * FROM flat ORDER BY vec_id LIMIT {KM_K})
+        )""",
+    ]
+    prev = "c0"
+    for it in range(1, KM_ITERS + 1):
+        coal = ", ".join(f"coalesce(m.m{i}, p.m{i}) AS m{i}" for i in range(d))
+        parts.append(
+            f"""a{it} AS (
+            SELECT vec_id, cell FROM (
+                SELECT f.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY f.vec_id ORDER BY {dist} ASC, c.cell ASC
+                       ) AS rn
+                FROM flat f CROSS JOIN {prev} c
+            ) WHERE rn = 1
+        )"""
+        )
+        parts.append(
+            f"""m{it} AS (
+            SELECT a.cell, {mean_cols}
+            FROM a{it} a JOIN flat f USING (vec_id)
+            GROUP BY a.cell
+        )"""
+        )
+        parts.append(
+            f"""c{it} AS (
+            SELECT p.cell, {coal}
+            FROM {prev} p LEFT JOIN m{it} m ON p.cell = m.cell
+        )"""
+        )
+        prev = f"c{it}"
+    final = KM_ITERS + 1
+    parts.append(
+        f"""a{final} AS (
+            SELECT vec_id, cell FROM (
+                SELECT f.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY f.vec_id ORDER BY {dist} ASC, c.cell ASC
+                       ) AS rn
+                FROM flat f CROSS JOIN {prev} c
+            ) WHERE rn = 1
+        )"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT cell, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS sum_id
+        FROM a{final}
+        GROUP BY cell
+    """
+    )
+
+
 EMB_DUP_THRESHOLD = 0.4
 
 
@@ -557,6 +651,7 @@ SHADOW_QUERIES = {
     "dedup_q11_embedding_clusters": dedup_q11_embedding_clusters,
     "sim_q4_pq_topk": sim_q4_pq_topk,
     "sim_q5_ivfpq_topk": sim_q5_ivfpq_topk,
+    "sim_q6_kmeans_census": sim_q6_kmeans_census,
 }
 
 
@@ -710,6 +805,7 @@ def _pq_sql() -> str:
 SHADOW_ORACLES = {
     "sim_q4_pq_topk": _pq_sql(),
     "sim_q5_ivfpq_topk": _ivfpq_sql(),
+    "sim_q6_kmeans_census": _kmeans_sql(),
     # Transitive closure over the same pair graph as the dedup_q6
     # oracle (recursive CTE); component label = min reachable vec id —
     # the Spark side's min-label fixpoint (same shape as dedup_q7's).

@@ -68,6 +68,7 @@ def test_no_cartesian_in_any_registered_query(spark, sf_dir):
         "kv_q3_get",
         "sim_q3_ivf_topk",
         "sim_q5_ivfpq_topk",
+        "sim_q6_kmeans_census",  # 8-row centroid-table crossJoin
         "text_q13_dynamic_quality",
     }
     checked = 0
