@@ -544,3 +544,40 @@ def test_pq_adc_approximates_exact_topk(spark, emb):
         assert hits >= 10, f"PQ ADC overlap too low: {hits}/50"
     finally:
         codes.unpersist()
+
+
+def test_kmeans_lloyd_recovers_planted_clusters(spark):
+    """On well-separated planted Gaussians, 2 Lloyd iterations from the
+    deterministic init must produce clusters that are nearly pure
+    (majority planted label >= 90% per cell) — parity tests prove both
+    engines agree; this proves the algorithm actually clusters."""
+    import numpy as np
+
+    from distributed_mapreduce_spark.operators.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(8, 16)) * 20
+    rows = []
+    for i in range(400):
+        g = i % 8
+        rows.append((i, g, (centers[g] + rng.normal(size=16)).tolist()))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, planted int, embedding array<double>"
+    ).cache()
+    try:
+        assigned = kmeans_lloyd(emb, 16, k=8, iters=2)
+        joined = assigned.join(emb.select("vec_id", "planted"), "vec_id").collect()
+        by_cell: dict[int, list[int]] = {}
+        for r in joined:
+            by_cell.setdefault(r.cell, []).append(r.planted)
+        assert len(joined) == 400
+        impure = 0
+        for cell, labels in by_cell.items():
+            top = max(labels.count(x) for x in set(labels))
+            if top < 0.9 * len(labels):
+                impure += 1
+        # deterministic lowest-id init can merge/split a planted pair;
+        # allow at most one impure cell
+        assert impure <= 1, f"{impure} impure cells"
+    finally:
+        emb.unpersist()
