@@ -130,3 +130,71 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+    src: str = "id_i",
+    dst: str = "id_j",
+) -> DataFrame:
+    """PageRank over an undirected pair graph, engine-deterministic so
+    a DuckDB oracle can replay the full iterative computation
+    bit-for-bit (the kmeans_lloyd discipline applied to graph
+    iteration): r₀ = 1/N; each round every node's neighbor
+    contributions r(u)/deg(u) round to 12 decimals into DECIMAL(22,12)
+    (exact, order-independent sum), and
+    r' = round((1−d)/N + d·Σ, 12) — all remaining arithmetic is
+    fixed-order double math, identical on both engines. Returns
+    (id, pr) for every node of the graph.
+
+    On a near-dup graph PageRank scores HUBNESS: the documents most
+    entangled in duplicate families (high-degree, well-connected) —
+    the ones to inspect or drop first — where dedup_q7's components
+    only tell you membership and dedup_q12's triangles local density.
+
+    Scale shape: per iteration one equi-join of the edge list with the
+    rank table (shuffle keyed on node id) + one keyed sum — cost ∝
+    edges, the O(#duplicate-pairs) list, far below corpus size.
+    localCheckpoint per round truncates the iterative lineage (the CC
+    discipline)."""
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionAll(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint()
+    n = deg.count()
+    r = deg.select(F.col("u").alias("id"), F.lit(1.0 / n).alias("r"))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = (
+            und.join(r.withColumnRenamed("id", "u"), "u")
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("id"),
+                F.round(F.col("r") / F.col("deg"), 12)
+                .cast("decimal(22,12)")
+                .alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            deg.select(F.col("u").alias("id"))
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                    12,
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return r.select("id", F.col("r").alias("pr"))

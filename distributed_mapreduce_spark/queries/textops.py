@@ -832,6 +832,68 @@ def dedup_q12_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_q13_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup pair graph
+    (operators/components.py::pagerank): hubness of each document in
+    its duplicate family — high-rank docs are the template/mirror
+    centers worth inspecting first. Fully value-graded: the decimal-
+    staged iteration lets the DuckDB oracle replay all 3 rounds
+    bit-for-bit (the sim_q6 discipline on a graph loop)."""
+    from distributed_mapreduce_spark.operators.components import pagerank
+
+    docs = widen(table(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs(doc_shingles(docs, max_df=MAX_SHINGLE_DF), NEAR_DUP_JACCARD)
+    return pagerank(pairs).select(F.col("id").alias("doc_id"), "pr")
+
+
+def _pagerank_sql() -> str:
+    """DuckDB replay of operators/components.pagerank over the
+    dedup_q3 pair graph: same symmetrized edges, same r₀ = 1.0/N, the
+    same (1.0 − d)/N base expression (NOT a folded 0.15 literal — IEEE
+    1.0−0.85 ≠ 0.15), contributions rounded to 12 into DECIMAL for the
+    order-independent sum, r' rounded to 12."""
+    from distributed_mapreduce_spark.operators.components import (
+        PR_DAMPING,
+        PR_ITERS,
+    )
+
+    d = PR_DAMPING
+    parts = [
+        f"WITH pairs AS ({_Q3_PAIRS_SQL})",
+        """und AS (
+            SELECT id_i AS u, id_j AS v FROM pairs
+            UNION ALL
+            SELECT id_j AS u, id_i AS v FROM pairs
+        )""",
+        "deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u)",
+        "nn AS (SELECT count(*) AS n FROM deg)",
+        "r0 AS (SELECT u AS id, 1.0 / nn.n AS r FROM deg CROSS JOIN nn)",
+    ]
+    for t in range(PR_ITERS):
+        parts.append(
+            f"""r{t + 1} AS (
+            SELECT dd.u AS id,
+                   round((1.0 - {d}) / nn.n
+                         + {d} * coalesce(CAST(s.s AS DOUBLE), 0.0), 12) AS r
+            FROM deg dd CROSS JOIN nn
+            LEFT JOIN (
+                SELECT e.v AS id,
+                       sum(CAST(round(r.r / d2.deg, 12) AS DECIMAL(22,12))) AS s
+                FROM und e
+                JOIN r{t} r ON e.u = r.id
+                JOIN deg d2 ON e.u = d2.u
+                GROUP BY e.v
+            ) s ON dd.u = s.id
+        )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT id AS doc_id, r AS pr FROM r{PR_ITERS}
+    """
+    )
+
+
 LM_ALPHA = 0.5
 
 
@@ -971,6 +1033,7 @@ SHADOW_QUERIES = {
     "text_q12_lm_score": text_q12_lm_score,
     "dedup_q12_triangles": dedup_q12_triangles,
     "text_q13_dynamic_quality": text_q13_dynamic_quality,
+    "dedup_q13_pagerank": dedup_q13_pagerank,
 }
 
 # SPAN_N-gram concat expression for the dedup_q9 oracle (i is the
@@ -1115,6 +1178,7 @@ SHADOW_ORACLES = {
                md5(array_to_string(ts[start + 1 : start + {CHUNK_TOKENS}], ' ')) AS chunk_md5
         FROM e
     """,
+    "dedup_q13_pagerank": _pagerank_sql(),
     # Same pair graph as the dedup_q3 oracle; identical ordered-edge
     # triangle enumeration, three corner credits per triangle.
     "dedup_q12_triangles": f"""
