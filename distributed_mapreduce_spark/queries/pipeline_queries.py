@@ -356,9 +356,40 @@ def _manifest_sql() -> str:
     """
 
 
+def ml_q1_scaling_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded distributed model training: fit chars ≈ f(tokens) by 3
+    full-batch gradient-descent steps (operators/regression.linreg_gd)
+    on scaled corpus features — the corpus-statistics regression step
+    of a data pipeline (length modeling, scaling-law fits), and the
+    third engine-deterministic iterative loop next to sim_q6 (k-means)
+    and dedup_q13 (PageRank). The oracle replays every descent step;
+    the 1-row result (w0, w1, mse, n) matches bit-for-bit."""
+    from distributed_mapreduce_spark.functions.text import token_count
+    from distributed_mapreduce_spark.operators.regression import linreg_gd
+
+    docs = widen(table(spark, sf_dir, "documents"))
+    xy = docs.select(
+        (token_count("text").cast("double") / F.lit(100.0)).alias("x"),
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("y"),
+    )
+    return linreg_gd(xy)
+
+
+def _ml_q1_sql() -> str:
+    from distributed_mapreduce_spark.operators.regression import linreg_gd_sql
+    from distributed_mapreduce_spark.queries.textops import _TOKS_SQL
+
+    return linreg_gd_sql(
+        f"""SELECT CAST(len({_TOKS_SQL}) AS DOUBLE) / 100.0 AS x,
+                   CAST(n_chars AS DOUBLE) / 1000.0 AS y
+            FROM documents"""
+    )
+
+
 # Train/holdout is the 2-bucket special case of mix_q1's hash-bucket
 # stratified sampling — shadow tier (registry.py grading cap).
 SHADOW_QUERIES = {
+    "ml_q1_scaling_fit": ml_q1_scaling_fit,
     "mix_q2_train_holdout": mix_q2_train_holdout,
     "mix_q5_weighted_sample": mix_q5_weighted_sample,
     "pipe_q1_training_manifest": pipe_q1_training_manifest,
@@ -366,6 +397,7 @@ SHADOW_QUERIES = {
 
 SHADOW_ORACLES = {
     "pipe_q1_training_manifest": _manifest_sql(),
+    "ml_q1_scaling_fit": _ml_q1_sql(),
     # Same A-ES score, same 12-dec round, same tiebreak.
     "mix_q5_weighted_sample": f"""
         WITH scored AS (

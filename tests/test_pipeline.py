@@ -244,3 +244,24 @@ def test_weighted_sample_k_properties(spark):
     assert {(r.lang, r.doc_id) for r in re_kept.collect()} == {
         (r.lang, r.doc_id) for r in kept.collect()
     }
+
+
+def test_linreg_gd_reduces_loss(spark):
+    """GD from (0,0) must strictly reduce mse on a noisy linear
+    relation (parity proves engines agree; this proves it LEARNS)."""
+    import numpy as np
+
+    from distributed_mapreduce_spark.operators.regression import linreg_gd
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 1, 300)
+    y = 0.7 * x + 0.2 + rng.normal(0, 0.05, 300)
+    xy = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    base_mse = float(np.mean(y**2))
+    row = linreg_gd(xy).collect()[0]
+    assert row["n"] == 300
+    assert row["mse"] < base_mse * 0.5, (row["mse"], base_mse)
+    # and the fitted line points the right way
+    assert row["w1"] > 0.1 and row["w0"] > 0.0
