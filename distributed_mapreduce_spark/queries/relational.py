@@ -451,7 +451,61 @@ def rel_q17_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_q18_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (the Delta/Iceberg MERGE INTO shape,
+    operators/cdc.py::merge_changes): a change batch derived from the
+    events stream — upserts keyed on user_id→custkey, `error` events
+    as delete tombstones, last-writer-wins by event_id — applied onto
+    a customer projection. Graded on the exact merged row set:
+    untouched rows pass through, matched rows take the winning
+    change's full payload, new keys insert, deleted keys vanish.
+
+    Scale shape: one max_by agg over the batch + one broadcast
+    full-outer join against the base — the base never shuffles."""
+    from distributed_mapreduce_spark.operators.cdc import merge_changes
+
+    base = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    ev = table(spark, sf_dir, "events")
+    changes = ev.select(
+        (F.col("user_id") + 1).alias("c_custkey"),
+        F.col("event_id").alias("ord"),
+        (F.col("event_type") == "error").cast("int").alias("is_delete"),
+        F.upper("event_type").alias("c_mktsegment"),
+        F.col("value").alias("c_acctbal"),
+    )
+    return merge_changes(base, changes, "c_custkey")
+
+
 _SQL = {
+    "rel_q18_cdc_merge": """
+        WITH base AS (
+            SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        ),
+        ch AS (
+            SELECT user_id + 1 AS c_custkey,
+                   event_id AS ord,
+                   CAST(event_type = 'error' AS INT) AS is_delete,
+                   upper(event_type) AS c_mktsegment,
+                   value AS c_acctbal
+            FROM events
+        ),
+        w AS (
+            SELECT c_custkey,
+                   arg_max(c_mktsegment, ord) AS c_mktsegment,
+                   arg_max(c_acctbal, ord) AS c_acctbal,
+                   arg_max(is_delete, ord) AS is_delete
+            FROM ch GROUP BY 1
+        )
+        SELECT coalesce(b.c_custkey, w.c_custkey) AS c_custkey,
+               CASE WHEN w.is_delete IS NOT NULL
+                    THEN w.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
+               CASE WHEN w.is_delete IS NOT NULL
+                    THEN w.c_acctbal ELSE b.c_acctbal END AS c_acctbal
+        FROM base b FULL JOIN w ON b.c_custkey = w.c_custkey
+        WHERE w.is_delete IS NULL OR w.is_delete = 0
+    """,
     "rel_q16_deciles": """
         SELECT c_mktsegment,
                CAST(decile AS BIGINT) AS decile,
@@ -676,6 +730,7 @@ SHADOW_QUERIES = {
     "rel_q11_brand_stats": rel_q11_brand_stats,
     "rel_q16_deciles": rel_q16_deciles,
     "rel_q17_histogram": rel_q17_histogram,
+    "rel_q18_cdc_merge": rel_q18_cdc_merge,
 }
 
 ORACLES = {name: _SQL[name] for name in QUERIES}

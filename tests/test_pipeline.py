@@ -265,3 +265,32 @@ def test_linreg_gd_reduces_loss(spark):
     assert row["mse"] < base_mse * 0.5, (row["mse"], base_mse)
     # and the fitted line points the right way
     assert row["w1"] > 0.1 and row["w0"] > 0.0
+
+
+def test_cdc_merge_semantics(spark):
+    """merge_changes edge cases: passthrough, update, insert, delete of
+    existing, delete of absent (no-op), last-writer-wins within the
+    batch, and a winning upsert carrying a NULL payload value (must
+    overwrite with NULL, not fall back to base)."""
+    from distributed_mapreduce_spark.operators.cdc import merge_changes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, 10, 0, "b2"),     # update
+            (2, 11, 0, "b3"),     # later update wins
+            (3, 12, 1, None),     # delete existing
+            (4, 13, 0, "d"),      # insert
+            (5, 14, 1, None),     # delete absent -> no-op
+            (6, 15, 0, None),     # insert with NULL payload
+            (1, 9, 1, "x"),       # deleted then...
+            (1, 16, 0, None),     # ...re-upserted with NULL (wins)
+        ],
+        "k bigint, ord bigint, is_delete int, v string",
+    )
+    got = {
+        r.k: r.v for r in merge_changes(base, changes, "k").collect()
+    }
+    assert got == {1: None, 2: "b3", 4: "d", 6: None}
