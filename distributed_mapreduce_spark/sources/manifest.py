@@ -1,0 +1,85 @@
+"""File-level zone maps: min/max manifests from parquet footer
+statistics, and a reader that skips whole files by predicate range —
+the Iceberg/Delta data-skipping layer, one level finer than Hive
+partition pruning (sources/files.write_partitioned prunes directories;
+this prunes FILES inside them).
+
+The manifest is built from parquet FOOTER metadata only (pyarrow
+row-group statistics) — no data pages are read, so manifest
+construction over a 100 TB dataset is a footer-listing job, and on a
+real deployment it would be collected distributedly (one mapPartitions
+over the file list) and stored next to the dataset; the driver-side
+loop here is the single-node form of that job.
+
+Skipping is sound only for range predicates on the manifested columns:
+a file whose [min, max] does not intersect [lo, hi] cannot contain a
+matching row (parquet stats are conservative bounds). Effectiveness
+requires layout correlation — data written clustered/sorted by the
+column (repartitionByRange + sortWithinPartitions, the write-side half
+of this contract). Uncorrelated layout degrades to zero skipped files,
+never to wrong answers (✓test both directions).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_NAME = "_zone_manifest.json"
+
+
+def write_manifest(dataset_path: str, cols: list[str]) -> dict:
+    """Collect per-file min/max for `cols` from parquet footers and
+    write `_zone_manifest.json` into the dataset directory. Returns
+    the manifest dict {file -> {col -> [min, max]}}."""
+    import pyarrow.parquet as pq
+
+    manifest: dict[str, dict[str, list]] = {}
+    for p in sorted(pathlib.Path(dataset_path).rglob("*.parquet")):
+        md = pq.ParquetFile(str(p)).metadata
+        schema_names = md.schema.to_arrow_schema().names
+        stats: dict[str, list] = {}
+        for col in cols:
+            idx = schema_names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(idx).statistics
+                if s is None or not s.has_min_max:
+                    mins, maxs = [], []
+                    break
+                mins.append(s.min)
+                maxs.append(s.max)
+            if mins:
+                stats[col] = [min(mins), max(maxs)]
+        manifest[str(p.relative_to(dataset_path))] = stats
+    out = pathlib.Path(dataset_path) / MANIFEST_NAME
+    out.write_text(json.dumps(manifest, indent=1, sort_keys=True, default=str))
+    return manifest
+
+
+def read_pruned(
+    spark: SparkSession, dataset_path: str, col: str, lo, hi
+) -> tuple[DataFrame, int, int]:
+    """Range-read `col BETWEEN lo AND hi` skipping files whose zone
+    [min, max] cannot intersect. Returns (df, files_read, files_total);
+    the residual filter is still applied (zones are conservative).
+    A file with no recorded zone for `col` is always read (soundness
+    over skipping)."""
+    from pyspark.sql import functions as F
+
+    base = pathlib.Path(dataset_path)
+    manifest = json.loads((base / MANIFEST_NAME).read_text())
+    keep = []
+    for rel, stats in manifest.items():
+        z = stats.get(col)
+        if z is None or not (z[1] < lo or z[0] > hi):
+            keep.append(str(base / rel))
+    total = len(manifest)
+    if not keep:
+        # degenerate: empty selection — read nothing but preserve schema
+        df = spark.read.parquet(str(base)).where(F.lit(False))
+        return df.where(F.col(col).between(lo, hi)), 0, total
+    df = spark.read.parquet(*keep).where(F.col(col).between(lo, hi))
+    return df, len(keep), total
