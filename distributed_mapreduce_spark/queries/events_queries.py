@@ -461,6 +461,20 @@ def ev_q12_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_q13_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential smoothing of event values
+    (operators/timeseries.py::ewma_last): the monitoring/forecast
+    current-level estimate, computed as an Arrow-batched per-group
+    sequential fold — a recurrence SQL windows cannot express — and
+    graded bit-exact against a DuckDB recursive-CTE replay of the
+    identical IEEE recurrence (no rounding discipline needed: every
+    step is the same two multiplies and one add on both engines)."""
+    from distributed_mapreduce_spark.operators.timeseries import ewma_last
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return ewma_last(ev, "user_id", ["ts", "event_id"], "value")
+
+
 QUERIES = {
     "ev_q1_json_extract": ev_q1_json_extract,
     "ev_q2_sessionize": ev_q2_sessionize,
@@ -480,9 +494,22 @@ SHADOW_QUERIES = {
     "ev_q10_transitions": ev_q10_transitions,
     "ev_q11_scd2": ev_q11_scd2,
     "ev_q12_outliers": ev_q12_outliers,
+    "ev_q13_ewma": ev_q13_ewma,
 }
 
+
+def _ewma_oracle() -> str:
+    from distributed_mapreduce_spark.operators.timeseries import ewma_sql
+
+    return ewma_sql(
+        "SELECT user_id, ts, event_id, value FROM events",
+        "user_id",
+        "ts, event_id",
+        "value",
+    )
+
 SHADOW_ORACLES = {
+    "ev_q13_ewma": _ewma_oracle(),
     # Mirrors ev_q9_resample_ffill: same grid, same latest-in-hour
     # tiebreak, same ignore-nulls running fill; the filled double is a
     # stored value copied, so equality is exact.

@@ -294,3 +294,23 @@ def test_cdc_merge_semantics(spark):
         r.k: r.v for r in merge_changes(base, changes, "k").collect()
     }
     assert got == {1: None, 2: "b3", 4: "d", 6: None}
+
+
+def test_ewma_closed_forms(spark):
+    """EWMA sanity: constant series stays constant; a unit step from 0
+    reaches alpha after one step; ordering respected (stable tiebreak)."""
+    from distributed_mapreduce_spark.operators.timeseries import (
+        EWMA_ALPHA,
+        ewma_last,
+    )
+
+    rows = [
+        (1, 1, 5.0), (1, 2, 5.0), (1, 3, 5.0),   # constant
+        (2, 1, 0.0), (2, 2, 1.0),                 # step: y = alpha
+        (3, 2, 1.0), (3, 1, 0.0),                 # same, shuffled input
+    ]
+    df = spark.createDataFrame(rows, "k bigint, t bigint, v double")
+    got = {r.k: (r.n_obs, r.ewma) for r in ewma_last(df, "k", ["t"], "v").collect()}
+    assert got[1] == (3, 5.0)
+    assert got[2] == (2, EWMA_ALPHA * 1.0 + (1.0 - EWMA_ALPHA) * 0.0)
+    assert got[3] == got[2]
