@@ -80,6 +80,18 @@ def split_train_holdout(
     return df.where(b >= holdout_pct), df.where(b < holdout_pct)
 
 
+def kfold(df: DataFrame, key_col: str, k: int) -> list[tuple[DataFrame, DataFrame]]:
+    """Deterministic k-fold cross-validation splits by content hash:
+    fold i's validation set is the keys with hash_bucket % k == i,
+    train is the rest — disjoint, exhaustive, layout-independent, and
+    leakage-safe (a key is in exactly one validation fold regardless
+    of how the data is partitioned or re-sharded). Returns
+    [(train_i, val_i)] for i in 0..k-1; each pair is a pure filter
+    over df, so nothing materializes until used."""
+    b = hash_bucket(key_col, BUCKETS) % k
+    return [(df.where(b != i), df.where(b == i)) for i in range(k)]
+
+
 # 12 md5 hex digits: 48 bits of uniformity, exact in a double (< 2^53)
 # on both engines.
 _U_DENOM = float(16**12 + 1)
