@@ -274,16 +274,84 @@ def st_q7_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st_q8_click_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join
+    (streaming/joins.py::interval_join_outer): every click, converted
+    or not — null purchase rows are emitted by join-state TIMEOUT when
+    the watermark proves no match can arrive, so the trailing no-data
+    batch is load-bearing (needs_watermark_flush, the st_q3
+    mechanism). The oracle mirrors that contract: matched rows = the
+    batch interval join; null rows = unmatched clicks whose window
+    closed before the final watermark."""
+    from distributed_mapreduce_spark.streaming.joins import interval_join_outer
+
+    return _replayed(
+        spark,
+        sf_dir,
+        lambda ev: interval_join_outer(
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "purchase"),
+        ),
+        "append",
+        needs_watermark_flush=True,
+    )
+
+
 # Sliding windows are tumbling windows with an overlap factor (same
 # state-store machinery, each event lands in duration/slide windows) —
 # shadow tier behind st_q1 (registry.py grading cap). The stream-static
-# join is shadow behind the stream-stream st_q6.
+# join is shadow behind the stream-stream st_q6; the outer interval
+# join is shadow behind st_q6 as well (same state machinery + timeout
+# emission).
 SHADOW_QUERIES = {
     "st_q2_sliding": st_q2_sliding,
     "st_q7_stream_static_enrich": st_q7_stream_static_enrich,
+    "st_q8_click_purchase_outer": st_q8_click_purchase_outer,
 }
 
 SHADOW_ORACLES = {
+    # Matched rows = the batch interval join (same as st_q6); null
+    # rows = clicks with no in-window purchase whose window closed
+    # before the final global watermark (min over the two sides' max
+    # event times, minus the delay — Spark's multi-input watermark
+    # policy).
+    "st_q8_click_purchase_outer": """
+        WITH c AS (
+            SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+            SELECT user_id AS p_user, ts AS purchase_ts, value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        wm AS (
+            SELECT least((SELECT max(click_ts) FROM c),
+                         (SELECT max(purchase_ts) FROM p))
+                   - INTERVAL '1 hour' AS w
+        ),
+        matched AS (
+            SELECT c.user_id, c.click_ts, p.purchase_ts, p.value
+            FROM c JOIN p
+              ON c.user_id = p.p_user
+             AND p.purchase_ts >= c.click_ts
+             AND p.purchase_ts <= c.click_ts + INTERVAL '30 minutes'
+        ),
+        expired_unmatched AS (
+            SELECT c.user_id, c.click_ts,
+                   CAST(NULL AS TIMESTAMP) AS purchase_ts,
+                   CAST(NULL AS DOUBLE) AS value
+            FROM c CROSS JOIN wm
+            WHERE c.click_ts + INTERVAL '30 minutes' <= wm.w
+              AND NOT EXISTS (
+                  SELECT 1 FROM p
+                  WHERE p.p_user = c.user_id
+                    AND p.purchase_ts >= c.click_ts
+                    AND p.purchase_ts <= c.click_ts + INTERVAL '30 minutes'
+              )
+        )
+        SELECT * FROM matched
+        UNION ALL
+        SELECT * FROM expired_unmatched
+    """,
     "st_q7_stream_static_enrich": f"""
         SELECT c.c_mktsegment, e.event_type,
                count(*) AS n_events,

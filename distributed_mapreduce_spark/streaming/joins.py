@@ -48,3 +48,40 @@ def interval_join(
     return c.join(p, cond, "inner").select(
         "user_id", "click_ts", "purchase_ts", "value"
     )
+
+
+def interval_join_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    bound: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the semantics the inner
+    form can't give: every click appears, unconverted ones with NULL
+    purchase columns. The null row for an unmatched click is emitted
+    by STATE TIMEOUT, not by data: only once the watermark passes
+    click_ts + bound can the engine prove no future purchase will
+    match, so the trailing no-data batch (needs_watermark_flush) is
+    the emission point for the tail — the same mechanism as append-
+    mode session closing (st_q3), here on join state. The oracle
+    carries the matching cutoff: matched rows are the batch interval
+    join; null rows are exactly the clicks with no match whose
+    [click_ts, click_ts + bound] window closed before the final
+    watermark. State contract is identical to the inner form (interval
+    + watermark bound eviction)."""
+    c = clicks.select("user_id", F.col("ts").alias("click_ts")).withWatermark(
+        "click_ts", watermark
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {bound}"))
+    )
+    return c.join(p, cond, "leftOuter").select(
+        "user_id", "click_ts", "purchase_ts", "value"
+    )
