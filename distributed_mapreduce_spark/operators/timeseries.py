@@ -20,8 +20,6 @@ per-entity scan.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 from pyspark.sql import DataFrame
 
 EWMA_ALPHA = 0.1
