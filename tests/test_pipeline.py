@@ -336,3 +336,49 @@ def test_kfold_disjoint_exhaustive_deterministic(spark, sf_dir):
         for _, v in kfold(docs.repartition(7), "doc_id", 4)
     ]
     assert val2 == val_sets
+
+
+def test_ewma_crash_retry_matches_unkilled(spark, sf_dir):
+    """Fault injection on the Arrow/applyInPandas path: kill every
+    FIRST task attempt inside the per-group fold — Spark must rerun
+    the task and the result must equal the unkilled run (the MR
+    crash-retry contract extended to the pandas-UDF lane; conftest
+    session runs local[4, 2] so maxFailures=2)."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    from distributed_mapreduce_spark.operators.timeseries import ewma_last
+    from distributed_mapreduce_spark.sources import table
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    want = {r.user_id: r.ewma for r in ewma_last(ev, "user_id", ["ts", "event_id"], "value").collect()}
+
+    # same fold, crash-wrapped: per-group pandas functions run inside a
+    # task; raising on attempt 0 kills the whole task once.
+    from distributed_mapreduce_spark.operators import timeseries
+
+    alpha = timeseries.EWMA_ALPHA
+
+    def crashing_fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if TaskContext.get().attemptNumber() == 0:
+            raise RuntimeError("injected crash (first attempt)")
+        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+        y = None
+        for x in pdf["value"]:
+            x = float(x)
+            y = x if y is None else alpha * x + (1.0 - alpha) * y
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "n_obs": [len(pdf)],
+             "last_value": [float(pdf["value"].iloc[-1])], "ewma": [y]}
+        )
+
+    got_df = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            crashing_fold,
+            "user_id bigint, n_obs bigint, last_value double, ewma double",
+        )
+    )
+    got = {r.user_id: r.ewma for r in got_df.collect()}
+    assert got == want
