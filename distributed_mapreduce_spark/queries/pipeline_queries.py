@@ -386,10 +386,79 @@ def _ml_q1_sql() -> str:
     )
 
 
+def ml_q2_svm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded classifier training: a linear quality classifier
+    (hinge-loss subgradient descent, operators/regression.linsvm_gd)
+    fit to reproduce the rule-based text_q6 quality gate from two
+    features (scaled token count, en-stopword ratio) — the
+    train-a-cheap-filter-from-a-teacher step of a data pipeline.
+    Hinge (not logistic) because exp() is not bit-identical across
+    engines; every hinge descent step is, so the oracle replays the
+    full 3-step loop and the 1-row (weights, hinge, accuracy, n)
+    result matches bit-for-bit."""
+    from distributed_mapreduce_spark.functions.text import (
+        stopword_ratio,
+        token_count,
+        tokens,
+    )
+    from distributed_mapreduce_spark.operators.regression import linsvm_gd
+    from distributed_mapreduce_spark.queries.textops import (
+        QF_MAX_TOKENS,
+        QF_MIN_SW_RATIO,
+        QF_MIN_TOKENS,
+    )
+
+    docs = widen(table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    feats = docs.select(
+        (token_count("text").cast("double") / F.lit(100.0)).alias("x1"),
+        stopword_ratio(toks, "en").alias("x2"),
+        # teacher label: the two feature-aligned conditions of the
+        # text_q6 gate (token-count range + stopword ratio)
+        F.when(
+            token_count("text").between(QF_MIN_TOKENS, QF_MAX_TOKENS)
+            & (stopword_ratio(toks, "en") >= QF_MIN_SW_RATIO),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("y"),
+    )
+    return linsvm_gd(feats, ["x1", "x2"])
+
+
+def _ml_q2_sql() -> str:
+    from distributed_mapreduce_spark.operators.regression import linsvm_gd_sql
+    from distributed_mapreduce_spark.queries.textops import (
+        _SW_EN,
+        _TOKS_SQL,
+        QF_MAX_TOKENS,
+        QF_MIN_SW_RATIO,
+        QF_MIN_TOKENS,
+    )
+
+    return linsvm_gd_sql(
+        f"""SELECT CAST(len(ts) AS DOUBLE) / 100.0 AS x1,
+                   swr AS x2,
+                   CASE WHEN n_tok BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS}
+                             AND swr >= {QF_MIN_SW_RATIO}
+                        THEN 1.0 ELSE -1.0 END AS y
+            FROM (
+                SELECT ts,
+                       CAST(len(ts) AS BIGINT) AS n_tok,
+                       CASE WHEN len(ts) > 0
+                            THEN len(list_filter(ts, x -> list_contains([{_SW_EN}], x))) / len(ts)
+                            ELSE 0.0 END AS swr
+                FROM (SELECT {_TOKS_SQL} AS ts FROM documents)
+            )""",
+        ["x1", "x2"],
+    )
+
+
 # Train/holdout is the 2-bucket special case of mix_q1's hash-bucket
 # stratified sampling — shadow tier (registry.py grading cap).
 SHADOW_QUERIES = {
     "ml_q1_scaling_fit": ml_q1_scaling_fit,
+    "ml_q2_svm_quality": ml_q2_svm_quality,
     "mix_q2_train_holdout": mix_q2_train_holdout,
     "mix_q5_weighted_sample": mix_q5_weighted_sample,
     "pipe_q1_training_manifest": pipe_q1_training_manifest,
@@ -398,6 +467,7 @@ SHADOW_QUERIES = {
 SHADOW_ORACLES = {
     "pipe_q1_training_manifest": _manifest_sql(),
     "ml_q1_scaling_fit": _ml_q1_sql(),
+    "ml_q2_svm_quality": _ml_q2_sql(),
     # Same A-ES score, same 12-dec round, same tiebreak.
     "mix_q5_weighted_sample": f"""
         WITH scored AS (

@@ -382,3 +382,23 @@ def test_ewma_crash_retry_matches_unkilled(spark, sf_dir):
     )
     got = {r.user_id: r.ewma for r in got_df.collect()}
     assert got == want
+
+
+def test_linsvm_gd_learns_separable_data(spark):
+    """Hinge GD must find a separating direction on linearly separable
+    data (accuracy >> majority baseline)."""
+    import numpy as np
+
+    from distributed_mapreduce_spark.operators.regression import linsvm_gd
+
+    rng = np.random.default_rng(9)
+    xs = rng.uniform(-1, 1, (400, 2))
+    ys = np.where(xs[:, 0] + 0.5 * xs[:, 1] > 0.1, 1.0, -1.0)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(y)) for (a, b), y in zip(xs, ys)],
+        "x1 double, x2 double, y double",
+    )
+    row = linsvm_gd(df, ["x1", "x2"]).collect()[0]
+    assert row["n"] == 400
+    assert row["accuracy"] >= 0.8, row["accuracy"]
+    assert row["w1"] > 0  # aligned with the separating normal
