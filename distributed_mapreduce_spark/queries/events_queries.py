@@ -475,6 +475,42 @@ def ev_q13_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_last(ev, "user_id", ["ts", "event_id"], "value")
 
 
+def ev_q14_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling aggregates per user — the RANGE window
+    frame (value-based, gap-aware) that ROWS frames can't express: a
+    user active on days 1 and 9 must NOT see day 1 in day 9's window,
+    which a ROWS BETWEEN 6 PRECEDING frame would wrongly include.
+    Implemented on an integer day index so Spark's rangeBetween and
+    DuckDB's RANGE BETWEEN 6 PRECEDING agree exactly; daily totals
+    stage through DECIMAL (window sums of decimals are exact, so the
+    frame aggregate is order-independent).
+
+    Scale shape: one keyed agg to daily grain (shuffle ∝ active
+    user-days), then one window over the compacted daily table — the
+    frame never touches raw events."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.to_date("ts").alias("day"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value")).alias("v"),
+    )
+    day_num = F.datediff("day", F.lit("2024-01-01"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(day_num)
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        F.sum("n").over(w).alias("n_events_7d"),
+        money(F.sum("v").over(w)).alias("total_value_7d"),
+        F.count("*").over(w).alias("active_days_7d"),
+    )
+
+
 QUERIES = {
     "ev_q1_json_extract": ev_q1_json_extract,
     "ev_q2_sessionize": ev_q2_sessionize,
@@ -495,6 +531,7 @@ SHADOW_QUERIES = {
     "ev_q11_scd2": ev_q11_scd2,
     "ev_q12_outliers": ev_q12_outliers,
     "ev_q13_ewma": ev_q13_ewma,
+    "ev_q14_rolling_7d": ev_q14_rolling_7d,
 }
 
 
@@ -510,6 +547,28 @@ def _ewma_oracle() -> str:
 
 SHADOW_ORACLES = {
     "ev_q13_ewma": _ewma_oracle(),
+    # Mirrors ev_q14: same daily grain, same integer day index, same
+    # RANGE 6 PRECEDING frame; decimal window sums are exact on both.
+    "ev_q14_rolling_7d": """
+        WITH daily AS (
+            SELECT user_id,
+                   CAST(ts AS DATE) AS day,
+                   count(*) AS n,
+                   sum(CAST(value AS DECIMAL(18,4))) AS v
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT user_id, day,
+               CAST(sum(n) OVER w AS BIGINT) AS n_events_7d,
+               CAST(round(sum(v) OVER w, 2) AS DOUBLE) AS total_value_7d,
+               count(*) OVER w AS active_days_7d
+        FROM daily
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY (day - DATE '2024-01-01')
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+        )
+    """,
     # Mirrors ev_q9_resample_ffill: same grid, same latest-in-hour
     # tiebreak, same ignore-nulls running fill; the filled double is a
     # stored value copied, so equality is exact.
