@@ -478,7 +478,50 @@ def rel_q18_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_changes(base, changes, "c_custkey")
 
 
+def rel_q19_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers whose balance exceeds
+    their NATION's average — written as a genuine correlated subquery
+    on BOTH engines so the graded plan is Catalyst's decorrelation (it
+    rewrites the per-row subquery into an aggregate + join; a manual
+    join would test nothing). Output per nation: qualifying customers
+    + their decimal-staged balance total.
+
+    Scale shape (post-decorrelation): one nation-keyed aggregate over
+    customer (25 groups) broadcast back, then a map-side filter — the
+    optimizer turns O(N) subquery probes into one pass + broadcast."""
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    cust.createOrReplaceTempView("__c")
+    nat.createOrReplaceTempView("__n")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               count(*) AS n_above,
+               CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS total_bal
+        FROM __c c JOIN __n n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > (
+            SELECT avg(CAST(c2.c_acctbal AS DECIMAL(18,4)))
+            FROM __c c2 WHERE c2.c_nationkey = c.c_nationkey
+        )
+        GROUP BY n.n_name
+        """
+    )
+
+
 _SQL = {
+    "rel_q19_above_nation_avg": """
+        SELECT n.n_name AS nation,
+               count(*) AS n_above,
+               CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS total_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > (
+            SELECT avg(CAST(c2.c_acctbal AS DECIMAL(18,4)))
+            FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+        )
+        GROUP BY n.n_name
+    """,
     "rel_q18_cdc_merge": """
         WITH base AS (
             SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
@@ -731,6 +774,7 @@ SHADOW_QUERIES = {
     "rel_q16_deciles": rel_q16_deciles,
     "rel_q17_histogram": rel_q17_histogram,
     "rel_q18_cdc_merge": rel_q18_cdc_merge,
+    "rel_q19_above_nation_avg": rel_q19_above_nation_avg,
 }
 
 ORACLES = {name: _SQL[name] for name in QUERIES}
