@@ -511,6 +511,41 @@ def ev_q14_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINSOR_LO, WINSOR_HI = 0.01, 0.99
+
+
+def ev_q15_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — robust outlier CAPPING (vs ev_q12's flagging):
+    clamp values to the per-type [p01, p99] percentile band and report
+    per-type totals before/after plus the clamp counts. Complements
+    z-score detection: capping is what a feature pipeline actually
+    ships. Thresholds are exact per-group percentiles rounded to 6 on
+    both engines (the text_q13 discipline), clamps compare against the
+    rounded bound, and totals stage through DECIMAL.
+
+    Scale shape: one per-type percentile agg (5 groups) broadcast
+    back, then a map-side clamp + one per-type agg; at 100 TB swap
+    exact percentiles for approx_percentile, same shape."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    v = F.col("value").cast("double")
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.percentile(v, F.lit(WINSOR_LO)), 6).alias("lo"),
+        F.round(F.percentile(v, F.lit(WINSOR_HI)), 6).alias("hi"),
+    )
+    clamped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((v < F.col("lo")).cast("bigint")).alias("n_floor"),
+            F.sum((v > F.col("hi")).cast("bigint")).alias("n_cap"),
+            money(F.sum(dec("value"))).alias("total_raw"),
+            money(F.sum(clamped.cast("decimal(18,6)"))).alias("total_winsor"),
+        )
+    )
+
+
 QUERIES = {
     "ev_q1_json_extract": ev_q1_json_extract,
     "ev_q2_sessionize": ev_q2_sessionize,
@@ -532,6 +567,7 @@ SHADOW_QUERIES = {
     "ev_q12_outliers": ev_q12_outliers,
     "ev_q13_ewma": ev_q13_ewma,
     "ev_q14_rolling_7d": ev_q14_rolling_7d,
+    "ev_q15_winsorize": ev_q15_winsorize,
 }
 
 
@@ -547,6 +583,25 @@ def _ewma_oracle() -> str:
 
 SHADOW_ORACLES = {
     "ev_q13_ewma": _ewma_oracle(),
+    # Mirrors ev_q15: quantile_cont = Spark percentile (rel_q15
+    # parity), 6-rounded bounds, identical clamp + decimal staging.
+    "ev_q15_winsorize": f"""
+        WITH b AS (
+            SELECT event_type,
+                   round(quantile_cont(CAST(value AS DOUBLE), {WINSOR_LO}), 6) AS lo,
+                   round(quantile_cont(CAST(value AS DOUBLE), {WINSOR_HI}), 6) AS hi
+            FROM events GROUP BY 1
+        )
+        SELECT e.event_type,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN CAST(value AS DOUBLE) < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_floor,
+               CAST(sum(CASE WHEN CAST(value AS DOUBLE) > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_cap,
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_raw,
+               CAST(round(sum(CAST(least(greatest(CAST(value AS DOUBLE), lo), hi)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_winsor
+        FROM events e JOIN b ON e.event_type = b.event_type
+        GROUP BY 1
+    """,
     # Mirrors ev_q14: same daily grain, same integer day index, same
     # RANGE 6 PRECEDING frame; decimal window sums are exact on both.
     "ev_q14_rolling_7d": """

@@ -894,6 +894,41 @@ def _pagerank_sql() -> str:
     )
 
 
+LEV_PREFIX = 40
+
+
+def dedup_q14_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of the near-dup candidates: exact
+    Levenshtein over document prefixes for every jaccard pair — the
+    character-level second opinion a dedup pipeline runs on its
+    candidate list (token-level jaccard can't see transposed or
+    hyphenated variants; edit distance can). Bounded by construction:
+    levenshtein is O(prefix²) per pair and runs only on the
+    O(#duplicate-pairs) list, never all-pairs. Exact integers on both
+    engines (same classic DP), so the oracle matches bit-for-bit."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs(doc_shingles(docs, max_df=MAX_SHINGLE_DF), NEAR_DUP_JACCARD)
+    pre = docs.select(
+        "doc_id", F.substring("text", 1, LEV_PREFIX).alias("prefix")
+    )
+    return (
+        pairs.join(
+            pre.select(F.col("doc_id").alias("id_i"), F.col("prefix").alias("p_i")),
+            "id_i",
+        )
+        .join(
+            pre.select(F.col("doc_id").alias("id_j"), F.col("prefix").alias("p_j")),
+            "id_j",
+        )
+        .select(
+            "id_i",
+            "id_j",
+            "jaccard",
+            F.levenshtein("p_i", "p_j").cast("bigint").alias("prefix_edit_dist"),
+        )
+    )
+
+
 LM_ALPHA = 0.5
 
 
@@ -1034,6 +1069,7 @@ SHADOW_QUERIES = {
     "dedup_q12_triangles": dedup_q12_triangles,
     "text_q13_dynamic_quality": text_q13_dynamic_quality,
     "dedup_q13_pagerank": dedup_q13_pagerank,
+    "dedup_q14_edit_distance": dedup_q14_edit_distance,
 }
 
 # SPAN_N-gram concat expression for the dedup_q9 oracle (i is the
@@ -1179,6 +1215,19 @@ SHADOW_ORACLES = {
         FROM e
     """,
     "dedup_q13_pagerank": _pagerank_sql(),
+    # Same pair graph; DuckDB's levenshtein is the same classic DP —
+    # exact integer agreement.
+    "dedup_q14_edit_distance": f"""
+        WITH pairs AS ({_Q3_PAIRS_SQL}),
+        pre AS (SELECT doc_id, substring(text, 1, {LEV_PREFIX}) AS prefix
+                FROM documents)
+        SELECT id_i, id_j, jaccard,
+               CAST(levenshtein(a.prefix, b.prefix) AS BIGINT)
+                   AS prefix_edit_dist
+        FROM pairs
+        JOIN pre a ON a.doc_id = id_i
+        JOIN pre b ON b.doc_id = id_j
+    """,
     # Same pair graph as the dedup_q3 oracle; identical ordered-edge
     # triangle enumeration, three corner credits per triangle.
     "dedup_q12_triangles": f"""
