@@ -356,6 +356,34 @@ def _manifest_sql() -> str:
     """
 
 
+def contam_q2_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination REMOVAL step (contam_q1 flags; this one
+    scrubs): drop every TRAINING document whose word-3-gram shingles
+    overlap the benchmark corpus at ≥ the contamination threshold, and
+    return the surviving training manifest — the roles of contam_q1
+    reversed (there bench docs are scored against train shingles; a
+    real pipeline must ALSO delete leaking train docs). Graded on the
+    exact surviving row set.
+
+    Scale shape identical to contam_q1: one tagged shingle pass, a
+    DISTINCT bench-shingle set, a semi-join membership probe — never a
+    pair join; removal is an anti-join of the flag set."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    sh = doc_shingles(
+        docs, carry=((F.col("source") == BENCH_SOURCE).alias("is_bench"),)
+    ).persist()
+    bench_sh = sh.where(F.col("is_bench")).select("id", "shingle")
+    train_sh = sh.where(~F.col("is_bench")).select("id", "shingle")
+    # score TRAIN docs against BENCH shingles (the reverse probe)
+    rep = contamination_report(train_sh, bench_sh, CONTAM_MIN_OVERLAP)
+    dirty = rep.where(F.col("contaminated")).select("id")
+    return (
+        docs.where(F.col("source") != BENCH_SOURCE)
+        .join(dirty, docs.doc_id == dirty.id, "left_anti")
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
 def ml_q1_scaling_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded distributed model training: fit chars ≈ f(tokens) by 3
     full-batch gradient-descent steps (operators/regression.linreg_gd)
@@ -457,6 +485,7 @@ def _ml_q2_sql() -> str:
 # Train/holdout is the 2-bucket special case of mix_q1's hash-bucket
 # stratified sampling — shadow tier (registry.py grading cap).
 SHADOW_QUERIES = {
+    "contam_q2_scrub": contam_q2_scrub,
     "ml_q1_scaling_fit": ml_q1_scaling_fit,
     "ml_q2_svm_quality": ml_q2_svm_quality,
     "mix_q2_train_holdout": mix_q2_train_holdout,
@@ -465,6 +494,28 @@ SHADOW_QUERIES = {
 }
 
 SHADOW_ORACLES = {
+    # contam_q1's roles reversed: train docs scored against the
+    # DISTINCT bench shingle set; shingle-less train docs have no
+    # score row and survive (mirrored by the anti join).
+    "contam_q2_scrub": f"""
+        WITH train_sh AS ({_shingle_cte(f"source <> '{BENCH_SOURCE}'")}),
+        bench AS (
+            SELECT DISTINCT shingle FROM ({_shingle_cte(f"source = '{BENCH_SOURCE}'")})
+        ),
+        sizes AS (SELECT id, count(*) AS n FROM train_sh GROUP BY id),
+        hits AS (
+            SELECT id, count(*) AS h
+            FROM train_sh SEMI JOIN bench USING (shingle)
+            GROUP BY id
+        ),
+        dirty AS (
+            SELECT sizes.id FROM sizes LEFT JOIN hits ON sizes.id = hits.id
+            WHERE round(coalesce(h, 0) / n, 6) >= {CONTAM_MIN_OVERLAP}
+        )
+        SELECT doc_id, source, lang, n_chars
+        FROM documents ANTI JOIN dirty ON doc_id = dirty.id
+        WHERE source <> '{BENCH_SOURCE}'
+    """,
     "pipe_q1_training_manifest": _manifest_sql(),
     "ml_q1_scaling_fit": _ml_q1_sql(),
     "ml_q2_svm_quality": _ml_q2_sql(),
