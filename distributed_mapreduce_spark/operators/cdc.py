@@ -5,17 +5,32 @@ deletes — onto a base table, last-writer-wins by a total change order.
 Semantics:
 - A change row is (key, ord, is_delete, payload...). Per key, only the
   change with the highest `ord` matters (last-writer-wins; `ord` must
-  be a total order per key — a CDC log offset, never a wall clock).
-- Winning upsert: replaces the base row (or inserts a new one).
+  be a total order per key — a CDC log offset, never a wall clock; on
+  an ord tie the winner is engine-nondeterministic by construction).
+- Winning upsert: replaces the base row WHOLESALE (or inserts a new
+  one). Replacement is row-at-a-time atomic: the winner's entire
+  payload — including NULL-valued columns — is taken from one change
+  row, picked by a single max_by over a struct, never column-by-column
+  (per-column argmax would mix rows on ties and diverge cross-engine
+  on NULL payloads).
 - Winning delete: removes the key (a tombstone, whether or not the
   base had it).
 - Keys without changes pass through untouched.
 
-Scale shape: one keyed agg over the change batch (max_by — partial-agg
-friendly, shuffle ∝ batch keys) + one equi-join against the base. The
-join side is the BATCH key set, selective by nature, so AQE broadcasts
-it; the base is never shuffled. This is the standard incremental-merge
-cost model: ∝ base-scan + batch, not base-shuffle. Combine with
+Scale shape (the incremental-merge cost model: ∝ base-scan + batch,
+never base-shuffle): because winners replace base rows wholesale, the
+merge needs no base↔batch column arbitration at all —
+
+    survivors = base LEFT ANTI JOIN winner-keys   (broadcast build)
+    result    = survivors UNION ALL winning-upserts
+
+The batch key set is selective by nature, so it broadcasts; LEFT ANTI
+is a broadcast-hash-join shape (unlike FULL OUTER, which Spark cannot
+broadcast — a full-outer formulation silently drops the hint and
+shuffle-sorts BOTH sides, the precise 100 TB scale-killer this shape
+exists to avoid; asserted base-unshuffled in tests/test_plans.py).
+The only shuffle anywhere is the batch's own max_by agg (partial-agg
+friendly, ∝ batch keys). Combine with
 sources/files.write_partitioned(dynamic=True) to rewrite only the
 partitions the batch touches (the operators/incremental.py pattern).
 """
@@ -37,25 +52,17 @@ def merge_changes(
     payload columns; `changes` carries `ord_col` and `delete_col` in
     addition). Returns the merged table with base's schema."""
     payload = [c for c in base.columns if c != key]
+    # One max_by over the whole change row as a struct: the winning
+    # (delete flag, payload...) is picked atomically from the single
+    # highest-ord row — NULL payload values ride along (they are data,
+    # not absence), and no per-column tie mixing is possible.
     winner = (
         changes.groupBy(key)
-        .agg(
-            *[
-                F.max_by(c, F.col(ord_col)).alias(c)
-                for c in payload + [delete_col]
-            ]
-        )
+        .agg(F.max_by(F.struct(delete_col, *payload), F.col(ord_col)).alias("_w"))
+        .select(key, "_w.*")
     )
-    joined = base.alias("b").join(F.broadcast(winner).alias("w"), key, "full_outer")
-    keep = F.col(f"w.{delete_col}").isNull() | (F.col(f"w.{delete_col}") == 0)
-    # full outer keeps: base-only rows (no change), matched rows
-    # (upsert wins), change-only rows (insert). Deletes drop in all
-    # arms. A change row's payload can itself be null-valued — the
-    # winner side is detected via delete_col (non-null iff a change
-    # row won), not via payload nullness.
-    has_change = F.col(f"w.{delete_col}").isNotNull()
-    final_cols = [
-        F.when(has_change, F.col(f"w.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
-        for c in payload
-    ]
-    return joined.where(keep).select(F.col(key), *final_cols)
+    survivors = base.join(F.broadcast(winner.select(key)), key, "left_anti")
+    upserts = winner.where(
+        F.col(delete_col).isNull() | (F.col(delete_col) == 0)
+    ).select(key, *payload)
+    return survivors.select(key, *payload).unionByName(upserts)

@@ -44,6 +44,39 @@ def assert_pushed_filters(df: DataFrame) -> None:
     )
 
 
+def assert_unshuffled_scan(df: DataFrame, scan_substring: str) -> None:
+    """No Exchange anywhere on the path from the scan matching
+    `scan_substring` up to the plan root — i.e. that table is consumed
+    shuffle-free (the big-side contract of broadcast joins: at 100 TB
+    the base table must stream through, never repartition)."""
+    plan = physical_plan(df, "simple")
+    lines = [l for l in plan.splitlines() if l.strip() and not l.startswith("==")]
+
+    def depth(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " :+-":
+            i += 1
+        return i // 3
+
+    target = next(
+        (
+            i
+            for i, l in enumerate(lines)
+            if scan_substring in l and "Scan" in l
+        ),
+        None,
+    )
+    assert target is not None, f"no scan matching {scan_substring!r} in plan:\n{plan}"
+    d = depth(lines[target])
+    for i in range(target - 1, -1, -1):
+        dd = depth(lines[i])
+        if dd < d:  # the nearest ancestor at each shallower depth
+            assert "Exchange" not in lines[i], (
+                f"Exchange above the {scan_substring!r} scan:\n{plan}"
+            )
+            d = dd
+
+
 def assert_wholestage_codegen(df: DataFrame) -> None:
     # AQE prints codegen ids ("*(n)") only on the finalized plan, so
     # execute THIS plan (collect, not count — count builds a new plan).

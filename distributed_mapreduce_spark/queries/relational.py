@@ -460,8 +460,11 @@ def rel_q18_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     untouched rows pass through, matched rows take the winning
     change's full payload, new keys insert, deleted keys vanish.
 
-    Scale shape: one max_by agg over the batch + one broadcast
-    full-outer join against the base — the base never shuffles."""
+    Scale shape: one max_by agg over the batch (atomic whole-row
+    winner via a struct), then base LEFT ANTI broadcast-join against
+    the winner keys, unioned with the winning upserts — the base never
+    shuffles (LEFT ANTI broadcasts; a FULL OUTER join could not —
+    plan-asserted in tests/test_plans.py::test_cdc_merge_base_unshuffled)."""
     from distributed_mapreduce_spark.operators.cdc import merge_changes
 
     base = table(spark, sf_dir, "customer").select(
@@ -535,19 +538,23 @@ _SQL = {
             FROM events
         ),
         w AS (
-            SELECT c_custkey,
-                   arg_max(c_mktsegment, ord) AS c_mktsegment,
-                   arg_max(c_acctbal, ord) AS c_acctbal,
-                   arg_max(is_delete, ord) AS is_delete
-            FROM ch GROUP BY 1
+            -- atomic whole-row winner (mirrors the operator's single
+            -- max_by over a struct): per-column arg_max would mix rows
+            -- on ord ties and skip NULL payload values (DuckDB arg_max
+            -- ignores NULLs; Spark max_by keeps them).
+            SELECT c_custkey, c_mktsegment, c_acctbal, is_delete
+            FROM (
+                SELECT ch.*, row_number() OVER (
+                           PARTITION BY c_custkey ORDER BY ord DESC
+                       ) AS rn
+                FROM ch
+            ) WHERE rn = 1
         )
-        SELECT coalesce(b.c_custkey, w.c_custkey) AS c_custkey,
-               CASE WHEN w.is_delete IS NOT NULL
-                    THEN w.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
-               CASE WHEN w.is_delete IS NOT NULL
-                    THEN w.c_acctbal ELSE b.c_acctbal END AS c_acctbal
-        FROM base b FULL JOIN w ON b.c_custkey = w.c_custkey
-        WHERE w.is_delete IS NULL OR w.is_delete = 0
+        SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal
+        FROM base b ANTI JOIN w USING (c_custkey)
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM w WHERE is_delete IS NULL OR is_delete = 0
     """,
     "rel_q16_deciles": """
         SELECT c_mktsegment,

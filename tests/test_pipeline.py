@@ -296,6 +296,63 @@ def test_cdc_merge_semantics(spark):
     assert got == {1: None, 2: "b3", 4: "d", 6: None}
 
 
+def test_cdc_merge_null_payload_matches_duckdb_oracle(spark):
+    """Cross-engine NULL discipline (ADVICE r5): DuckDB's per-column
+    arg_max SKIPS null values while Spark's max_by returns them, so a
+    winning upsert whose payload is NULL is exactly where column-wise
+    winner reconstruction diverges. Both sides now pick the winning row
+    atomically (struct max_by / row_number-over-ord-desc); this fixture
+    plants NULL payloads on winning AND losing change rows and asserts
+    the engines agree. (`ord` ties are excluded by the operator's
+    documented total-order precondition — tie winners are
+    engine-nondeterministic by design.)"""
+    import duckdb
+
+    from distributed_mapreduce_spark.operators.cdc import merge_changes
+
+    base_rows = [(1, "a", 10.0), (2, "b", None), (3, None, 30.0)]
+    change_rows = [
+        (1, 100, 0, None, None),    # winning upsert, all-NULL payload
+        (1, 99, 0, "x", 1.0),       # losing upsert with values
+        (2, 101, 0, None, 2.5),     # winning upsert, one NULL column
+        (3, 102, 1, "z", None),     # delete with stray payload
+        (4, 103, 0, "new", None),   # insert with NULL column
+    ]
+    base = spark.createDataFrame(base_rows, "k bigint, v string, x double")
+    changes = spark.createDataFrame(
+        change_rows, "k bigint, ord bigint, is_delete int, v string, x double"
+    )
+    got = sorted(
+        (r.k, r.v, r.x) for r in merge_changes(base, changes, "k").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE base(k BIGINT, v VARCHAR, x DOUBLE);"
+        "CREATE TABLE ch(k BIGINT, ord BIGINT, is_delete INT, v VARCHAR, x DOUBLE)"
+    )
+    con.executemany("INSERT INTO base VALUES (?,?,?)", base_rows)
+    con.executemany("INSERT INTO ch VALUES (?,?,?,?,?)", change_rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH w AS (
+                SELECT k, v, x, is_delete FROM (
+                    SELECT ch.*, row_number() OVER (
+                        PARTITION BY k ORDER BY ord DESC) AS rn
+                    FROM ch
+                ) WHERE rn = 1
+            )
+            SELECT b.k, b.v, b.x FROM base b ANTI JOIN w USING (k)
+            UNION ALL
+            SELECT k, v, x FROM w WHERE is_delete IS NULL OR is_delete = 0
+            """
+        ).fetchall()
+    )
+    assert got == want
+    assert got == [(1, None, None), (2, None, 2.5), (4, "new", None)]
+
+
 def test_ewma_closed_forms(spark):
     """EWMA sanity: constant series stays constant; a unit step from 0
     reaches alpha after one step; ordering respected (stable tiebreak)."""

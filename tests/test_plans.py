@@ -85,6 +85,28 @@ def test_no_cartesian_in_any_registered_query(spark, sf_dir):
     assert checked >= 55, f"plan guard covered only {checked} queries"
 
 
+def test_cdc_merge_base_unshuffled(spark, sf_dir):
+    """rel_q18 (VERDICT r5 #1): the MERGE shape must consume the base
+    table shuffle-free. The r5 formulation force-broadcast a FULL OUTER
+    join; Spark can't broadcast full-outer, silently dropped the hint,
+    and the AQE final plan SortMergeJoined — shuffling — the 100 TB
+    side. The left_anti+union rewrite must plan a broadcast LeftAnti
+    with no Exchange anywhere above the customer scan."""
+    from distributed_mapreduce_spark.queries.relational import rel_q18_cdc_merge
+
+    df = rel_q18_cdc_merge(spark, sf_dir)
+    p = plans.physical_plan(df)
+    assert "FullOuter" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    plans.assert_unshuffled_scan(df, "customer")
+    # and the AQE-finalized plan agrees (the r5 defect only showed there)
+    df.collect()
+    pf = plans.physical_plan(df, "simple")
+    assert "SortMergeJoin" not in pf, pf
+    plans.assert_unshuffled_scan(df, "customer")
+
+
 def test_stratified_sample_broadcasts_rates_and_pushes_scan(spark, sf_dir):
     """The mixture config joins as a broadcast dim (no shuffle of the
     corpus) and the whole query stays cartesian-free."""
