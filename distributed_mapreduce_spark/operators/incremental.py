@@ -114,14 +114,24 @@ def refresh_rollup(
 
     part = rollup(batch, keys, measures)
     affected = [r[0] for r in part.select(partition_col).distinct().collect()]
+    # The except is scoped to the store READ only (ADVICE r5): a
+    # wrapped unionByName would misdiagnose a batch/store schema
+    # mismatch (e.g. a changed measure set) as first-load and silently
+    # overwrite the affected partitions with batch-only partials —
+    # destroying stored history where an error must surface instead.
     try:
-        stored = spark.read.parquet(store_path).where(
-            F.col(partition_col).isin(affected)
-        )
-        merged_src = stored.unionByName(part)
-    except AnalysisException:
+        stored = spark.read.parquet(store_path)
+    except AnalysisException as exc:
+        # PySpark 4 prefixes the error class in the message:
+        # "[PATH_NOT_FOUND] Path does not exist: ..."
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
         # First load: no store yet — the batch partials ARE the store.
         merged_src = part
+    else:
+        merged_src = stored.where(
+            F.col(partition_col).isin(affected)
+        ).unionByName(part)
     merged = merged_src.groupBy(*keys).agg(*_aggs(measures, merge=True))
     write_partitioned(merged, store_path, [partition_col], dynamic=True)
     return affected

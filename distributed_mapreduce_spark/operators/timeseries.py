@@ -51,7 +51,24 @@ def ewma_last(
             }
         )
 
-    out_schema = f"{key} bigint, n_obs bigint, last_value double, ewma double"
+    # Key type is taken from the input schema (ADVICE r5): hardcoding
+    # bigint made this generic operator fail (or corrupt) on
+    # string/date/other key types.
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key, df.schema[key].dataType),
+            StructField("n_obs", LongType()),
+            StructField("last_value", DoubleType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
     return df.select(key, *order, value).groupBy(key).applyInPandas(fold, out_schema)
 
 

@@ -18,10 +18,19 @@ requires layout correlation — data written clustered/sorted by the
 column (repartitionByRange + sortWithinPartitions, the write-side half
 of this contract). Uncorrelated layout degrades to zero skipped files,
 never to wrong answers (✓test both directions).
+
+Stat values round-trip through a TYPED JSON codec (ADVICE r5): a bare
+json.dumps(default=str) turned date/timestamp/decimal bounds into
+strings, which then compared against typed lo/hi either raised
+TypeError or — worse — mispruned lexicographically. Unknown stat types
+raise at WRITE time (soundness over a manifest that lies later).
 """
 
 from __future__ import annotations
 
+import base64
+import datetime
+import decimal
 import json
 import pathlib
 
@@ -29,18 +38,73 @@ from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_NAME = "_zone_manifest.json"
 
+# tag -> (python types covered, encode, decode). bool precedes int in
+# _encode's dispatch because bool IS an int in Python.
+_CODEC = {
+    "bool": (lambda v: v, lambda v: bool(v)),
+    "int": (lambda v: v, lambda v: int(v)),
+    "float": (lambda v: v, lambda v: float(v)),
+    "str": (lambda v: v, lambda v: v),
+    "date": (lambda v: v.isoformat(), datetime.date.fromisoformat),
+    "datetime": (lambda v: v.isoformat(), datetime.datetime.fromisoformat),
+    "decimal": (str, decimal.Decimal),
+    "bytes": (
+        lambda v: base64.b64encode(v).decode("ascii"),
+        base64.b64decode,
+    ),
+}
+
+
+def _tag(v) -> str:
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, datetime.datetime):  # before date: datetime IS a date
+        return "datetime"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, bytes):
+        return "bytes"
+    raise ValueError(
+        f"zone-map stat of unsupported type {type(v).__name__}: {v!r} "
+        f"(supported: {sorted(_CODEC)})"
+    )
+
+
+def _encode(v) -> dict:
+    t = _tag(v)
+    return {"t": t, "v": _CODEC[t][0](v)}
+
+
+def _decode(obj):
+    # pre-codec manifests stored bare values; honor them as-is so old
+    # manifests stay readable (they were only ever sound for
+    # JSON-native numeric/str columns anyway).
+    if not (isinstance(obj, dict) and "t" in obj):
+        return obj
+    return _CODEC[obj["t"]][1](obj["v"])
+
 
 def write_manifest(dataset_path: str, cols: list[str]) -> dict:
     """Collect per-file min/max for `cols` from parquet footers and
     write `_zone_manifest.json` into the dataset directory. Returns
-    the manifest dict {file -> {col -> [min, max]}}."""
+    the manifest dict {file -> {col -> [min, max]}} (decoded values)."""
     import pyarrow.parquet as pq
 
     manifest: dict[str, dict[str, list]] = {}
+    encoded: dict[str, dict[str, list]] = {}
     for p in sorted(pathlib.Path(dataset_path).rglob("*.parquet")):
         md = pq.ParquetFile(str(p)).metadata
         schema_names = md.schema.to_arrow_schema().names
         stats: dict[str, list] = {}
+        enc: dict[str, list] = {}
         for col in cols:
             idx = schema_names.index(col)
             mins, maxs = [], []
@@ -53,9 +117,12 @@ def write_manifest(dataset_path: str, cols: list[str]) -> dict:
                 maxs.append(s.max)
             if mins:
                 stats[col] = [min(mins), max(maxs)]
-        manifest[str(p.relative_to(dataset_path))] = stats
+                enc[col] = [_encode(stats[col][0]), _encode(stats[col][1])]
+        rel = str(p.relative_to(dataset_path))
+        manifest[rel] = stats
+        encoded[rel] = enc
     out = pathlib.Path(dataset_path) / MANIFEST_NAME
-    out.write_text(json.dumps(manifest, indent=1, sort_keys=True, default=str))
+    out.write_text(json.dumps(encoded, indent=1, sort_keys=True))
     return manifest
 
 
@@ -66,7 +133,9 @@ def read_pruned(
     [min, max] cannot intersect. Returns (df, files_read, files_total);
     the residual filter is still applied (zones are conservative).
     A file with no recorded zone for `col` is always read (soundness
-    over skipping)."""
+    over skipping). Reads pass option("basePath") so Hive partition
+    columns survive a pruned file-list read with the same schema the
+    empty-selection (base-dir) branch produces."""
     from pyspark.sql import functions as F
 
     base = pathlib.Path(dataset_path)
@@ -74,6 +143,8 @@ def read_pruned(
     keep = []
     for rel, stats in manifest.items():
         z = stats.get(col)
+        if z is not None:
+            z = [_decode(z[0]), _decode(z[1])]
         if z is None or not (z[1] < lo or z[0] > hi):
             keep.append(str(base / rel))
     total = len(manifest)
@@ -81,5 +152,9 @@ def read_pruned(
         # degenerate: empty selection — read nothing but preserve schema
         df = spark.read.parquet(str(base)).where(F.lit(False))
         return df.where(F.col(col).between(lo, hi)), 0, total
-    df = spark.read.parquet(*keep).where(F.col(col).between(lo, hi))
+    df = (
+        spark.read.option("basePath", str(base))
+        .parquet(*keep)
+        .where(F.col(col).between(lo, hi))
+    )
     return df, len(keep), total

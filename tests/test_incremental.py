@@ -154,6 +154,24 @@ def test_hll_measure_merges_exactly(spark, facts, tmp_path):
         assert abs(incr[key] - n) <= max(2, 0.1 * n), (key, incr[key], n)
 
 
+def test_schema_mismatch_raises_not_first_load(spark, facts, tmp_path):
+    """ADVICE r5: a batch whose measure set no longer matches the
+    store must raise (unionByName schema error propagates), NOT be
+    misdiagnosed as first-load — which would silently overwrite the
+    affected partitions with batch-only partials and lose history."""
+    from pyspark.errors import AnalysisException
+
+    store = str(tmp_path / "rollup")
+    refresh_rollup(spark, store, facts, "day", KEYS, MEASURES)
+    before = _store_rows(spark, store)
+
+    changed = {"n_events": ("count", None), "min_value": ("min", "v")}
+    with pytest.raises(AnalysisException):
+        refresh_rollup(spark, store, facts, "day", KEYS, changed)
+    # the store is untouched — no partition got clobbered mid-error
+    assert _store_rows(spark, store) == before
+
+
 def test_unmergeable_measure_rejected(spark, facts, tmp_path):
     with pytest.raises(ValueError, match="not mergeable"):
         refresh_rollup(

@@ -45,6 +45,72 @@ def test_pruned_read_sound_on_uncorrelated_layout(spark, sf_dir, tmp_path):
     assert read == total, "no correlation -> nothing skippable"
 
 
+def test_typed_stats_prune_date_column(spark, sf_dir, tmp_path):
+    """ADVICE r5: date/timestamp/decimal zone bounds used to round-trip
+    as strings (json default=str) and either TypeError'd or mispruned
+    lexicographically against typed lo/hi. The typed codec must prune a
+    DATE column correctly AND effectively on clustered layout."""
+    import datetime
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", F.to_date("ts").alias("day")
+    )
+    path = str(tmp_path / "bydate")
+    ev.repartitionByRange(6, "day").sortWithinPartitions("day").write.parquet(path)
+    m = write_manifest(path, ["day"])
+    # the returned (decoded) manifest carries real date objects
+    some_zone = next(z["day"] for z in m.values() if "day" in z)
+    assert isinstance(some_zone[0], datetime.date)
+
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    lo, hi = days[0], days[min(1, len(days) - 1)]
+    pruned, read, total = read_pruned(spark, path, "day", lo, hi)
+    full = spark.read.parquet(path).where(F.col("day").between(lo, hi))
+    assert sorted(r.event_id for r in pruned.collect()) == sorted(
+        r.event_id for r in full.collect()
+    )
+    assert read < total, "date-clustered layout must skip files"
+
+
+def test_unsupported_stat_type_raises_at_write(tmp_path):
+    from distributed_mapreduce_spark.sources.manifest import _encode
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported type"):
+        _encode(object())
+
+
+def test_pruned_read_keeps_partition_columns(spark, sf_dir, tmp_path):
+    """ADVICE r5: a pruned file-list read of a Hive-partitioned dataset
+    used to DROP the partition columns that the base-dir (empty
+    selection) branch keeps — the two branches must return the same
+    schema, with partition values intact."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    )
+    path = str(tmp_path / "parts")
+    (
+        ev.repartitionByRange(4, "value")
+        .sortWithinPartitions("value")
+        .write.partitionBy("event_type")
+        .parquet(path)
+    )
+    write_manifest(path, ["value"])
+
+    pruned, read, total = read_pruned(spark, path, "value", 3.0, 6.0)
+    full = spark.read.parquet(path).where(F.col("value").between(3.0, 6.0))
+    assert "event_type" in pruned.columns
+    assert sorted(pruned.columns) == sorted(full.columns)
+    assert sorted(
+        (r.event_id, r.event_type) for r in pruned.collect()
+    ) == sorted((r.event_id, r.event_type) for r in full.collect())
+
+    empty, read0, _ = read_pruned(spark, path, "value", 1e9, 2e9)
+    assert read0 == 0
+    assert sorted(empty.columns) == sorted(pruned.columns)
+
+
 def test_pruned_read_empty_range(spark, sf_dir, tmp_path):
     ev = table(spark, sf_dir, "events").select("event_id", "value")
     path = str(tmp_path / "c2")

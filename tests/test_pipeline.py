@@ -372,6 +372,18 @@ def test_ewma_closed_forms(spark):
     assert got[2] == (2, EWMA_ALPHA * 1.0 + (1.0 - EWMA_ALPHA) * 0.0)
     assert got[3] == got[2]
 
+    # key type follows the input schema (ADVICE r5): string keys work
+    sdf = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 5.0), ("b", 1, 0.0), ("b", 2, 1.0)],
+        "k string, t bigint, v double",
+    )
+    sgot = {
+        r.k: (r.n_obs, r.ewma)
+        for r in ewma_last(sdf, "k", ["t"], "v").collect()
+    }
+    assert sgot["a"] == (2, 5.0)
+    assert sgot["b"] == (2, EWMA_ALPHA * 1.0 + (1.0 - EWMA_ALPHA) * 0.0)
+
 
 def test_kfold_disjoint_exhaustive_deterministic(spark, sf_dir):
     from distributed_mapreduce_spark.operators.sampling import kfold
