@@ -17,6 +17,17 @@ line deliberately omits "queries"/"spread"/"samples" — per-query data
 parsed from a truncated capture comes from bench_last.json, which the
 compact line points at via "full_artifact".
 
+Tiers: the default run times the 50 REGISTERED queries (the driver
+contract). `python bench.py --tier shadow` (or SPARK_GRAFT_BENCH_TIER=
+shadow) times the 50 shadow queries instead — full record to
+bench_shadow_last.json, floors via
+`scripts/quiet_floor.py --floors scripts/quiet_floors_shadow.json`.
+
+Host drift instrumentation: every pass record carries /proc/pressure
+cpu+io avg10/avg60 and mean CPU MHz before ("host") and after
+("host_after") the pass, so cross-round total swings can be attributed
+to frequency scaling or CPU/IO steal without re-running.
+
 Load-aware passes: before each pass the harness probes EXTERNAL CPU
 pressure (/proc/stat deltas while idle — 1-min loadavg is polluted by
 our own just-finished local[32] pass) and sleep-retries within a
@@ -130,6 +141,35 @@ def _external_busy_cores(sample_s: float = 4.0) -> float:
         return round(os.getloadavg()[0], 2)
 
 
+def _host_state() -> dict:
+    """Host drift instrumentation (VERDICT r5 #4): kernel pressure-stall
+    averages and mean CPU frequency, recorded per pass so a judge can
+    attribute a cross-round total swing to frequency scaling or
+    CPU/IO steal without re-running. Best-effort — absent /proc files
+    simply omit their fields."""
+    out: dict = {}
+    for kind in ("cpu", "io"):
+        try:
+            with open(f"/proc/pressure/{kind}") as f:
+                line = f.readline()  # "some avg10=... avg60=... avg300=... total=..."
+            d = dict(kv.split("=") for kv in line.split()[1:])
+            out[f"psi_{kind}_avg10"] = float(d["avg10"])
+            out[f"psi_{kind}_avg60"] = float(d["avg60"])
+        except (OSError, KeyError, ValueError):
+            pass
+    try:
+        mhz = [
+            float(line.split(":")[1])
+            for line in open("/proc/cpuinfo")
+            if line.startswith("cpu MHz")
+        ]
+        if mhz:
+            out["cpu_mhz_mean"] = round(sum(mhz) / len(mhz))
+    except (OSError, ValueError):
+        pass
+    return out
+
+
 def _await_quiet(wait_budget: list[float], threshold: float) -> dict:
     """Pre-pass load gate (VERDICT r4 #2): probe external load and, while
     it exceeds ``threshold`` busy cores, sleep in 60 s slices until the
@@ -139,6 +179,7 @@ def _await_quiet(wait_budget: list[float], threshold: float) -> dict:
         "load_1m": round(os.getloadavg()[0], 2),
         "ext_busy_cores": _external_busy_cores(),
         "waited_s": 0,
+        "host": _host_state(),
     }
     while rec["ext_busy_cores"] > threshold and wait_budget[0] > 0:
         step = min(60.0, wait_budget[0])
@@ -232,11 +273,23 @@ def main() -> int:
     except ValueError:
         sf = -1.0
 
-    from distributed_mapreduce_spark.registry import all_queries
+    # Tier selection (VERDICT r5 #2): the driver's default run times the
+    # 50 REGISTERED queries; `--tier shadow` (or SPARK_GRAFT_BENCH_TIER=
+    # shadow) times the 50 shadow queries instead, writing its full
+    # record to bench_shadow_last.json — perf regressions in the shadow
+    # half of the surface are otherwise invisible.
+    tier = os.environ.get("SPARK_GRAFT_BENCH_TIER", "registered")
+    if "--tier" in sys.argv:
+        tier = sys.argv[sys.argv.index("--tier") + 1]
+    if tier not in ("registered", "shadow"):
+        print(f"unknown tier {tier!r} (registered|shadow)", file=sys.stderr)
+        return 2
+
+    from distributed_mapreduce_spark.registry import all_queries, shadow_queries
     from distributed_mapreduce_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
-    queries = all_queries()
+    queries = all_queries() if tier == "registered" else shadow_queries()
 
     # Warm the engine before timing: first-job executor spin-up, shuffle
     # machinery, and the Python-worker pool (fork + pandas import per
@@ -288,6 +341,22 @@ def main() -> int:
     except Exception as exc:  # pragma: no cover - warmup must never kill bench
         print(f"  (streaming warmup skipped: {exc})", file=sys.stderr)
 
+    # Untimed full execution of the st family before pass 1 (VERDICT r5
+    # #3): the tiny-replay warmup above pays the class-loading costs,
+    # but the r5 artifact still showed the st queries dropping 10-20%
+    # from pass 0 to pass 2 — per-plan state-store and codegen warm-up
+    # that only the real queries at the real sf exercise. Each timed
+    # pass rebuilds streaming state from scratch, so a prior untimed
+    # execution cannot change any result. Best-effort, same rationale
+    # as _warm_streaming.
+    for name in sorted(queries):
+        if name.startswith("st_"):
+            try:
+                force(queries[name](spark, sf_dir))
+            except Exception as exc:  # pragma: no cover
+                print(f"  (st warmup {name} skipped: {exc})", file=sys.stderr)
+    spark.catalog.clearCache()
+
     # Per-query time = min over SPARK_GRAFT_BENCH_RUNS executions
     # (default 2). This box shares hardware with unpredictable external
     # load (observed: load-avg ~10 with zero local processes, inflating
@@ -331,6 +400,7 @@ def main() -> int:
         # of load that arrives and stays.
         rec["ext_busy_cores_after"] = _external_busy_cores()
         rec["loud"] = rec["loud"] or rec["ext_busy_cores_after"] > threshold
+        rec["host_after"] = _host_state()
 
     for _ in range(runs):
         run_pass()
@@ -366,8 +436,16 @@ def main() -> int:
     # floor itself may still be inflated). Since r3, caches are cleared
     # between passes, so every number is a COLD per-pass cost —
     # comparable to r3+, not to the warm-flattered r1/r2 files.
+    metric = (
+        "total_query_set_runtime"
+        if tier == "registered"
+        else "shadow_query_set_runtime"
+    )
+    artifact = (
+        "bench_last.json" if tier == "registered" else "bench_shadow_last.json"
+    )
     full = {
-        "metric": "total_query_set_runtime",
+        "metric": metric,
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -391,15 +469,15 @@ def main() -> int:
     #     and still satisfies the one-JSON-line contract on its own.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(repo_dir, "bench_last.json"), "w") as f:
+        with open(os.path.join(repo_dir, artifact), "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
             f.write("\n")
     except OSError as exc:  # pragma: no cover - never kill the run
-        print(f"  (bench_last.json not written: {exc})", file=sys.stderr)
+        print(f"  ({artifact} not written: {exc})", file=sys.stderr)
     print(
         json.dumps(
             {
-                "metric": "total_query_set_runtime",
+                "metric": metric,
                 "value": total,
                 "unit": "sec",
                 "total_s": total,
@@ -409,7 +487,7 @@ def main() -> int:
                 "pass_loads": [
                     [p["load_1m"], p["ext_busy_cores"]] for p in pass_loads
                 ],
-                "full_artifact": "bench_last.json",
+                "full_artifact": artifact,
             }
         )
     )

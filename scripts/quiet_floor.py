@@ -32,6 +32,9 @@ import os
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+# default: the registered tier's floors. `--floors <path>` points at an
+# alternate file (scripts/quiet_floors_shadow.json for `bench.py --tier
+# shadow` runs) so the two tiers' floor totals stay separately auditable.
 FLOORS_PATH = os.path.join(HERE, "quiet_floors.json")
 
 
@@ -131,8 +134,14 @@ def cmd_table() -> int:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--force"]
-    force = "--force" in sys.argv
+    global FLOORS_PATH
+    argv = sys.argv[1:]
+    if "--floors" in argv:
+        i = argv.index("--floors")
+        FLOORS_PATH = argv[i + 1]
+        del argv[i : i + 2]
+    args = [a for a in argv if a != "--force"]
+    force = "--force" in argv
     if not args:
         print(__doc__)
         return 2
