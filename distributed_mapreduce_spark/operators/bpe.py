@@ -130,6 +130,106 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text") -> list[di
     return merges
 
 
+def bpe_train_batched(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    batch_size: int = 8,
+) -> list[dict]:
+    """Batched BPE training (VERDICT r5 #6): apply up to `batch_size`
+    SYMBOL-DISJOINT merges per round instead of one, so a real 30k-merge
+    vocabulary costs ~30k/batch_size Spark jobs rather than 30k
+    sequential ones — the standard scale practice (SentencePiece's BPE
+    trainer batches the same way).
+
+    Why symbol-disjointness keeps the within-round counts exact: a
+    merge (a,b)→ab never makes two previously non-adjacent symbols
+    adjacent (it replaces two adjacent symbols with one), so it can
+    only change counts of pairs that SHARE a symbol with it. Pairs
+    chosen from one count snapshot whose symbols are pairwise disjoint
+    therefore all still have their snapshot counts when applied, and
+    their applications commute. Selection is greedy in the sequential
+    order (-count, left, right), skipping pairs that collide with an
+    already-chosen symbol.
+
+    Approximation contract: batch_size=1 is EXACTLY bpe_train (tested
+    ≡); for batch_size>1 the learned table can diverge from sequential
+    BPE only where sequential's next-best pair would have involved a
+    just-created symbol — rank order within a batch still follows the
+    sequential tiebreak, and every recorded pair_count is the true
+    corpus count at its round's start.
+
+    Scale model: per round, one pair-count aggregation (map-side
+    partial agg, shuffle ∝ distinct pairs) + one bounded collect of the
+    top ~4×batch_size candidate rows (batch-sized, never
+    vocabulary-sized) + one Arrow-batched merge application over the
+    word-TYPE table. Rounds ≈ n_merges / batch_size."""
+    import pandas as pd
+
+    vocab = word_types(docs, text_col).localCheckpoint()
+    merges: list[dict] = []
+    rounds = 0
+    while len(merges) < n_merges:
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("symbols", 1, F.size("symbols") - 1).alias("l"),
+                        F.slice("symbols", 2, F.size("symbols") - 1).alias("r"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        m = min(batch_size, n_merges - len(merges))
+        # bounded collect: enough candidates that the disjointness
+        # filter usually fills the batch; worst case the round applies
+        # fewer merges (never wrong, just an extra round).
+        top = (
+            pairs.orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+            .limit(max(4 * m, 16))
+            .collect()
+        )
+        if not top or top[0].pair_count is None:
+            break
+        chosen: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for r in top:
+            if r.left in used or r.right in used:
+                continue
+            chosen.append((r.left, r.right, int(r.pair_count)))
+            used.update((r.left, r.right))
+            if len(chosen) == m:
+                break
+        for left, right, c in chosen:
+            merges.append(
+                {
+                    "rank": len(merges),
+                    "left": left,
+                    "right": right,
+                    "pair_count": c,
+                }
+            )
+
+        def apply(batches, chosen=tuple(chosen)):
+            for pdf in batches:
+                out = []
+                for s in pdf["symbols"]:
+                    syms = list(s)
+                    for left, right, _ in chosen:
+                        syms = _merge_symbols(syms, left, right)
+                    out.append(syms)
+                yield pd.DataFrame({"symbols": out, "freq": pdf["freq"]})
+
+        vocab = vocab.mapInPandas(apply, schema="symbols array<string>, freq bigint")
+        rounds += 1
+        if rounds % CHECKPOINT_EVERY == 0:
+            vocab = vocab.localCheckpoint()
+    return merges
+
+
 def bpe_train_sequential(word_freqs: dict[str, int], n_merges: int) -> list[dict]:
     """Pure-Python sequential oracle: the identical algorithm over a
     {word: freq} dict (tests compare bpe_train against this — the

@@ -61,6 +61,115 @@ def test_bpe_distributed_equals_sequential(spark, sf_dir):
     assert any(len(m["left"]) > 1 or m["right"] == END for m in dist)
 
 
+def test_bpe_batched_m1_equals_sequential(spark, sf_dir):
+    """batch_size=1 must be EXACTLY the one-merge-per-round algorithm:
+    identical merge table to the sequential fold over 12 rounds."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.functions.text import tokens
+    from distributed_mapreduce_spark.operators.bpe import bpe_train_batched
+
+    docs = table(spark, sf_dir, "documents")
+    got = bpe_train_batched(docs, 12, batch_size=1)
+    wf = {
+        r.w: r.c
+        for r in docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert got == bpe_train_sequential(wf, 12)
+
+
+def test_bpe_batched_golden_disjoint_pairs(spark):
+    """Hand-computable batch: corpus 'ab ab ab cd cd' has top pairs
+    (a,b)×3 and (c,d)×2 — symbol-disjoint, so ONE batched round must
+    learn both with their true snapshot counts, in sequential tiebreak
+    order; the colliding pair (b,</w>) (shares b) must NOT enter the
+    same batch as (a,b)... and (d,</w>) shares d with (c,d). Round 2
+    then merges ('ab','</w>')×3 — counts reflect round 1's merges."""
+    from distributed_mapreduce_spark.operators.bpe import bpe_train_batched
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab cd cd")], "doc_id long, text string"
+    )
+    merges = bpe_train_batched(docs, 3, batch_size=4)
+    got = [(m["left"], m["right"], m["pair_count"]) for m in merges]
+    assert got[:2] == [("a", "b", 3), ("c", "d", 2)]
+    assert got[2] == ("ab", END, 3)
+    assert [m["rank"] for m in merges] == [0, 1, 2]
+
+
+def _batched_sequential_oracle(
+    word_freqs: dict[str, int], n_merges: int, batch_size: int
+) -> list[dict]:
+    """Pure-Python replay of the batched algorithm (identical greedy
+    symbol-disjoint selection, same tiebreak) — the testing.py
+    mrsequential pattern applied to bpe_train_batched."""
+    from collections import Counter
+
+    vocab = {w: [*w, END] for w in word_freqs}
+    merges: list[dict] = []
+    while len(merges) < n_merges:
+        counts: Counter = Counter()
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        m = min(batch_size, n_merges - len(merges))
+        # mirror the distributed bounded collect: selection only sees
+        # the top 4m candidates, so a collision-heavy window can fill
+        # fewer than m merges and shift the next round's boundary
+        ranked = ranked[: max(4 * m, 16)]
+        chosen, used = [], set()
+        for (left, right), c in ranked:
+            if left in used or right in used:
+                continue
+            chosen.append((left, right, c))
+            used.update((left, right))
+            if len(chosen) == m:
+                break
+        for left, right, c in chosen:
+            merges.append(
+                {
+                    "rank": len(merges),
+                    "left": left,
+                    "right": right,
+                    "pair_count": c,
+                }
+            )
+            vocab = {w: _merge_symbols(s, left, right) for w, s in vocab.items()}
+    return merges
+
+
+def test_bpe_batched_distributed_equals_sequential_replay(spark, sf_dir):
+    """12 merges at batch_size=4 on the documents fixture: the
+    distributed batched loop must equal a pure sequential replay of the
+    identical greedy symbol-disjoint selection — which also proves
+    every recorded pair_count is the true corpus count at its round's
+    start (the oracle recounts from scratch each round)."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.functions.text import tokens
+    from distributed_mapreduce_spark.operators.bpe import bpe_train_batched
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train_batched(docs, 12, batch_size=4)
+    assert len(merges) == 12
+
+    wf = {
+        r.w: r.c
+        for r in docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert merges == _batched_sequential_oracle(wf, 12, 4)
+
+
 def test_bpe_encode_compresses_and_bounds(spark, sf_dir):
     """Encoding with learned merges: every document's BPE token count
     is ≤ its raw symbol count (chars + end markers) and ≥ its word
