@@ -391,6 +391,19 @@ def main() -> int:
         # simhash) would otherwise accumulate cached blocks across
         # passes — every pass must run against the same storage state.
         spark.catalog.clearCache()
+        # localCheckpoint blocks (iterative operators: connected
+        # components, PageRank, k-means, BPE) are RDD-level storage
+        # that catalog.clearCache — SQL cache only — never frees;
+        # left alone they accumulate across passes into executor
+        # memory pressure that inflates later passes (observed in the
+        # first shadow run: ev_q13 4.4→11.2→25.2 s across 3 quiet
+        # passes; probe showed orphan persistent RDDs surviving
+        # clearCache). Every pass rebuilds its own checkpoints, so
+        # the orphans are safe to drop.
+        for jrdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            jrdd.unpersist(False)
         # Re-probe AFTER the pass and OR it into the quietness label: a
         # tenant that arrived mid-pass inflates the samples even though
         # the pre-pass probe was quiet, and quiet_floor.py's merge
