@@ -163,8 +163,15 @@ def pagerank(
     edges, the O(#duplicate-pairs) list, far below corpus size.
     localCheckpoint per round truncates the iterative lineage (the CC
     discipline)."""
-    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionAll(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # Materialize the symmetrized edge list ONCE (the CC discipline):
+    # without this, `und`'s lineage — the full upstream pair-generation
+    # join, the expensive part of every near-dup graph — re-executes
+    # for deg AND once per iteration (measured on dedup_q13: 4
+    # executions of the jaccard pair join for 3 rounds).
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint()
     )
     deg = und.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint()
     n = deg.count()
