@@ -58,3 +58,94 @@ def distinct_sketch_by(df: DataFrame, group: str, col: str, lg_k: int = 12) -> D
 def merged_distinct_estimate(sketches: DataFrame) -> DataFrame:
     """Merge a sketch table to one global estimate."""
     return sketches.agg(hll_estimate(hll_merge("sketch")).alias("n_distinct_est"))
+
+
+# --- KLL quantile sketches (DataSketches, Spark 4.1 built-ins) -------
+#
+# The mergeable form of the OTHER canonical non-algebraic aggregate:
+# percentiles. percentile_approx answers in-query; KLL materializes —
+# a persistable binary whose merge is again a KLL sketch, so per-batch
+# latency sketches union into the global p99 without re-reading data.
+# Unlike HLL union (elementwise register max — byte-deterministic in
+# any order), KLL compaction is RANDOMIZED: merged bytes and estimates
+# vary slightly run-to-run and by merge order. The contract is the
+# published normalized rank error (~1.65% at k=200), not bit equality
+# — tests assert rank-error bounds against exact quantiles.
+
+KLL_K = 200  # sketch size parameter: ~1.65% normalized rank error
+
+
+def kll_sketch(col: str | Column, k: int = KLL_K) -> Column:
+    """Mergeable KLL quantile sketch over a DOUBLE column (binary)."""
+    return F.kll_sketch_agg_double(col, F.lit(k))
+
+
+def kll_merge(sketch_col: str | Column, k: int = KLL_K) -> Column:
+    """Union previously materialized KLL sketches."""
+    return F.kll_merge_agg_double(sketch_col, F.lit(k))
+
+
+def kll_quantile(sketch_col: str | Column, q: float) -> Column:
+    """Quantile estimate (rank q in [0,1]) from a KLL sketch."""
+    return F.kll_sketch_get_quantile_double(sketch_col, F.lit(q))
+
+
+def kll_n(sketch_col: str | Column) -> Column:
+    """EXACT stream length recorded by the sketch (n is not estimated)."""
+    return F.kll_sketch_get_n_double(sketch_col)
+
+
+# --- Theta sketches: distinct counts WITH set algebra ----------------
+#
+# HLL answers |A| only; theta sketches keep a hash sample so
+# |A ∪ B|, |A ∩ B|, |A \ B| all estimate from per-set sketches —
+# the audience-overlap / cross-source-coverage primitive ("how many
+# documents appear in BOTH crawls" at 100 TB without a join: sketch
+# each source in one pass, intersect driver-side KB objects).
+
+
+def theta_sketch(col: str | Column) -> Column:
+    """Mergeable theta sketch (binary) over a column's values."""
+    return F.theta_sketch_agg(col)
+
+
+def theta_estimate(sketch_col: str | Column) -> Column:
+    return F.theta_sketch_estimate(sketch_col)
+
+
+def theta_union(a: str | Column, b: str | Column) -> Column:
+    return F.theta_union(a, b)
+
+
+def theta_intersection(a: str | Column, b: str | Column) -> Column:
+    return F.theta_intersection(a, b)
+
+
+def theta_difference(a: str | Column, b: str | Column) -> Column:
+    return F.theta_difference(a, b)
+
+
+def source_overlap_matrix(
+    df: DataFrame, source_col: str, key_col: str
+) -> DataFrame:
+    """Pairwise |A∩B| / |A∪B| estimates across sources from ONE scan:
+    sketch each source's key set, then combine the (few) per-source
+    sketches pairwise — #sources² tiny-sketch combines, never a
+    key-space self-join. Returns (source_a, source_b, n_a, n_b,
+    n_intersection, n_union) for source_a < source_b."""
+    sk = df.groupBy(source_col).agg(theta_sketch(key_col).alias("sk"))
+    a, b = sk.alias("a"), sk.alias("b")
+    asrc, bsrc = F.col(f"a.{source_col}"), F.col(f"b.{source_col}")
+    return (
+        a.join(b, asrc < bsrc)
+        .select(
+            asrc.alias("source_a"),
+            bsrc.alias("source_b"),
+            theta_estimate("a.sk").alias("n_a"),
+            theta_estimate("b.sk").alias("n_b"),
+            theta_estimate(theta_intersection("a.sk", "b.sk")).alias(
+                "n_intersection"
+            ),
+            theta_estimate(theta_union("a.sk", "b.sk")).alias("n_union"),
+        )
+    )

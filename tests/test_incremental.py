@@ -154,6 +154,68 @@ def test_hll_measure_merges_exactly(spark, facts, tmp_path):
         assert abs(incr[key] - n) <= max(2, 0.1 * n), (key, incr[key], n)
 
 
+def test_kll_measure_maintains_quantiles(spark, facts, tmp_path):
+    """Percentile maintenance via the mergeable KLL kind: the
+    incrementally maintained store's per-group p50 must sit within KLL
+    rank error of the exact per-group median, and the recorded stream
+    length n must be EXACT (equal to the group's row count) — n is
+    counted, not estimated, so it survives any merge order exactly.
+    Unlike the hll test, estimates are NOT compared bit-for-bit: KLL
+    compaction is randomized by design."""
+    from distributed_mapreduce_spark.operators.sketches import (
+        kll_n,
+        kll_quantile,
+    )
+
+    store = str(tmp_path / "rollup")
+    measures = {"lat": ("kll", "v")}
+    h = F.pmod(F.xxhash64("event_id"), F.lit(10))
+    refresh_rollup(spark, store, facts.where(h < 7), "day", KEYS, measures)
+    refresh_rollup(spark, store, facts.where(h >= 7), "day", KEYS, measures)
+
+    got = {
+        (str(r.day), r.event_type): (r.p50, r.n)
+        for r in spark.read.parquet(store)
+        .select(
+            "day",
+            "event_type",
+            kll_quantile("lat", 0.5).alias("p50"),
+            kll_n("lat").alias("n"),
+        )
+        .collect()
+    }
+    exact = {
+        (str(r.day), r.event_type): (r.med, r.n, r.lo, r.hi)
+        for r in facts.groupBy(*KEYS)
+        .agg(
+            F.expr("percentile(CAST(v AS DOUBLE), 0.5)").alias("med"),
+            F.count("*").alias("n"),
+            F.min(F.col("v").cast("double")).alias("lo"),
+            F.max(F.col("v").cast("double")).alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for key, (p50, n) in got.items():
+        med, n_exact, lo, hi = exact[key]
+        assert n == n_exact, key
+        assert lo <= p50 <= hi, key
+        # rank-space check: the estimate's true rank within the group
+        rank_n = facts.where(
+            (F.to_date(F.lit(key[0])) == F.col("day"))
+            & (F.col("event_type") == key[1])
+            & (F.col("v").cast("double") <= p50)
+        ).count()
+        # tolerance = sketch rank error + order-statistic granularity:
+        # a 3-row group's achievable ranks are {1/3, 2/3, 1}, so even a
+        # bit-exact median sits 1/(2n) off the 0.5 target
+        assert abs(rank_n / n_exact - 0.5) <= 0.05 + 1.0 / (2 * n_exact) + 1e-9, (
+            key,
+            p50,
+            med,
+        )
+
+
 def test_schema_mismatch_raises_not_first_load(spark, facts, tmp_path):
     """ADVICE r5: a batch whose measure set no longer matches the
     store must raise (unionByName schema error propagates), NOT be

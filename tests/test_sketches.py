@@ -53,3 +53,61 @@ def test_approx_quantiles_bracket_exact(spark, docs):
     lo, hi = docs.select(F.min("n_chars"), F.max("n_chars")).collect()[0]
     assert lo <= got[0] <= hi and lo <= got[1] <= hi
     assert abs(got[0] - exact_med) / max(exact_med, 1) < 0.05
+
+
+def test_kll_quantile_sketch_merges_within_rank_error(spark, docs):
+    """Per-source KLL sketches merged into a global sketch: the merged
+    p50/p95 must sit within ~3x the k=200 normalized rank error (1.65%)
+    of the exact rank positions, and the recorded stream length n is
+    EXACT under merging (n is counted, never estimated)."""
+    from distributed_mapreduce_spark.operators.sketches import (
+        kll_merge,
+        kll_n,
+        kll_quantile,
+        kll_sketch,
+    )
+
+    parts = docs.groupBy("source").agg(
+        kll_sketch(F.col("n_chars").cast("double")).alias("sk")
+    )
+    merged = parts.agg(kll_merge("sk").alias("sk")).select(
+        kll_quantile("sk", 0.5).alias("p50"),
+        kll_quantile("sk", 0.95).alias("p95"),
+        kll_n("sk").alias("n"),
+    ).collect()[0]
+    n_exact = docs.count()
+    assert merged.n == n_exact
+    # rank-error contract: the estimated quantile's true RANK is within
+    # eps of the requested rank (value-space error can be anything on a
+    # skewed column, rank-space is what KLL bounds)
+    for q, v in ((0.5, merged.p50), (0.95, merged.p95)):
+        rank = docs.where(F.col("n_chars") <= v).count() / n_exact
+        assert abs(rank - q) < 0.05, (q, v, rank)
+
+
+def test_theta_source_overlap_matrix_within_bounds(spark, docs):
+    """Theta-sketch set algebra vs exact set ops per source pair:
+    |A∩B| and |A∪B| estimates within 5% (theta default k ⇒ <1% rsd;
+    5% ≈ 5 sigma). The doc_id keyspace is disjoint per source in the
+    fixture, so intersect on the CONTENT hash instead — real overlap."""
+    from distributed_mapreduce_spark.operators.sketches import (
+        source_overlap_matrix,
+    )
+
+    keyed = docs.select("source", F.md5("text").alias("k"))
+    got = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap_matrix(keyed, "source", "k").collect()
+    }
+    sources = [r[0] for r in keyed.select("source").distinct().collect()]
+    assert len(got) == len(sources) * (len(sources) - 1) // 2
+    sets = {
+        s: {r.k for r in keyed.where(F.col("source") == s).collect()}
+        for s in sources
+    }
+    for (a, b), r in got.items():
+        inter, uni = len(sets[a] & sets[b]), len(sets[a] | sets[b])
+        assert abs(r.n_union - uni) / uni < 0.05
+        # intersection error is relative to the UNION size (theta
+        # intersection error compounds from both operands)
+        assert abs(r.n_intersection - inter) <= max(0.05 * uni, 2.0)
