@@ -358,7 +358,7 @@ def main() -> int:
     spark.catalog.clearCache()
 
     # Per-query time = min over SPARK_GRAFT_BENCH_RUNS executions
-    # (default 2). This box shares hardware with unpredictable external
+    # (default 3). This box shares hardware with unpredictable external
     # load (observed: load-avg ~10 with zero local processes, inflating
     # individual queries 2-10x at random); the minimum is the standard
     # noise-floor estimator — it converges on the true cost of OUR plan
