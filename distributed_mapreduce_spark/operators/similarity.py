@@ -376,9 +376,15 @@ def kmeans_lloyd(
     import functools
     import operator
 
+    # persist: the flattened training set is read 2× per iteration
+    # (assignment + means) plus the final assignment — the standard
+    # cache-the-training-set idiom of iterative ML (pyspark.ml does
+    # the same); numerically neutral. Cache lifetime follows the repo
+    # persist convention (see operators/dedup.py): the returned
+    # DataFrame still reads it, so the caller's action ends its use.
     flat = emb.select(
         id_col, *[F.col(vec_col)[i].cast("double").alias(f"x{i}") for i in range(dim)]
-    )
+    ).persist()
     spark = emb.sparkSession
     init = flat.orderBy(id_col).limit(k).collect()
     cents = [[float(r[f"x{i}"]) for i in range(dim)] for r in init]
