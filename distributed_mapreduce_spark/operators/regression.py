@@ -43,6 +43,9 @@ def linreg_gd(
     last step and the mse AT those weights, all engine-rounded to 12.
     """
     x, y = F.col(x_col), F.col(y_col)
+    # persist: one scan of the feature prep instead of iters+1 (the
+    # kmeans_lloyd cache-the-training-set idiom; numerically neutral)
+    xy = xy.persist()
 
     def dec12(c):
         return F.round(c, 12).cast("decimal(22,12)")
@@ -93,6 +96,9 @@ def linsvm_gd(
     Same scale shape as linreg_gd: one partial-agg'd global
     aggregation per step."""
     y = F.col(y_col)
+    # persist: one scan of the feature prep instead of iters+1 (the
+    # kmeans_lloyd cache-the-training-set idiom; numerically neutral)
+    xy = xy.persist()
 
     def dec12(c):
         return F.round(c, 12).cast("decimal(22,12)")
