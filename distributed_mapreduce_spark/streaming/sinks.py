@@ -78,6 +78,93 @@ def foreach_batch_rollup_partials(
     )
 
 
+def foreach_batch_cdc_merge(
+    changes: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    key: str,
+    init: DataFrame | None = None,
+    ord_col: str = "ord",
+    delete_col: str = "is_delete",
+) -> StreamingQuery:
+    """Streaming MERGE INTO — the Delta streaming-upsert pattern on
+    plain parquet: each micro-batch of keyed changes (upserts +
+    delete tombstones, last-writer-wins by `ord_col`) is applied onto
+    the maintained table with operators/cdc.merge_changes (broadcast
+    left-anti + union — the base side never shuffles).
+
+    Exactly-once without a transaction log, via VERSIONED-DIRECTORY
+    commits: batch N reads the newest COMMITTED version `v=<m>` with
+    m < N, merges, and overwrites `v=<N>`. Redelivery of batch N after
+    a crash re-reads the same m (a half-written v=N is ignored by the
+    `< N` rule and clobbered by the overwrite), so replays converge to
+    the same content — the foreach_batch_overwrite idempotence rule
+    applied to stateful maintenance. `read_current_version` gives
+    readers the newest committed snapshot (_SUCCESS-gated).
+
+    Scale notes: each batch rewrites the whole current snapshot — the
+    plain-parquet cost of not having a transaction log. At real scale
+    partition the snapshot (sources/files.write_partitioned
+    dynamic=True) so a batch rewrites only touched partitions, and
+    vacuum versions older than the checkpoint's committed batch on a
+    maintenance cadence."""
+    import pathlib
+
+    from distributed_mapreduce_spark.operators.cdc import merge_changes
+
+    def _committed(below: int | None = None) -> list[int]:
+        return [
+            int(p.name.split("=", 1)[1])
+            for p in pathlib.Path(store_path).glob("v=*")
+            if (p / "_SUCCESS").exists()
+            and (below is None or int(p.name.split("=", 1)[1]) < below)
+        ]
+
+    # Seed the initial base as committed version v=-1 (distributed
+    # write, never a driver collect) — only when the store is fresh,
+    # so a resumed stream keeps its maintained state.
+    if init is not None and not _committed():
+        init.write.mode("overwrite").parquet(f"{store_path}/v=-1")
+    payload_cols = (
+        init.columns
+        if init is not None
+        else [c for c in changes.columns if c not in (ord_col, delete_col)]
+    )
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        committed = _committed(below=batch_id)
+        if committed:
+            base = spark.read.parquet(f"{store_path}/v={max(committed)}")
+        else:
+            base = spark.createDataFrame([], df.select(*payload_cols).schema)
+        merged = merge_changes(base, df, key, ord_col, delete_col)
+        merged.write.mode("overwrite").parquet(f"{store_path}/v={batch_id}")
+
+    return (
+        changes.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_current_version(spark, store_path: str) -> DataFrame:
+    """Newest COMMITTED snapshot of a foreach_batch_cdc_merge store
+    (_SUCCESS-gated, so a crash mid-write never surfaces)."""
+    import pathlib
+
+    store = pathlib.Path(store_path)
+    committed = [
+        int(p.name.split("=", 1)[1])
+        for p in store.glob("v=*")
+        if (p / "_SUCCESS").exists()
+    ]
+    if not committed:
+        raise FileNotFoundError(f"no committed version under {store_path}")
+    return spark.read.parquet(f"{store_path}/v={max(committed)}")
+
+
 def foreach_batch_overwrite(result: DataFrame, path: str, checkpoint: str) -> StreamingQuery:
     """Idempotent foreachBatch: overwrite the batch's own partition —
     redelivered batches replace, never duplicate."""

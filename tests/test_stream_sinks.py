@@ -130,3 +130,131 @@ def test_streaming_rollup_partials_equal_batch_rollup(spark, tmp_path):
     before = merged()
     redelivered.write.mode("overwrite").parquet(f"{store}/{batches[0]}")
     assert merged() == before
+
+
+def test_streaming_cdc_merge_maintains_table(spark, tmp_path):
+    """Streaming MERGE INTO (foreach_batch_cdc_merge): a replayed
+    change stream — upserts, updates, delete tombstones — maintains a
+    keyed snapshot across micro-batches; resume with no data adds no
+    version; a late chunk folds in incrementally; and the final
+    content is batch-boundary INVARIANT (all changes in one batch ≡
+    one chunk per batch — last-writer-wins composes)."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.streaming import event_stream
+    from distributed_mapreduce_spark.streaming.replay import EVENT_SCHEMA
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_cdc_merge,
+        read_current_version,
+    )
+
+    def change_chunk(path, rows, mtime):
+        # rows: (ord, key, type, value)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[0] * 1_000_000 for r in rows], pa.timestamp("us")
+                ),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([float(r[3]) for r in rows]),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    def to_changes(ev):
+        return ev.select(
+            F.col("user_id").alias("k"),
+            F.col("event_id").alias("ord"),
+            (F.col("event_type") == "del").cast("int").alias("is_delete"),
+            F.col("value").alias("v"),
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    base = time.time()
+    change_chunk(str(src / "c1.parquet"), [(1, 1, "up", 10), (2, 2, "up", 20), (3, 3, "up", 30)], base)
+    change_chunk(str(src / "c2.parquet"), [(4, 2, "up", 21), (5, 3, "del", 0), (6, 4, "up", 40)], base + 5)
+
+    def run():
+        q = foreach_batch_cdc_merge(
+            to_changes(event_stream(spark, str(src))), store, ckpt, "k"
+        )
+        q.awaitTermination()
+
+    def snapshot():
+        return {
+            r.k: r.v for r in read_current_version(spark, store).collect()
+        }
+
+    run()
+    assert snapshot() == {1: 10.0, 2: 21.0, 4: 40.0}
+    import pathlib as _pl
+
+    n_versions = len(list(_pl.Path(store).glob("v=*")))
+
+    # resume with no new data: no new version, same content
+    run()
+    assert len(list(_pl.Path(store).glob("v=*"))) == n_versions
+    assert snapshot() == {1: 10.0, 2: 21.0, 4: 40.0}
+
+    # late chunk folds in incrementally
+    change_chunk(str(src / "c3.parquet"), [(7, 1, "del", 0), (8, 5, "up", 50)], base + 10)
+    run()
+    assert snapshot() == {2: 21.0, 4: 40.0, 5: 50.0}
+
+    # batch-boundary invariance: the same change set delivered as ONE
+    # batch (plain readStream, no maxFilesPerTrigger) ends at the same
+    # snapshot
+    store2 = str(tmp_path / "store2")
+    ckpt2 = str(tmp_path / "ckpt2")
+    one_batch = to_changes(
+        spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+    )
+    q = foreach_batch_cdc_merge(one_batch, store2, ckpt2, "k")
+    q.awaitTermination()
+    assert {
+        r.k: r.v for r in read_current_version(spark, store2).collect()
+    } == {2: 21.0, 4: 40.0, 5: 50.0}
+
+
+def test_streaming_cdc_merge_seeds_init_base(spark, tmp_path):
+    """An initial base table seeds the maintained store as committed
+    version v=-1 (distributed write): untouched keys pass through,
+    changed keys take the stream's winning payload, and a resumed
+    stream does NOT re-seed (maintained state wins over init)."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.streaming import event_stream
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_cdc_merge,
+        read_current_version,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    chunk(str(src / "c1.parquet"), [100], time.time())  # user_id=1, value=1.0
+
+    init = spark.createDataFrame([(1, 99.0), (7, 70.0)], "k bigint, v double")
+
+    def to_changes(ev):
+        return ev.select(
+            F.col("user_id").alias("k"),
+            F.col("event_id").alias("ord"),
+            F.lit(0).alias("is_delete"),
+            F.col("value").alias("v"),
+        )
+
+    q = foreach_batch_cdc_merge(
+        to_changes(event_stream(spark, str(src))), store, ckpt, "k", init=init
+    )
+    q.awaitTermination()
+    got = {r.k: r.v for r in read_current_version(spark, store).collect()}
+    assert got == {1: 1.0, 7: 70.0}  # k=1 upserted, k=7 passthrough
