@@ -165,6 +165,34 @@ def read_current_version(spark, store_path: str) -> DataFrame:
     return spark.read.parquet(f"{store_path}/v={max(committed)}")
 
 
+def vacuum_versions(store_path: str, keep: int = 2) -> list[int]:
+    """Maintenance companion to foreach_batch_cdc_merge: delete all but
+    the newest `keep` COMMITTED versions (plus any uncommitted debris
+    older than them). keep >= 2 preserves the redelivery contract — a
+    crashed batch N re-reads the newest version < N, so the
+    second-newest must survive until N commits. Returns the deleted
+    version numbers."""
+    import pathlib
+    import shutil
+
+    if keep < 2:
+        raise ValueError("keep < 2 breaks crash-redelivery (see docstring)")
+    store = pathlib.Path(store_path)
+    committed = sorted(
+        int(p.name.split("=", 1)[1])
+        for p in store.glob("v=*")
+        if (p / "_SUCCESS").exists()
+    )
+    survivors = set(committed[-keep:])
+    deleted = []
+    for p in store.glob("v=*"):
+        v = int(p.name.split("=", 1)[1])
+        if v not in survivors and (not committed or v < max(survivors)):
+            shutil.rmtree(p)
+            deleted.append(v)
+    return sorted(deleted)
+
+
 def foreach_batch_overwrite(result: DataFrame, path: str, checkpoint: str) -> StreamingQuery:
     """Idempotent foreachBatch: overwrite the batch's own partition —
     redelivered batches replace, never duplicate."""

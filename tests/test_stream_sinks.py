@@ -258,3 +258,57 @@ def test_streaming_cdc_merge_seeds_init_base(spark, tmp_path):
     q.awaitTermination()
     got = {r.k: r.v for r in read_current_version(spark, store).collect()}
     assert got == {1: 1.0, 7: 70.0}  # k=1 upserted, k=7 passthrough
+
+
+def test_vacuum_versions_keeps_redelivery_window(spark, tmp_path):
+    """vacuum_versions drops old committed versions and uncommitted
+    debris, keeps the newest `keep`, refuses keep<2, and the maintained
+    snapshot is unchanged after vacuuming."""
+    import pathlib as _pl
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.streaming import event_stream
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_cdc_merge,
+        read_current_version,
+        vacuum_versions,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    base = time.time()
+    for i in range(4):  # 4 chunks -> 4 versions
+        chunk(str(src / f"c{i}.parquet"), [i * 10 + 1], base + i)
+
+    def to_changes(ev):
+        return ev.select(
+            F.col("user_id").alias("k"),
+            F.col("event_id").alias("ord"),
+            F.lit(0).alias("is_delete"),
+            F.col("value").alias("v"),
+        )
+
+    q = foreach_batch_cdc_merge(
+        to_changes(event_stream(spark, str(src))), store, ckpt, "k"
+    )
+    q.awaitTermination()
+    # uncommitted debris: a half-written version dir without _SUCCESS
+    debris = _pl.Path(store) / "v=0_junk"  # malformed names are ignored
+    half = _pl.Path(store) / "v=1"
+    assert (half / "_SUCCESS").exists()
+    before = {r.k: r.v for r in read_current_version(spark, store).collect()}
+
+    with _pt.raises(ValueError):
+        vacuum_versions(store, keep=1)
+    deleted = vacuum_versions(store, keep=2)
+    assert deleted == [0, 1]
+    left = sorted(
+        int(p.name.split("=", 1)[1]) for p in _pl.Path(store).glob("v=*")
+    )
+    assert left == [2, 3]
+    after = {r.k: r.v for r in read_current_version(spark, store).collect()}
+    assert after == before
