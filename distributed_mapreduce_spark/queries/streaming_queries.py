@@ -297,19 +297,91 @@ def st_q8_click_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st_q9_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE INTO (streaming/sinks.foreach_batch_cdc_merge):
+    the rel_q18 change feed — events as upserts keyed on
+    user_id→custkey, `error` events as delete tombstones,
+    last-writer-wins by event_id — replayed as K micro-batches that
+    MAINTAIN a customer snapshot via versioned-directory commits; the
+    graded result is the final committed snapshot.
+
+    Why a batch SQL oracle is sound for a streaming maintenance path:
+    last-writer-wins by a total per-key order makes the final snapshot
+    BATCH-BOUNDARY INVARIANT (merging chunk-by-chunk ≡ merging the
+    whole feed once — ✓tested in test_stream_sinks.py), so the oracle
+    is rel_q18's one-shot MERGE SQL verbatim and the streaming path is
+    value-graded against an independent engine, not just row-counted.
+
+    Scale shape per batch: one max_by agg over the batch + broadcast
+    left-anti against the current snapshot (base unshuffled,
+    operators/cdc.py) + a snapshot rewrite — the plain-parquet cost of
+    no transaction log; write_partitioned(dynamic) shrinks the rewrite
+    to touched partitions at real scale."""
+    import atexit as _atexit
+    import shutil as _shutil
+
+    from distributed_mapreduce_spark.streaming.replay import ephemeral_dir
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_cdc_merge,
+        read_current_version,
+    )
+
+    chunks = _staged(sf_dir)
+    init = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    # fresh store+checkpoint per call (bench passes must not resume
+    # each other's state); kept on disk until process exit because the
+    # returned DataFrame reads the store lazily
+    store = ephemeral_dir("dmr_cdc_store_")
+    ckpt = ephemeral_dir("dmr_cdc_ckpt_")
+    _atexit.register(_shutil.rmtree, store, ignore_errors=True)
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        changes = event_stream(spark, chunks).select(
+            (F.col("user_id") + 1).alias("c_custkey"),
+            F.col("event_id").alias("ord"),
+            (F.col("event_type") == "error").cast("int").alias("is_delete"),
+            F.upper("event_type").alias("c_mktsegment"),
+            F.col("value").alias("c_acctbal"),
+        )
+        q = foreach_batch_cdc_merge(
+            changes, f"{store}/t", ckpt, "c_custkey", init=init
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        _shutil.rmtree(ckpt, ignore_errors=True)
+    return read_current_version(spark, f"{store}/t")
+
+
 # Sliding windows are tumbling windows with an overlap factor (same
 # state-store machinery, each event lands in duration/slide windows) —
 # shadow tier behind st_q1 (registry.py grading cap). The stream-static
 # join is shadow behind the stream-stream st_q6; the outer interval
 # join is shadow behind st_q6 as well (same state machinery + timeout
-# emission).
+# emission). The streaming MERGE is shadow behind its batch twin
+# rel_q18 (identical oracle — see st_q9's invariance argument).
 SHADOW_QUERIES = {
     "st_q2_sliding": st_q2_sliding,
     "st_q7_stream_static_enrich": st_q7_stream_static_enrich,
     "st_q8_click_purchase_outer": st_q8_click_purchase_outer,
+    "st_q9_cdc_upsert": st_q9_cdc_upsert,
 }
 
+def _st_q9_oracle() -> str:
+    # rel_q18's one-shot MERGE SQL verbatim (single definition): sound
+    # for the streaming path by last-writer-wins batch-boundary
+    # invariance — see st_q9_cdc_upsert's docstring.
+    from distributed_mapreduce_spark.queries.relational import _SQL
+
+    return _SQL["rel_q18_cdc_merge"]
+
+
 SHADOW_ORACLES = {
+    "st_q9_cdc_upsert": _st_q9_oracle(),
     # Matched rows = the batch interval join (same as st_q6); null
     # rows = clicks with no in-window purchase whose window closed
     # before the final global watermark (min over the two sides' max
