@@ -125,6 +125,67 @@ def theta_difference(a: str | Column, b: str | Column) -> Column:
     return F.theta_difference(a, b)
 
 
+# --- Count-min sketch: mergeable per-item frequency estimates --------
+#
+# The frequency sibling of HLL/KLL: a per-batch/per-group CMS answers
+# "how often did THIS item occur" for arbitrary items later, without
+# re-scanning — overestimate-only (never under), error ≤ eps·N with
+# the configured confidence. The serving pattern: store one sketch per
+# day/source (a few KB-MB each), merge driver-side (sketches are
+# KB-sized objects, the bounded-collect kind), probe for the items of
+# interest (suspected heavy hitters, watchlists, known contaminants).
+
+CMS_EPS = 0.001
+CMS_CONFIDENCE = 0.99
+CMS_SEED = 42  # merge requires identical (eps, confidence, seed)
+
+
+def cms_sketch(
+    col: str | Column,
+    eps: float = CMS_EPS,
+    confidence: float = CMS_CONFIDENCE,
+    seed: int = CMS_SEED,
+) -> Column:
+    """Mergeable count-min sketch (binary) over a string column."""
+    return F.count_min_sketch(
+        col, F.lit(eps), F.lit(confidence), F.lit(seed)
+    )
+
+
+def cms_sketch_by(
+    df: DataFrame, group: str, col: str, eps: float = CMS_EPS
+) -> DataFrame:
+    """Materializable per-group frequency-sketch table: (group,
+    sketch). Write per ingest batch, merge + probe at query time."""
+    return df.groupBy(group).agg(cms_sketch(col, eps).alias("sketch"))
+
+
+class CmsReader:
+    """Driver-side probe over one or more serialized CMS blobs (merged
+    in place — blobs must share eps/confidence/seed). Deserialization
+    uses Spark's own org.apache.spark.util.sketch.CountMinSketch, the
+    class that wrote the bytes."""
+
+    def __init__(self, spark, blobs):
+        jvm = spark._jvm
+        self._cms = None
+        for blob in blobs:
+            bis = jvm.java.io.ByteArrayInputStream(bytes(blob))
+            s = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+            if self._cms is None:
+                self._cms = s
+            else:
+                self._cms.mergeInPlace(s)
+        if self._cms is None:
+            raise ValueError("no sketches given")
+
+    def estimate(self, item: str) -> int:
+        return int(self._cms.estimateCount(item))
+
+    def total(self) -> int:
+        return int(self._cms.totalCount())
+
+
 def source_overlap_matrix(
     df: DataFrame, source_col: str, key_col: str
 ) -> DataFrame:

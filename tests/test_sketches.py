@@ -111,3 +111,32 @@ def test_theta_source_overlap_matrix_within_bounds(spark, docs):
         # intersection error is relative to the UNION size (theta
         # intersection error compounds from both operands)
         assert abs(r.n_intersection - inter) <= max(0.05 * uni, 2.0)
+
+
+def test_cms_merged_estimates_bound_exact_counts(spark, docs):
+    """Count-min contract on per-source token sketches merged
+    driver-side: estimates NEVER underestimate, overestimate by at
+    most eps x total stream length, and the merged total equals the
+    exact stream length. Probed items: the true global top tokens plus
+    an absent item (estimate ~0, bounded by eps x N)."""
+    from distributed_mapreduce_spark.functions.text import tokens
+    from distributed_mapreduce_spark.operators.sketches import (
+        CMS_EPS,
+        CmsReader,
+        cms_sketch_by,
+    )
+
+    toks = docs.select("source", F.explode(tokens("text")).alias("w"))
+    parts = cms_sketch_by(toks, "source", "w")
+    reader = CmsReader(spark, [r.sketch for r in parts.collect()])
+
+    n_total = toks.count()
+    assert reader.total() == n_total
+
+    top = toks.groupBy("w").count().orderBy(F.desc("count"), "w").limit(10).collect()
+    slack = int(CMS_EPS * n_total) + 1
+    for r in top:
+        est = reader.estimate(r.w)
+        assert est >= r["count"], (r.w, est, r["count"])
+        assert est <= r["count"] + slack, (r.w, est, r["count"])
+    assert reader.estimate("__definitely_not_a_token__") <= slack
