@@ -24,6 +24,12 @@ json.dumps(default=str) turned date/timestamp/decimal bounds into
 strings, which then compared against typed lo/hi either raised
 TypeError or — worse — mispruned lexicographically. Unknown stat types
 raise at WRITE time (soundness over a manifest that lies later).
+
+Timestamp caveat (write-side): Spark's default parquet timestamp
+encoding (INT96, spark.sql.parquet.outputTimestampType) carries NO
+min/max footer statistics — timestamp zones then degrade to
+always-read (sound, zero skipping). Write with TIMESTAMP_MICROS to
+make timestamp zones effective (✓test).
 """
 
 from __future__ import annotations
@@ -109,12 +115,20 @@ def write_manifest(dataset_path: str, cols: list[str]) -> dict:
             idx = schema_names.index(col)
             mins, maxs = [], []
             for rg in range(md.num_row_groups):
-                s = md.row_group(rg).column(idx).statistics
-                if s is None or not s.has_min_max:
+                # pyarrow raises ArrowNotImplementedError extracting
+                # stat VALUES for some physical types (e.g. Spark's
+                # decimal encoding) — degrade to no-zone (always read,
+                # sound), the same as absent stats.
+                try:
+                    s = md.row_group(rg).column(idx).statistics
+                    if s is None or not s.has_min_max:
+                        raise ValueError("no stats")
+                    lo_v, hi_v = s.min, s.max
+                except Exception:
                     mins, maxs = [], []
                     break
-                mins.append(s.min)
-                maxs.append(s.max)
+                mins.append(lo_v)
+                maxs.append(hi_v)
             if mins:
                 stats[col] = [min(mins), max(maxs)]
                 enc[col] = [_encode(stats[col][0]), _encode(stats[col][1])]
