@@ -280,7 +280,9 @@ def main() -> int:
     # half of the surface are otherwise invisible.
     tier = os.environ.get("SPARK_GRAFT_BENCH_TIER", "registered")
     if "--tier" in sys.argv:
-        tier = sys.argv[sys.argv.index("--tier") + 1]
+        i = sys.argv.index("--tier") + 1
+        # a trailing `--tier` falls through to the friendly usage error
+        tier = sys.argv[i] if i < len(sys.argv) else "<missing>"
     if tier not in ("registered", "shadow"):
         print(f"unknown tier {tier!r} (registered|shadow)", file=sys.stderr)
         return 2

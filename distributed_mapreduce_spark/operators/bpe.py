@@ -130,6 +130,29 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text") -> list[di
     return merges
 
 
+def _select_disjoint(
+    candidates: list[tuple[str, str, int]], m: int
+) -> list[tuple[str, str, int]]:
+    """Greedy batch selection over ranked (left, right, count)
+    candidates: take up to `m` pairs whose left, right AND merge output
+    (left+right) are all pairwise non-interacting. `used` holds every
+    chosen pair's three strings; a candidate is skipped if any of ITS
+    three strings is already reserved — so no chosen pair consumes a
+    token another chosen merge creates ((a,b) then (ab,c)) and no two
+    chosen merges create the same token (('a','bc') vs ('ab','c'),
+    both → 'abc'); see bpe_train_batched's collision argument."""
+    chosen: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for left, right, count in candidates:
+        if left in used or right in used or (left + right) in used:
+            continue
+        chosen.append((left, right, count))
+        used.update((left, right, left + right))
+        if len(chosen) == m:
+            break
+    return chosen
+
+
 def bpe_train_batched(
     docs: DataFrame,
     n_merges: int,
@@ -147,10 +170,18 @@ def bpe_train_batched(
     adjacent (it replaces two adjacent symbols with one), so it can
     only change counts of pairs that SHARE a symbol with it. Pairs
     chosen from one count snapshot whose symbols are pairwise disjoint
-    therefore all still have their snapshot counts when applied, and
-    their applications commute. Selection is greedy in the sequential
-    order (-count, left, right), skipping pairs that collide with an
-    already-chosen symbol.
+    therefore all still have their snapshot counts when applied.
+    Disjointness is checked on the pairs' left/right symbols AND their
+    merge OUTPUTS (left+right): without the output guard, two chosen
+    pairs can interact via string collision — e.g. a chosen pair
+    consuming a token that another chosen merge creates ((a,b) then
+    (ab,c)), or ('a','bc') and ('ab','c') both producing 'abc' — and
+    then within-round applications no longer commute (ADVICE r6).
+    With it, no chosen pair reads or writes any symbol another chosen
+    pair reads or writes, so applications commute and counts stay
+    exact. Selection is greedy in the sequential order (-count, left,
+    right), skipping pairs that collide with an already-chosen symbol
+    or output.
 
     Approximation contract: batch_size=1 is EXACTLY bpe_train (tested
     ≡); for batch_size>1 the learned table can diverge from sequential
@@ -194,15 +225,9 @@ def bpe_train_batched(
         )
         if not top or top[0].pair_count is None:
             break
-        chosen: list[tuple[str, str, int]] = []
-        used: set[str] = set()
-        for r in top:
-            if r.left in used or r.right in used:
-                continue
-            chosen.append((r.left, r.right, int(r.pair_count)))
-            used.update((r.left, r.right))
-            if len(chosen) == m:
-                break
+        chosen = _select_disjoint(
+            [(r.left, r.right, int(r.pair_count)) for r in top], m
+        )
         for left, right, c in chosen:
             merges.append(
                 {

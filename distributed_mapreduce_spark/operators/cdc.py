@@ -50,7 +50,18 @@ def merge_changes(
 ) -> DataFrame:
     """MERGE the change batch into `base` (schemas must match on the
     payload columns; `changes` carries `ord_col` and `delete_col` in
-    addition). Returns the merged table with base's schema."""
+    addition). Returns the merged table with base's schema.
+
+    Cross-batch ordering contract (ADVICE r6): the base carries no
+    `ord` column, so a batch winner replaces the stored row
+    UNCONDITIONALLY — last-writer-wins across batches therefore
+    requires that batches deliver each key's changes in nondecreasing
+    `ord` order (true of a CDC log read in offset order, Spark's file
+    and Kafka sources included). Under out-of-order cross-batch
+    redelivery a stale change would overwrite a newer row. If the feed
+    cannot guarantee per-key order, persist `ord` in the snapshot and
+    gate the replace on `change.ord >= base.ord` — a one-column cost
+    this operator deliberately avoids for ordered feeds."""
     payload = [c for c in base.columns if c != key]
     # One max_by over the whole change row as a struct: the winning
     # (delete flag, payload...) is picked atomically from the single

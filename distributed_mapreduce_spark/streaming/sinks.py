@@ -102,6 +102,12 @@ def foreach_batch_cdc_merge(
     applied to stateful maintenance. `read_current_version` gives
     readers the newest committed snapshot (_SUCCESS-gated).
 
+    Ordering contract: the snapshot stores no `ord`, so last-writer-
+    wins across micro-batches relies on the source delivering each
+    key's changes in nondecreasing `ord_col` order batch-to-batch
+    (Spark sources replay a CDC log in offset order, so this holds;
+    see operators/cdc.merge_changes for the out-of-order caveat).
+
     Scale notes: each batch rewrites the whole current snapshot — the
     plain-parquet cost of not having a transaction log. At real scale
     partition the snapshot (sources/files.write_partitioned
@@ -183,11 +189,19 @@ def vacuum_versions(store_path: str, keep: int = 2) -> list[int]:
         for p in store.glob("v=*")
         if (p / "_SUCCESS").exists()
     )
+    if not committed:
+        # Nothing committed -> nothing is provably debris: any v=* here
+        # may be a live stream's in-flight write (ADVICE r6 — the old
+        # fallthrough deleted ALL versions in this state).
+        return []
     survivors = set(committed[-keep:])
     deleted = []
     for p in store.glob("v=*"):
         v = int(p.name.split("=", 1)[1])
-        if v not in survivors and (not committed or v < max(survivors)):
+        # strictly older than the newest survivor: an uncommitted v=N
+        # NEWER than every committed version is an in-flight write,
+        # not debris.
+        if v not in survivors and v < max(survivors):
             shutil.rmtree(p)
             deleted.append(v)
     return sorted(deleted)

@@ -138,6 +138,9 @@ def main() -> int:
     argv = sys.argv[1:]
     if "--floors" in argv:
         i = argv.index("--floors")
+        if i + 1 >= len(argv):
+            print("--floors needs a path argument", file=sys.stderr)
+            return 2
         FLOORS_PATH = argv[i + 1]
         del argv[i : i + 2]
     args = [a for a in argv if a != "--force"]

@@ -100,6 +100,31 @@ def test_bpe_batched_golden_disjoint_pairs(spark):
     assert [m["rank"] for m in merges] == [0, 1, 2]
 
 
+def test_bpe_batch_selection_output_collision_guard():
+    """The batch selection must reserve merge OUTPUTS, not just the
+    pairs' own symbols (ADVICE r6): ('ab','c') consumes the token
+    ('a','b') creates, and ('a','bc') would create the same 'abc'
+    token as ('ab','c') — neither may share a batch with its
+    colliding partner, while genuinely disjoint pairs still fill it."""
+    from distributed_mapreduce_spark.operators.bpe import _select_disjoint
+
+    ranked = [
+        ("a", "b", 9),  # chosen; reserves a, b, ab
+        ("ab", "c", 8),  # left == chosen output 'ab' -> skipped
+        ("x", "y", 7),  # disjoint -> chosen; reserves x, y, xy
+        ("w", "xy", 6),  # right == chosen output 'xy' -> skipped
+        ("c", "d", 5),  # disjoint -> chosen ('c' was never reserved)
+    ]
+    assert _select_disjoint(ranked, 3) == [("a", "b", 9), ("x", "y", 7), ("c", "d", 5)]
+    # both spellings of 'abc' in one window: only the first survives
+    assert _select_disjoint([("a", "bc", 4), ("ab", "c", 3), ("d", "e", 2)], 3) == [
+        ("a", "bc", 4),
+        ("d", "e", 2),
+    ]
+    # m=1 never filters: the guard cannot change batch_size=1 ≡ sequential
+    assert _select_disjoint(ranked, 1) == [("a", "b", 9)]
+
+
 def _batched_sequential_oracle(
     word_freqs: dict[str, int], n_merges: int, batch_size: int
 ) -> list[dict]:
@@ -126,10 +151,12 @@ def _batched_sequential_oracle(
         ranked = ranked[: max(4 * m, 16)]
         chosen, used = [], set()
         for (left, right), c in ranked:
-            if left in used or right in used:
+            # mirror the impl's output-collision guard (ADVICE r6):
+            # left, right and the merge output left+right all reserve
+            if left in used or right in used or (left + right) in used:
                 continue
             chosen.append((left, right, c))
-            used.update((left, right))
+            used.update((left, right, left + right))
             if len(chosen) == m:
                 break
         for left, right, c in chosen:

@@ -304,8 +304,23 @@ def test_vacuum_versions_keeps_redelivery_window(spark, tmp_path):
 
     with _pt.raises(ValueError):
         vacuum_versions(store, keep=1)
+
+    # a store with NO committed versions (e.g. a live stream's first
+    # in-flight write) must not be touched at all (ADVICE r6)
+    fresh = _pl.Path(str(tmp_path / "fresh_store"))
+    (fresh / "v=0").mkdir(parents=True)  # uncommitted: no _SUCCESS
+    assert vacuum_versions(str(fresh), keep=2) == []
+    assert (fresh / "v=0").exists()
+
+    # an uncommitted version NEWER than every committed one is an
+    # in-flight write, never debris
+    inflight = _pl.Path(store) / "v=99"
+    inflight.mkdir()
+
     deleted = vacuum_versions(store, keep=2)
     assert deleted == [0, 1]
+    assert inflight.exists()
+    inflight.rmdir()
     left = sorted(
         int(p.name.split("=", 1)[1]) for p in _pl.Path(store).glob("v=*")
     )
