@@ -155,6 +155,251 @@ def foreach_batch_cdc_merge(
     )
 
 
+def _write_manifest(version_dir, touched: list[int], n_buckets: int) -> None:
+    """Atomic commit marker for a partition-scoped CDC version: a
+    driver-written `_touched.json` via temp+rename — the reference's
+    own atomic-commit pattern (worker.go:184-198) at the version
+    level. Lists the partition values this batch rewrote (including
+    ones it emptied: touched-but-absent-as-dir means EMPTY, not
+    unknown)."""
+    import json
+    import os
+    import pathlib
+
+    version_dir = pathlib.Path(version_dir)
+    tmp = version_dir / "_touched.json.tmp"
+    tmp.write_text(
+        json.dumps({"touched": sorted(touched), "n_buckets": n_buckets})
+    )
+    os.replace(tmp, version_dir / "_touched.json")
+
+
+def _committed_manifests(store_path: str, below: int | None = None) -> list[tuple[int, dict]]:
+    """(version, manifest) for every committed partition-scoped
+    version, ascending; committed = `_touched.json` exists."""
+    import json
+    import pathlib
+
+    out = []
+    for p in pathlib.Path(store_path).glob("v=*"):
+        m = p / "_touched.json"
+        if not m.exists():
+            continue
+        v = int(p.name.split("=", 1)[1])
+        if below is not None and v >= below:
+            continue
+        out.append((v, json.loads(m.read_text())))
+    return sorted(out)
+
+
+def _current_partition_map(store_path: str, below: int | None = None) -> dict[int, int]:
+    """partition value -> newest committed version (< below) that
+    rewrote it. Folding manifests in batch order is the read-time
+    analog of the merge itself: later rewrites shadow earlier ones."""
+    current: dict[int, int] = {}
+    for v, manifest in _committed_manifests(store_path, below):
+        for p in manifest["touched"]:
+            current[p] = v
+    return current
+
+
+def foreach_batch_cdc_merge_partitioned(
+    changes: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    key: str,
+    n_buckets: int = 16,
+    init: DataFrame | None = None,
+    ord_col: str = "ord",
+    delete_col: str = "is_delete",
+) -> StreamingQuery:
+    """Partition-scoped streaming MERGE INTO — foreach_batch_cdc_merge
+    with the 100 TB cost model: the snapshot is hash-partitioned on
+    the key (`p = pmod(xxhash64(key), n_buckets)`) and each
+    micro-batch rewrites ONLY the partitions its change-keys touch,
+    instead of the whole table. Per-batch cost is
+    ∝ touched-partition bytes + batch size — a selective batch against
+    a 100 TB snapshot reads and writes a few buckets, never the table.
+
+    Layout: `store/v=<batch>/p=<bucket>/...` — every version directory
+    holds ONLY the partitions its batch rewrote; the live snapshot is
+    the per-partition NEWEST committed version (folded from version
+    manifests in batch order). Untouched partitions' files live in
+    older version dirs and are never rewritten nor rewritten-in-place,
+    so they are byte-identical across batches by construction (✓test).
+
+    Exactly-once, same argument as the unpartitioned sink but
+    partition-scoped: the commit marker is a driver-written
+    `_touched.json` manifest (temp+rename atomic) listing the
+    partitions the batch rewrote — including partitions the batch
+    EMPTIED (listed but absent as a dir ⇒ empty as of that version,
+    so deletes cannot resurrect older state). Batch N builds its base
+    from committed manifests `< N` only; a crash before the manifest
+    lands leaves v=N invisible, and redelivery overwrites it —
+    replays converge. Why not dynamic partition overwrite in place:
+    plain parquet has no partition-level commit protocol, so a crash
+    mid-overwrite leaves a partition half old/half new with no marker
+    to detect it; versioned dirs + manifest make the torn state
+    unreachable instead.
+
+    Ordering contract: same as foreach_batch_cdc_merge (per-key
+    nondecreasing ord across batches; see operators/cdc.merge_changes).
+
+    Scale notes: `n_buckets` sizes the rewrite amplification — a batch
+    touching k distinct keys rewrites ≤ min(k, n_buckets) buckets of
+    ~table/n_buckets bytes each; size buckets to the target file size
+    (table_bytes / n_buckets ≈ 128 MB–1 GB), and raise n_buckets (or
+    swap the hash for a domain column like a date) as the table grows.
+    n_buckets is pinned in the seed manifest; changing it requires a
+    rebuild (hash-routing must stay stable). Old versions accumulate
+    one touched-partition set per batch — vacuum_versions_partitioned
+    reclaims them on a maintenance cadence."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.operators.cdc import merge_changes
+
+    store = pathlib.Path(store_path)
+
+    def bucket(col):
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+    committed = _committed_manifests(store_path)
+    if committed:
+        have = committed[0][1]["n_buckets"]
+        if have != n_buckets:
+            raise ValueError(
+                f"store {store_path} was built with n_buckets={have}; "
+                f"hash routing must stay stable (got {n_buckets})"
+            )
+    elif init is not None:
+        # Seed the base as committed version v=-1, partitioned;
+        # touched = ALL buckets so every partition's baseline is
+        # defined (absent dir ⇒ genuinely empty).
+        init.withColumn("p", bucket(F.col(key))).write.mode(
+            "overwrite"
+        ).partitionBy("p").parquet(str(store / "v=-1"))
+        _write_manifest(store / "v=-1", list(range(n_buckets)), n_buckets)
+
+    payload_cols = (
+        init.columns
+        if init is not None
+        else [c for c in changes.columns if c not in (ord_col, delete_col)]
+    )
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        # Partitions this batch touches: distinct buckets of the change
+        # keys — a bounded (≤ n_buckets) driver list, the
+        # operators/incremental.py affected-partition pattern.
+        touched = [
+            r.p for r in df.select(bucket(F.col(key)).alias("p")).distinct().collect()
+        ]
+        if not touched:
+            _write_manifest_for_empty(batch_id)
+            return
+        current = _current_partition_map(store_path, below=batch_id)
+        base_paths = [
+            str(store / f"v={current[p]}" / f"p={p}")
+            for p in touched
+            if p in current and (store / f"v={current[p]}" / f"p={p}").exists()
+        ]
+        if base_paths:
+            # Explicit leaf paths: partitions NOT in `base_paths` are
+            # never listed, opened, or scanned — the pruning that makes
+            # the batch cost ∝ touched bytes.
+            base = spark.read.parquet(*base_paths).select(*payload_cols)
+        else:
+            base = spark.createDataFrame([], df.select(*payload_cols).schema)
+        merged = merge_changes(base, df, key, ord_col, delete_col)
+        merged.withColumn("p", bucket(F.col(key))).write.mode(
+            "overwrite"
+        ).partitionBy("p").parquet(str(store / f"v={batch_id}"))
+        _write_manifest(store / f"v={batch_id}", touched, n_buckets)
+
+    def _write_manifest_for_empty(batch_id: int) -> None:
+        # an all-filtered batch still commits (empty touched set) so
+        # the version sequence stays dense for debugging; readers and
+        # redelivery are indifferent.
+        (store / f"v={batch_id}").mkdir(parents=True, exist_ok=True)
+        _write_manifest(store / f"v={batch_id}", [], n_buckets)
+
+    return (
+        changes.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_current_partitioned(spark, store_path: str) -> DataFrame:
+    """Live snapshot of a foreach_batch_cdc_merge_partitioned store:
+    for each partition, its newest committed version's directory
+    (absent dir for a touched partition = empty). Committed =
+    manifest present; a half-written version is never surfaced."""
+    import pathlib
+
+    store = pathlib.Path(store_path)
+    current = _current_partition_map(store_path)
+    if not current and not _committed_manifests(store_path):
+        raise FileNotFoundError(f"no committed version under {store_path}")
+    paths = [
+        str(store / f"v={v}" / f"p={p}")
+        for p, v in current.items()
+        if (store / f"v={v}" / f"p={p}").exists()
+    ]
+    if not paths:
+        # every partition empty: reconstruct the payload schema from
+        # any committed version's parquet footer is impossible with no
+        # files — callers with a fully-emptied store get 0 columns of
+        # nothing only if no file ever existed; seed stores always have
+        # v=-1 files. Empty DataFrame with no schema source is an
+        # error the caller should see.
+        raise FileNotFoundError(
+            f"store {store_path} has no surviving rows or files to "
+            "infer a schema from"
+        )
+    return spark.read.parquet(*paths)
+
+
+def vacuum_versions_partitioned(store_path: str, keep: int = 2) -> list[int]:
+    """Reclaim partition-scoped CDC versions: a version directory is
+    debris once NO partition's newest-`keep` rewrite history includes
+    it (each partition's last `keep` rewriting versions must survive —
+    the redelivery window of vacuum_versions applied per partition).
+    Uncommitted dirs older than the newest committed version are
+    debris too; anything newer may be an in-flight write. Returns
+    deleted version numbers."""
+    import pathlib
+    import shutil
+
+    if keep < 2:
+        raise ValueError("keep < 2 breaks crash-redelivery (see vacuum_versions)")
+    store = pathlib.Path(store_path)
+    committed = _committed_manifests(store_path)
+    if not committed:
+        return []
+    history: dict[int, list[int]] = {}
+    for v, manifest in committed:
+        for p in manifest["touched"]:
+            history.setdefault(p, []).append(v)
+    survivors = {v for versions in history.values() for v in versions[-keep:]}
+    # empty-touched commits newer than the oldest survivor stay (cheap,
+    # keeps the recent version sequence inspectable)
+    newest = committed[-1][0]
+    survivors.update(v for v, m in committed if not m["touched"])
+    deleted = []
+    for p in store.glob("v=*"):
+        v = int(p.name.split("=", 1)[1])
+        if v in survivors:
+            continue
+        if (p / "_touched.json").exists() or v < newest:
+            shutil.rmtree(p)
+            deleted.append(v)
+    return sorted(deleted)
+
+
 def read_current_version(spark, store_path: str) -> DataFrame:
     """Newest COMMITTED snapshot of a foreach_batch_cdc_merge store
     (_SUCCESS-gated, so a crash mid-write never surfaces)."""
