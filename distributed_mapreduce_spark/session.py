@@ -84,7 +84,31 @@ def get_spark(
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if not master.startswith("local["):
+        _ship_package(spark)
     return tune_session(spark)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the `--py-files` deployment
+    step): multi-process masters (local-cluster, standalone, YARN, k8s)
+    give executor Python workers their OWN sys.path — cloudpickle
+    serializes package-level UDFs BY REFERENCE, so without the package
+    on the executor path every Python-lane task dies with
+    ModuleNotFoundError (found by the local-cluster smoke,
+    tests/test_local_cluster.py). Zipping + addPyFile is exactly what
+    spark-submit --py-files does; local[N] skips it (driver and
+    workers share one process tree and one sys.path)."""
+    import pathlib
+    import shutil
+    import tempfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    out = pathlib.Path(tempfile.gettempdir()) / f"dmr_pkg_{os.getpid()}"
+    zip_path = shutil.make_archive(
+        str(out), "zip", root_dir=pkg_dir.parent, base_dir=pkg_dir.name
+    )
+    spark.sparkContext.addPyFile(zip_path)
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
