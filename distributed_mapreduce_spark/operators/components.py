@@ -85,22 +85,30 @@ def connected_components(
     unchanged (set driver_max_edges=0 to force it; the test suite
     exercises both paths against the same oracle)."""
     spark = edges.sparkSession
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
-    sym = sym.localCheckpoint()
-    if sym.count() <= 2 * driver_max_edges:  # sym holds both directions
+    # Materialize the RAW edge list first (half the rows of the
+    # symmetrized form): the size probe and the driver path never need
+    # both directions, so symmetrization — an extra 2× checkpoint
+    # write — is deferred to the distributed branch that actually
+    # iterates over it (shadow floor pass r7).
+    one = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).localCheckpoint()
+    if one.count() <= driver_max_edges:
         # Arrow collect (toArrow), not collect(): Row objects cost
         # ~100+ bytes each, an Arrow table ~16 bytes/edge — the
         # driver-memory math in DRIVER_CC_MAX_EDGES assumes this path.
-        # a <= b keeps one direction per edge plus self-loops, so a
-        # node whose only edge is reflexive still gets labeled
+        # least/greatest keeps one direction per edge plus self-loops,
+        # so a node whose only edge is reflexive still gets labeled
         # (matching the distributed path's contract).
-        tbl = sym.where(F.col("a") <= F.col("b")).toArrow()
+        tbl = one.toArrow()
         rows = _driver_union_find(
             list(zip(tbl.column("a").to_pylist(), tbl.column("b").to_pylist()))
         )
         return spark.createDataFrame(rows, "id bigint, component bigint")
+    sym = one.unionByName(
+        one.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()

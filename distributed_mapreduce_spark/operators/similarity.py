@@ -367,61 +367,89 @@ def kmeans_lloyd(
 
     Returns the final assignment (id, cell). The per-iteration
     centroid table is k×dim driver-side floats (bounded collect, the
-    IVF-probe pattern); assignment shuffles one row per vector into
-    the min-of-struct agg, and means are a k-group aggregate —
-    per-iteration cost is two keyed aggs over N rows, nothing
-    quadratic. (pyspark.ml KMeans remains the production trainer —
+    IVF-probe pattern), inlined as array literals.
+
+    Plan-WIDTH note (shadow floor pass r7, measured): this operator's
+    cost at fixture scale is ~100% DRIVER overhead, not data —
+    N=500 and N=2000 both took ~5 s in the r6 shape (64 flat
+    coordinate columns, crossJoin×k + 66-field min-struct agg +
+    64 separate decimal mean aggregates), because Catalyst analysis +
+    Janino codegen of 64-column-wide plans costs ~1.5-2.5 s per
+    iteration. Keeping the vector as ONE array column cuts every plan
+    to ≤4 columns: assignment = array_min over k (dist, cell) structs
+    with dist = aggregate(zip_with(v, centroid, (x,m)→(x−m)²), 0, +)
+    — higher-order functions evaluate interpreted, but the per-row
+    work is tiny and the driver saving dominates (5.6 s → ~2.9 s
+    warm). Two rejected alternatives, both measured: k×dim
+    literal-inlined FLAT-column distance chains (the single ~1500-op
+    expression tree exceeds what codegen compiles, falls back to
+    interpreted eval over a 65-column row: 12.3 s), and the r6
+    crossJoin shape with coordinate-carrying structs (saves a join but
+    keeps the wide plans: 5.1-5.8 s).
+
+    Bit-exactness of the array form vs the flat form (same oracle):
+    aggregate's fold starts at 0.0 and (x−m)² ≥ 0, so 0.0+d₀ ≡ d₀
+    bit-for-bit and the remaining left-associative order is identical
+    to the flat reduce chain; the means stage posexplodes to
+    (cell, pos, x) and runs ONE generic round-12→DECIMAL(22,12)
+    sum/count — the same per-coordinate formula as the 64 per-column
+    aggregates, exact and order-independent by decimal addition.
+    (pyspark.ml KMeans remains the production trainer —
     train_centroids_kmeans; this operator exists for *graded*
     iterative clustering and small-k refinement.)"""
-    import functools
-    import operator
 
-    # persist: the flattened training set is read 2× per iteration
-    # (assignment + means) plus the final assignment — the standard
-    # cache-the-training-set idiom of iterative ML (pyspark.ml does
-    # the same); numerically neutral. Cache lifetime follows the repo
-    # persist convention (see operators/dedup.py): the returned
-    # DataFrame still reads it, so the caller's action ends its use.
+    # persist: the array training set is read once per iteration plus
+    # the final assignment — the standard cache-the-training-set idiom
+    # of iterative ML (pyspark.ml does the same); numerically neutral.
+    # Cache lifetime follows the repo persist convention (see
+    # operators/dedup.py): the returned DataFrame still reads it, so
+    # the caller's action ends its use.
     flat = emb.select(
-        id_col, *[F.col(vec_col)[i].cast("double").alias(f"x{i}") for i in range(dim)]
+        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")
     ).persist()
-    spark = emb.sparkSession
     init = flat.orderBy(id_col).limit(k).collect()
-    cents = [[float(r[f"x{i}"]) for i in range(dim)] for r in init]
+    cents = [[float(x) for x in r["v"]] for r in init]
+
+    def dist_expr(cent: list[float]):
+        sq = F.zip_with(
+            "v", F.array(*[F.lit(m) for m in cent]), lambda x, m: (x - m) * (x - m)
+        )
+        return F.aggregate(sq, F.lit(0.0), lambda acc, e: acc + e)
 
     def assign(centroids: list[list[float]]) -> DataFrame:
-        cdf = spark.createDataFrame(
-            [(c, *centroids[c]) for c in range(len(centroids))],
-            "cell int, " + ", ".join(f"m{i} double" for i in range(dim)),
-        )
-        diff = [F.col(f"x{i}") - F.col(f"m{i}") for i in range(dim)]
-        dist = functools.reduce(operator.add, [d * d for d in diff])
-        return (
-            flat.crossJoin(F.broadcast(cdf))
-            .select(id_col, "cell", dist.alias("dist"))
-            .groupBy(id_col)
-            .agg(F.min(F.struct(F.col("dist"), F.col("cell"))).alias("m"))
-            .select(id_col, F.col("m.cell").alias("cell"))
-        )
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(dist_expr(c).alias("dist"), F.lit(i).alias("cell"))
+                    for i, c in enumerate(centroids)
+                ]
+            )
+        )["cell"]
+        return flat.select(id_col, "v", best.alias("cell"))
 
     for _ in range(iters):
-        assigned = assign(cents).join(flat, id_col)
-        mean_cols = [
-            F.round(
-                F.sum(F.round(F.col(f"x{i}"), 12).cast("decimal(22,12)")).cast(
-                    "double"
-                )
-                / F.count("*"),
-                12,
-            ).alias(f"m{i}")
-            for i in range(dim)
-        ]
-        rows = assigned.groupBy("cell").agg(*mean_cols).collect()
-        new = {r["cell"]: [float(r[f"m{i}"]) for i in range(dim)] for r in rows}
+        rows = (
+            assign(cents)
+            .select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.round(F.col("x"), 12).cast("decimal(22,12)")).cast(
+                        "double"
+                    )
+                    / F.count("*"),
+                    12,
+                ).alias("m")
+            )
+            .collect()
+        )
+        new: dict[int, list[float]] = {}
+        for r in rows:
+            new.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = float(r["m"])
         # Empty cells keep their previous centroid (deterministic, and
         # what the SQL replay's left-join-coalesce mirrors).
         cents = [new.get(c, cents[c]) for c in range(k)]
-    return assign(cents)
+    return assign(cents).select(id_col, "cell")
 
 
 def ivfpq_topk(

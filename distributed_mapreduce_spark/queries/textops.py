@@ -808,9 +808,17 @@ def dedup_q12_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     list, orders of magnitude below corpus size, and skew is bounded
     because max_df caps any document's degree."""
     docs = widen(table(spark, sf_dir, "documents"))
-    e = jaccard_pairs(
-        doc_shingles(docs, max_df=MAX_SHINGLE_DF), NEAR_DUP_JACCARD
-    ).select("id_i", "id_j")
+    # Materialize the edge list ONCE before the 3-way self-join (the
+    # connected_components discipline): the triangle joins reference
+    # it three times on three different keys, and only a checkpoint
+    # guarantees the expensive pair-generation subtree executes once
+    # rather than relying on exchange reuse across differently-keyed
+    # consumers (shadow floor pass r7).
+    e = (
+        jaccard_pairs(doc_shingles(docs, max_df=MAX_SHINGLE_DF), NEAR_DUP_JACCARD)
+        .select("id_i", "id_j")
+        .localCheckpoint()
+    )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.id_j") == F.col("e2.id_i"))

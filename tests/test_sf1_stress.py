@@ -1,9 +1,21 @@
-"""Opt-in sf1 stress smoke for the two deliberately-superlinear
-queries (VERDICT r2 item 8 / r3 item 3): runs `dedup_q3_ngram_jaccard`
-(df-bounded quadratic shingle self-join) and
-`dedup_q6_embedding_cosine` (grid-scheduled exact all-pairs) at 10×
-the bench scale, under recorded wall-clock budgets — catches
-scaling-constant regressions before a real 100× corpus would.
+"""Opt-in sf1 stress smoke (VERDICT r2 item 8 / r3 item 3, widened
+r7 per VERDICT r6 #3): runs the scale-critical queries at 10× the
+bench scale under recorded wall-clock budgets — catches
+scaling-constant and complexity-class regressions before a real 100×
+corpus would. The matrix:
+
+- `dedup_q3_ngram_jaccard` — df-bounded quadratic shingle self-join
+- `dedup_q6_embedding_cosine` — grid-scheduled exact all-pairs
+- `dedup_q4_minhash_lsh` — banded LSH bucket join (the 100 TB dedup
+  shape; must stay ~linear, never degrade to all-pairs)
+- `dedup_q7_clusters` / `dedup_q13_pagerank` — iterative connected
+  components / PageRank (lineage localCheckpointed since r6: rounds
+  must scale with data, not re-execute upstream pair-gen per
+  iteration)
+- `sim_q6_kmeans_census` — Lloyd iterations over a persisted
+  training set
+- `pack_q1_greedy` — per-stratum sequential packing fold on the
+  Arrow lane
 
 Not part of the default suite (minutes of wall-clock): run with
 
@@ -58,6 +70,17 @@ REPLICAS = 10
 # complexity-class regressions, not host noise.
 BUDGET_Q3_S = 300
 BUDGET_Q6_S = 600
+# r7 additions — measured on this host (quiet, local[32]); budgets
+# ~10× the worst measurement across run orderings (the first test in
+# a session absorbs engine warm-up, so each query's worst includes a
+# first-position run): dedup_q4 9.4–26.8 s, dedup_q7 8.5–21.6 s,
+# dedup_q13 11.8–14.6 s, sim_q6 9.0 s (array-native kmeans),
+# pack_q1 1.9 s. Scaling reads in SCALE.md's stress table.
+BUDGET_Q4_S = 300
+BUDGET_Q7_S = 220
+BUDGET_Q13_S = 150
+BUDGET_SIMQ6_S = 100
+BUDGET_PACK_S = 60
 
 
 @pytest.fixture(scope="module")
@@ -116,9 +139,13 @@ def stress_spark():
     spark.stop()
 
 
-def _timed(name: str, df) -> float:
+def _timed(name: str, make_df) -> float:
+    """Time construction AND execution: iterative operators (CC,
+    PageRank, k-means, BPE) do their work EAGERLY inside the query
+    call (localCheckpoint / driver folds), so timing only the final
+    action of a pre-built DataFrame would miss almost all of it."""
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    make_df().write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
     print(f"\n  [sf1 stress] {name}: {dt:.1f}s")
     return dt
@@ -127,7 +154,7 @@ def _timed(name: str, df) -> float:
 def test_sf1_dedup_q3_ngram_jaccard(stress_spark, sf1_dir):
     from distributed_mapreduce_spark.queries.textops import dedup_q3_ngram_jaccard
 
-    dt = _timed("dedup_q3_ngram_jaccard", dedup_q3_ngram_jaccard(stress_spark, sf1_dir))
+    dt = _timed("dedup_q3_ngram_jaccard", lambda: dedup_q3_ngram_jaccard(stress_spark, sf1_dir))
     assert dt < BUDGET_Q3_S, (
         f"dedup_q3 took {dt:.0f}s at sf1 (budget {BUDGET_Q3_S}s) — "
         "check the MAX_SHINGLE_DF skew guard still bounds the self-join"
@@ -138,9 +165,61 @@ def test_sf1_dedup_q6_embedding_cosine(stress_spark, sf1_dir):
     from distributed_mapreduce_spark.queries.simops import dedup_q6_embedding_cosine
 
     dt = _timed(
-        "dedup_q6_embedding_cosine", dedup_q6_embedding_cosine(stress_spark, sf1_dir)
+        "dedup_q6_embedding_cosine",
+        lambda: dedup_q6_embedding_cosine(stress_spark, sf1_dir),
     )
     assert dt < BUDGET_Q6_S, (
         f"dedup_q6 took {dt:.0f}s at sf1 (budget {BUDGET_Q6_S}s) — "
         "check the upper-triangle grid still scores each pair exactly once"
+    )
+
+
+def test_sf1_dedup_q4_minhash_lsh(stress_spark, sf1_dir):
+    from distributed_mapreduce_spark.queries.textops import dedup_q4_minhash_lsh
+
+    dt = _timed("dedup_q4_minhash_lsh", lambda: dedup_q4_minhash_lsh(stress_spark, sf1_dir))
+    assert dt < BUDGET_Q4_S, (
+        f"dedup_q4 took {dt:.0f}s at sf1 (budget {BUDGET_Q4_S}s) — "
+        "check banding still bounds the bucket join (never all-pairs)"
+    )
+
+
+def test_sf1_dedup_q7_clusters(stress_spark, sf1_dir):
+    from distributed_mapreduce_spark.queries.textops import dedup_q7_clusters
+
+    dt = _timed("dedup_q7_clusters", lambda: dedup_q7_clusters(stress_spark, sf1_dir))
+    assert dt < BUDGET_Q7_S, (
+        f"dedup_q7 took {dt:.0f}s at sf1 (budget {BUDGET_Q7_S}s) — "
+        "check CC iterations aren't re-executing pair generation "
+        "(edge list must stay localCheckpointed before the loop)"
+    )
+
+
+def test_sf1_dedup_q13_pagerank(stress_spark, sf1_dir):
+    from distributed_mapreduce_spark.queries.textops import dedup_q13_pagerank
+
+    dt = _timed("dedup_q13_pagerank", lambda: dedup_q13_pagerank(stress_spark, sf1_dir))
+    assert dt < BUDGET_Q13_S, (
+        f"dedup_q13 took {dt:.0f}s at sf1 (budget {BUDGET_Q13_S}s) — "
+        "check the symmetrized edge list is checkpointed before iterating"
+    )
+
+
+def test_sf1_sim_q6_kmeans(stress_spark, sf1_dir):
+    from distributed_mapreduce_spark.queries.simops import sim_q6_kmeans_census
+
+    dt = _timed("sim_q6_kmeans_census", lambda: sim_q6_kmeans_census(stress_spark, sf1_dir))
+    assert dt < BUDGET_SIMQ6_S, (
+        f"sim_q6 took {dt:.0f}s at sf1 (budget {BUDGET_SIMQ6_S}s) — "
+        "check the flattened training set stays persisted across Lloyd steps"
+    )
+
+
+def test_sf1_pack_q1_greedy(stress_spark, sf1_dir):
+    from distributed_mapreduce_spark.queries.pipeline_queries import pack_q1_greedy
+
+    dt = _timed("pack_q1_greedy", lambda: pack_q1_greedy(stress_spark, sf1_dir))
+    assert dt < BUDGET_PACK_S, (
+        f"pack_q1 took {dt:.0f}s at sf1 (budget {BUDGET_PACK_S}s) — "
+        "check packing is still one Arrow-lane pass per stratum"
     )
