@@ -33,6 +33,11 @@ Not part of the default suite (a full standalone cluster per run; the
 session-scoped `spark` fixture would collide):
 
     DMR_LOCAL_CLUSTER=1 python -m pytest tests/test_local_cluster.py -v
+
+`DMR_LOCAL_CLUSTER_FULL=1` widens the run to EVERY oracle-backed query
+in both tiers (all 101) — the strongest single claim the container can
+make about the 100×-scale story: the entire query surface passes
+value-exact parity under real multi-process serialization.
 """
 
 from __future__ import annotations
@@ -69,6 +74,14 @@ SMOKE_SET = {
 }
 
 
+def _param_names() -> list[str]:
+    if os.environ.get("DMR_LOCAL_CLUSTER_FULL") != "1":
+        return sorted(SMOKE_SET)
+    from distributed_mapreduce_spark.registry import all_oracles, shadow_oracles
+
+    return sorted(all_oracles()) + sorted(shadow_oracles())
+
+
 @pytest.fixture(scope="module")
 def cluster_spark():
     from pyspark.sql import SparkSession
@@ -97,12 +110,12 @@ def _lookup(name: str):
         shadow_queries,
     )
 
-    if SMOKE_SET[name] == "registered":
+    if name in all_queries():
         return all_queries()[name], all_oracles().get(name)
     return shadow_queries()[name], shadow_oracles().get(name)
 
 
-@pytest.mark.parametrize("name", sorted(SMOKE_SET))
+@pytest.mark.parametrize("name", _param_names())
 def test_query_on_local_cluster(cluster_spark, name):
     """Same DuckDB parity gate as test_oracle_parity, but with real
     executor processes: a pass means the query's closures, broadcasts,
