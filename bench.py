@@ -389,23 +389,25 @@ def main() -> int:
             t0 = time.perf_counter()
             force(queries[name](spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
-        # Operators that persist() intermediates (jaccard/minhash/
-        # simhash) would otherwise accumulate cached blocks across
-        # passes — every pass must run against the same storage state.
-        spark.catalog.clearCache()
-        # localCheckpoint blocks (iterative operators: connected
-        # components, PageRank, k-means, BPE) are RDD-level storage
-        # that catalog.clearCache — SQL cache only — never frees;
-        # left alone they accumulate across passes into executor
-        # memory pressure that inflates later passes (observed in the
-        # first shadow run: ev_q13 4.4→11.2→25.2 s across 3 quiet
-        # passes; probe showed orphan persistent RDDs surviving
-        # clearCache). Every pass rebuilds its own checkpoints, so
-        # the orphans are safe to drop.
-        for jrdd in list(
-            spark.sparkContext._jsc.getPersistentRDDs().values()
-        ):
-            jrdd.unpersist(False)
+            # Per-QUERY storage hygiene (was per-pass until r7):
+            # operators that persist() intermediates (jaccard/minhash/
+            # simhash/contam/kmeans) and iterative operators that
+            # localCheckpoint (CC, PageRank, BPE — RDD-level storage
+            # catalog.clearCache never frees; observed r6: ev_q13
+            # 4.4→11.2→25.2 s across passes from orphan blocks)
+            # would otherwise tax every LATER query in the pass with
+            # their storage: adding one more persisting query to the
+            # tier measurably inflated unrelated Arrow-lane queries
+            # downstream of it (observed r7: dedup_q15's persisted
+            # shingle expansion took ev_q13 from ~1.1 s to ~3.2 s on
+            # every pass). Each query is independent, so each timed
+            # sample now runs against a clean storage state — the
+            # same state its floor was recorded against.
+            spark.catalog.clearCache()
+            for jrdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                jrdd.unpersist(False)
         # Re-probe AFTER the pass and OR it into the quietness label: a
         # tenant that arrived mid-pass inflates the samples even though
         # the pre-pass probe was quiet, and quiet_floor.py's merge
@@ -473,7 +475,7 @@ def main() -> int:
         # and cross-round judges see warm-up trajectories and which
         # pass the min came from, without re-running.
         "samples": {n: [round(s, 3) for s in v] for n, v in sorted(samples.items())},
-        "methodology": "min over cold interleaved passes (clearCache between passes); load-gated passes (ext_busy_cores threshold %.1f)"
+        "methodology": "min over cold interleaved passes (clearCache + orphan-RDD unpersist after every query); load-gated passes (ext_busy_cores threshold %.1f)"
         % threshold,
     }
     print(json.dumps(full))

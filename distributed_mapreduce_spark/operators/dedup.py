@@ -152,25 +152,39 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float) -> DataFrame:
 # --- tier 4: MinHash + LSH --------------------------------------------------
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
+def minhash_signatures(
+    sh: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """k-permutation MinHash signature per document: permutation i is
-    xxhash64(seed=i, shingle) — JVM-side, one aggregation, no UDF."""
+    xxhash64(seed=i, shingle) — JVM-side, one aggregation, no UDF.
+    `carry` forwards per-document columns (functionally dependent on
+    id — the doc_shingles carry contract) through the aggregation via
+    first(), so a caller tagging documents (e.g. the incremental
+    batch flag) signs the corpus in ONE aggregation instead of one
+    per subset."""
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    agg = sh.groupBy("id").agg(*mins)
-    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    extra = [F.first(c).alias(c) for c in carry]
+    agg = sh.groupBy("id").agg(*mins, *extra)
+    return agg.select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"), *carry
+    )
 
 
-def lsh_candidate_pairs(
+def band_rows(
     sig: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS
 ) -> DataFrame:
-    """Band the signature (b bands × r rows), bucket-join on
-    (band, hash-of-rows): a pair is a candidate iff some band agrees on
-    all r minhashes. Never materializes the full pair space."""
+    """(id, band, bucket) rows of a banded signature (b bands × r
+    minhashes, bucket = xxhash64 of the band's rows). This IS the
+    serving-side LSH index: at scale it is written out partitioned (or
+    bucketed) by (band, bucket), so probing a new batch is a
+    co-located equi join that touches only colliding buckets."""
     r = num_hashes // bands
-    band_rows = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -186,8 +200,17 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """Band the signature (b bands × r rows), bucket-join on
+    (band, hash-of-rows): a pair is a candidate iff some band agrees on
+    all r minhashes. Never materializes the full pair space."""
+    br = band_rows(sig, num_hashes, bands)
+    a = br.alias("a")
+    b = br.alias("b")
     return (
         a.join(
             b,
@@ -200,18 +223,14 @@ def lsh_candidate_pairs(
     )
 
 
-def minhash_near_dup_pairs(
-    docs: DataFrame,
-    min_jaccard: float = 0.5,
-    num_hashes: int = DEFAULT_NUM_HASHES,
-    bands: int = DEFAULT_BANDS,
-    max_df: int | None = None,
+def verify_jaccard_pairs(
+    sh: DataFrame, cands: DataFrame, min_jaccard: float
 ) -> DataFrame:
-    """The composed scale path: LSH candidates, exact-verified.
-    Output ⊆ jaccard_pairs(...) with recall governed by the (k, b)
-    s-curve — the test suite asserts recall against the exact tier."""
-    sh = doc_shingles(docs, max_df=max_df).persist()  # feeds sigs + verify + sizes
-    cands = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, bands)
+    """Exact-jaccard verification of CANDIDATE pairs only: intersection
+    from a shingle join constrained to (id_i, id_j) ∈ cands, union via
+    |A|+|B|−|A∩B|. Cost ∝ candidate pairs × shingles-per-doc — the
+    quadratic tier runs only where LSH (or any other candidate
+    generator) says it must."""
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a")
@@ -235,6 +254,82 @@ def minhash_near_dup_pairs(
         )
         .where(F.col("jaccard") >= min_jaccard)
     )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    min_jaccard: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    max_df: int | None = None,
+) -> DataFrame:
+    """The composed scale path: LSH candidates, exact-verified.
+    Output ⊆ jaccard_pairs(...) with recall governed by the (k, b)
+    s-curve — the test suite asserts recall against the exact tier."""
+    sh = doc_shingles(docs, max_df=max_df).persist()  # feeds sigs + verify + sizes
+    cands = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, bands)
+    return verify_jaccard_pairs(sh, cands, min_jaccard)
+
+
+def incremental_minhash_pairs(
+    sh: DataFrame,
+    new_col: str = "is_new",
+    min_jaccard: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Incremental near-dup detection — the way 100 TB dedup actually
+    runs: data arrives in batches, and each batch probes a MAINTAINED
+    LSH index instead of re-minhashing the corpus. `sh` is the tagged
+    (id, shingle, new_col) expansion (doc_shingles with a carry flag):
+    new_col=true marks the incoming batch, false the existing store.
+    Returns exactly the near-dup pairs (jaccard ≥ min_jaccard, exact-
+    verified) that TOUCH the batch — batch↔store and batch-internal;
+    store-internal pairs were found when those docs themselves arrived.
+
+    Candidate generation is two bounded probes, never corpus-shaped:
+    batch band-rows ⋈ store band-rows on (band, bucket) — at scale the
+    store side is the persisted band_rows() index, bucketed by
+    (band, bucket), so this is a co-located join touching only
+    colliding buckets — plus lsh_candidate_pairs within the batch
+    alone. Exact verification joins shingles only for candidate ids
+    (at scale: a semi-join fetch from the shingle store, the dedup_q8
+    fingerprint-store read pattern). Per-batch cost
+    ∝ batch size + collisions, independent of store size.
+
+    Store-maintenance contract (the fixture derives both sides from
+    one static table, so derivation here stands in for a store scan):
+    after the batch commits, append its band rows and shingles to the
+    stores; the max_df skew guard is the maintained GLOBAL document
+    frequency — a per-shingle count the store updates per batch, which
+    is why `sh` carries one corpus-wide guard rather than per-subset
+    ones. Orientation: pairs canonicalize to id_i < id_j regardless of
+    which side is new."""
+    # ONE signature aggregation over the whole tagged expansion (the
+    # carry forwards the batch flag through the groupBy), then split —
+    # signing batch and store separately would re-aggregate the same
+    # persisted shingle table twice.
+    sig = minhash_signatures(sh, num_hashes, carry=(new_col,)).persist()
+    new_sig = sig.where(F.col(new_col)).select("id", "sig")
+    new_bands = band_rows(new_sig, num_hashes, bands)
+    store_bands = band_rows(
+        sig.where(~F.col(new_col)).select("id", "sig"), num_hashes, bands
+    )
+    cross = (
+        new_bands.alias("a")
+        .join(
+            store_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_i"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_j"),
+        )
+    )
+    internal = lsh_candidate_pairs(new_sig, num_hashes, bands)
+    cands = cross.unionByName(internal).distinct()
+    return verify_jaccard_pairs(sh.select("id", "shingle"), cands, min_jaccard)
 
 
 # --- tier 5: SimHash --------------------------------------------------------

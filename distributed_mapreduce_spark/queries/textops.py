@@ -1065,6 +1065,40 @@ QUERIES = {
 
 # Registered tier is at the 50-row grading cap — new additions land in
 # the shadow tier (identical DuckDB parity in pytest, no driver row).
+def dedup_q15_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup — the batch-ingest form of
+    dedup_q4 (operators/dedup.incremental_minhash_pairs): the incoming
+    batch (doc_id % 5 = 0, the dedup_q8 convention) probes the
+    existing corpus's LSH band index and itself, and only the
+    candidates are exact-jaccard verified. Returns every near-dup pair
+    TOUCHING the batch (batch↔store and batch-internal; store-internal
+    pairs were found when those docs arrived).
+
+    Value-hash graded against the exact tier: the oracle is the
+    dedup_q3 pair SQL restricted to pairs touching the batch —
+    equality holds by the same exhaustive-recall banding argument as
+    dedup_q4 (every fixture pair sits far above the (32, 16) s-curve
+    knee).
+
+    Scale shape: per-batch cost ∝ batch size + bucket collisions,
+    independent of store size — the store-side band rows and shingles
+    are maintained artifacts appended per batch (the fixture derives
+    them in-query because the corpus is static; see the operator's
+    store-maintenance contract), and the global max_df skew guard is
+    the maintained per-shingle document-frequency count."""
+    from distributed_mapreduce_spark.operators.dedup import incremental_minhash_pairs
+
+    docs = widen(table(spark, sf_dir, "documents"))
+    sh = doc_shingles(
+        docs,
+        max_df=MAX_SHINGLE_DF,
+        carry=((F.pmod("doc_id", F.lit(5)) == 0).alias("is_new"),),
+    ).persist()
+    return incremental_minhash_pairs(
+        sh, "is_new", NEAR_DUP_JACCARD, bands=MINHASH_BANDS
+    )
+
+
 SHADOW_QUERIES = {
     "text_q7_repetition": text_q7_repetition,
     "text_q8_tfidf": text_q8_tfidf,
@@ -1078,6 +1112,7 @@ SHADOW_QUERIES = {
     "text_q13_dynamic_quality": text_q13_dynamic_quality,
     "dedup_q13_pagerank": dedup_q13_pagerank,
     "dedup_q14_edit_distance": dedup_q14_edit_distance,
+    "dedup_q15_incremental_lsh": dedup_q15_incremental_lsh,
 }
 
 # SPAN_N-gram concat expression for the dedup_q9 oracle (i is the
@@ -1223,6 +1258,15 @@ SHADOW_ORACLES = {
         FROM e
     """,
     "dedup_q13_pagerank": _pagerank_sql(),
+    # The exact pair graph restricted to pairs touching the incoming
+    # batch (doc_id % 5 = 0) — sound for the incremental LSH path by
+    # the dedup_q4 exhaustive-recall banding argument.
+    "dedup_q15_incremental_lsh": f"""
+        WITH pairs AS ({_Q3_PAIRS_SQL})
+        SELECT id_i, id_j, jaccard
+        FROM pairs
+        WHERE id_i % 5 = 0 OR id_j % 5 = 0
+    """,
     # Same pair graph; DuckDB's levenshtein is the same classic DP —
     # exact integer agreement.
     "dedup_q14_edit_distance": f"""

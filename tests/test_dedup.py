@@ -54,6 +54,51 @@ def test_minhash_lsh_recall_vs_exact(spark, docs):
     assert len(approx) >= 0.9 * len(exact), f"recall too low: {len(approx)}/{len(exact)}"
 
 
+def test_incremental_lsh_equals_full_restricted_to_batch(spark, docs):
+    """Incremental ingest probe: batch-vs-store + batch-internal LSH
+    candidates, exact-verified, must equal the FULL minhash pair set
+    restricted to pairs touching the batch — and never contain a
+    store-internal pair (those were found when their docs arrived)."""
+    from distributed_mapreduce_spark.operators.dedup import (
+        incremental_minhash_pairs,
+    )
+
+    sh = doc_shingles(
+        docs, carry=((F.pmod("doc_id", F.lit(5)) == 0).alias("is_new"),)
+    ).persist()
+    inc = {
+        (r.id_i, r.id_j, r.jaccard)
+        for r in incremental_minhash_pairs(sh, "is_new", 0.5).collect()
+    }
+    full = {
+        (r.id_i, r.id_j, r.jaccard)
+        for r in minhash_near_dup_pairs(docs, 0.5).collect()
+    }
+    touching = {p for p in full if p[0] % 5 == 0 or p[1] % 5 == 0}
+    assert inc == touching
+    assert all(i % 5 == 0 or j % 5 == 0 for i, j, _ in inc)
+    assert inc < full, "fixture must also contain store-internal pairs"
+
+
+def test_incremental_lsh_synthetic_store_pairs_excluded(spark):
+    """Hand fixture: identical docs 1≡2 (store), 5≡10 (batch),
+    15 (batch) ≡ 3 (store); only the pairs touching the batch come
+    back, the store-internal (1,2) does not."""
+    from distributed_mapreduce_spark.operators.dedup import (
+        incremental_minhash_pairs,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "one two three four five six seven eight"
+    rows = [(1, text), (2, text), (5, other), (10, other), (15, text), (3, text)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = doc_shingles(df, carry=((F.pmod("doc_id", F.lit(5)) == 0).alias("is_new"),))
+    got = {
+        (r.id_i, r.id_j) for r in incremental_minhash_pairs(sh, "is_new", 0.9).collect()
+    }
+    assert got == {(5, 10), (1, 15), (2, 15), (3, 15)}
+
+
 def test_lsh_candidates_bounded(spark, docs):
     """LSH must prune: candidate count ≪ full pair space (n·(n−1)/2)."""
     n = docs.count()
