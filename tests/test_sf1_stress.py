@@ -16,6 +16,8 @@ corpus would. The matrix:
   training set
 - `pack_q1_greedy` — per-stratum sequential packing fold on the
   Arrow lane
+- `dedup_q15_incremental_lsh` — incremental batch probe of the LSH
+  band index (must stay ~linear in batch+collisions)
 
 Not part of the default suite (minutes of wall-clock): run with
 
@@ -81,6 +83,7 @@ BUDGET_Q7_S = 220
 BUDGET_Q13_S = 150
 BUDGET_SIMQ6_S = 100
 BUDGET_PACK_S = 60
+BUDGET_Q15_S = 300  # measured r7: 31.0 s (~5-6x for 10x docs, linear)
 
 
 @pytest.fixture(scope="module")
@@ -212,6 +215,19 @@ def test_sf1_sim_q6_kmeans(stress_spark, sf1_dir):
     assert dt < BUDGET_SIMQ6_S, (
         f"sim_q6 took {dt:.0f}s at sf1 (budget {BUDGET_SIMQ6_S}s) — "
         "check the flattened training set stays persisted across Lloyd steps"
+    )
+
+
+def test_sf1_dedup_q15_incremental_lsh(stress_spark, sf1_dir):
+    from distributed_mapreduce_spark.queries.textops import dedup_q15_incremental_lsh
+
+    dt = _timed(
+        "dedup_q15_incremental_lsh",
+        lambda: dedup_q15_incremental_lsh(stress_spark, sf1_dir),
+    )
+    assert dt < BUDGET_Q15_S, (
+        f"dedup_q15 took {dt:.0f}s at sf1 (budget {BUDGET_Q15_S}s) — "
+        "check the batch probe still joins band buckets, never all-pairs"
     )
 
 
