@@ -106,9 +106,11 @@ def connected_components(
             list(zip(tbl.column("a").to_pylist(), tbl.column("b").to_pylist()))
         )
         return spark.createDataFrame(rows, "id bigint, component bigint")
-    sym = one.unionByName(
-        one.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    # Derived LAZILY from the checkpointed edge list: the union is a
+    # narrow 2× expansion whose lineage is already truncated at `one`,
+    # so a second checkpoint would only add 2E rows of write I/O on
+    # exactly the large-graph branch (code-review r7).
+    sym = one.unionByName(one.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()

@@ -188,7 +188,16 @@ def _committed_manifests(store_path: str, below: int | None = None) -> list[tupl
         v = int(p.name.split("=", 1)[1])
         if below is not None and v >= below:
             continue
-        out.append((v, json.loads(m.read_text())))
+        try:
+            manifest = json.loads(m.read_text())
+        except (OSError, ValueError):
+            # A torn/empty manifest (crash between file creation and
+            # data reaching disk) means the commit never landed —
+            # treat as uncommitted rather than bricking every reader
+            # and writer forever (code-review r7). Redelivery of that
+            # batch overwrites the whole version dir.
+            continue
+        out.append((v, manifest))
     return sorted(out)
 
 
@@ -276,8 +285,24 @@ def foreach_batch_cdc_merge_partitioned(
     elif init is not None:
         # Seed the base as committed version v=-1, partitioned;
         # touched = ALL buckets so every partition's baseline is
-        # defined (absent dir ⇒ genuinely empty).
-        init.withColumn("p", bucket(F.col(key))).write.mode(
+        # defined (absent dir ⇒ genuinely empty). The seed is CAST to
+        # the type each column will have after a merge (the common
+        # type of init and the change payload, per unionByName
+        # coercion): merge versions carry coerced types, and seed
+        # files persist for untouched buckets — written verbatim, a
+        # decimal init column next to a double merge column would make
+        # every later multi-version read fail on conflicting parquet
+        # physical types (code-review r7).
+        spark = init.sparkSession
+        tgt = (
+            spark.createDataFrame([], init.schema)
+            .unionByName(spark.createDataFrame([], changes.select(*init.columns).schema))
+            .schema
+        )
+        seed = init.select(
+            *[F.col(f.name).cast(f.dataType) for f in tgt.fields]
+        )
+        seed.withColumn("p", bucket(F.col(key))).write.mode(
             "overwrite"
         ).partitionBy("p").parquet(str(store / "v=-1"))
         _write_manifest(store / "v=-1", list(range(n_buckets)), n_buckets)
@@ -290,33 +315,41 @@ def foreach_batch_cdc_merge_partitioned(
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
-        # Partitions this batch touches: distinct buckets of the change
-        # keys — a bounded (≤ n_buckets) driver list, the
-        # operators/incremental.py affected-partition pattern.
-        touched = [
-            r.p for r in df.select(bucket(F.col(key)).alias("p")).distinct().collect()
-        ]
-        if not touched:
-            _write_manifest_for_empty(batch_id)
-            return
-        current = _current_partition_map(store_path, below=batch_id)
-        base_paths = [
-            str(store / f"v={current[p]}" / f"p={p}")
-            for p in touched
-            if p in current and (store / f"v={current[p]}" / f"p={p}").exists()
-        ]
-        if base_paths:
-            # Explicit leaf paths: partitions NOT in `base_paths` are
-            # never listed, opened, or scanned — the pruning that makes
-            # the batch cost ∝ touched bytes.
-            base = spark.read.parquet(*base_paths).select(*payload_cols)
-        else:
-            base = spark.createDataFrame([], df.select(*payload_cols).schema)
-        merged = merge_changes(base, df, key, ord_col, delete_col)
-        merged.withColumn("p", bucket(F.col(key))).write.mode(
-            "overwrite"
-        ).partitionBy("p").parquet(str(store / f"v={batch_id}"))
-        _write_manifest(store / f"v={batch_id}", touched, n_buckets)
+        # The batch feeds two actions (the touched-bucket probe below
+        # and the merge write) — persist so the change source is read
+        # once per micro-batch, not once per action (code-review r7).
+        df = df.persist()
+        try:
+            # Partitions this batch touches: distinct buckets of the
+            # change keys — a bounded (≤ n_buckets) driver list, the
+            # operators/incremental.py affected-partition pattern.
+            touched = [
+                r.p
+                for r in df.select(bucket(F.col(key)).alias("p")).distinct().collect()
+            ]
+            if not touched:
+                _write_manifest_for_empty(batch_id)
+                return
+            current = _current_partition_map(store_path, below=batch_id)
+            base_paths = [
+                str(store / f"v={current[p]}" / f"p={p}")
+                for p in touched
+                if p in current and (store / f"v={current[p]}" / f"p={p}").exists()
+            ]
+            if base_paths:
+                # Explicit leaf paths: partitions NOT in `base_paths`
+                # are never listed, opened, or scanned — the pruning
+                # that makes the batch cost ∝ touched bytes.
+                base = spark.read.parquet(*base_paths).select(*payload_cols)
+            else:
+                base = spark.createDataFrame([], df.select(*payload_cols).schema)
+            merged = merge_changes(base, df, key, ord_col, delete_col)
+            merged.withColumn("p", bucket(F.col(key))).write.mode(
+                "overwrite"
+            ).partitionBy("p").parquet(str(store / f"v={batch_id}"))
+            _write_manifest(store / f"v={batch_id}", touched, n_buckets)
+        finally:
+            df.unpersist()
 
     def _write_manifest_for_empty(batch_id: int) -> None:
         # an all-filtered batch still commits (empty touched set) so
@@ -341,9 +374,14 @@ def read_current_partitioned(spark, store_path: str) -> DataFrame:
     import pathlib
 
     store = pathlib.Path(store_path)
-    current = _current_partition_map(store_path)
-    if not current and not _committed_manifests(store_path):
+    # one manifest scan serves both the existence check and the map
+    manifests = _committed_manifests(store_path)
+    if not manifests:
         raise FileNotFoundError(f"no committed version under {store_path}")
+    current: dict[int, int] = {}
+    for v, manifest in manifests:
+        for p in manifest["touched"]:
+            current[p] = v
     paths = [
         str(store / f"v={v}" / f"p={p}")
         for p, v in current.items()
@@ -385,10 +423,14 @@ def vacuum_versions_partitioned(store_path: str, keep: int = 2) -> list[int]:
         for p in manifest["touched"]:
             history.setdefault(p, []).append(v)
     survivors = {v for versions in history.values() for v in versions[-keep:]}
-    # empty-touched commits newer than the oldest survivor stay (cheap,
-    # keeps the recent version sequence inspectable)
+    # The newest `keep` committed versions always survive — this is
+    # what bounds empty-touched commits (an upstream filter yielding
+    # endless empty batches would otherwise accumulate version dirs no
+    # vacuum ever reclaims, growing every manifest scan without bound;
+    # code-review r7). Older empty commits carry no partition state,
+    # so they are plain debris.
     newest = committed[-1][0]
-    survivors.update(v for v, m in committed if not m["touched"])
+    survivors.update(v for v, _ in committed[-keep:])
     deleted = []
     for p in store.glob("v=*"):
         v = int(p.name.split("=", 1)[1])

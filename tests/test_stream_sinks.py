@@ -476,6 +476,93 @@ def test_streaming_cdc_partitioned_rewrites_only_touched(spark, tmp_path):
     assert got == {ka: 9.0, kc: 3.0}
 
 
+def test_streaming_cdc_partitioned_type_widening_and_torn_manifest(spark, tmp_path):
+    """code-review r7 regressions: (a) a seed whose column types are
+    narrower than the change stream's (decimal init vs double changes)
+    must be coerced at seed time — untouched buckets keep their v=-1
+    files forever, and mixed physical types would break every
+    multi-version read; (b) a torn (empty) _touched.json is treated as
+    uncommitted, not a permanent JSONDecodeError."""
+    import pathlib as _pl
+
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.streaming import event_stream
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_cdc_merge_partitioned,
+        read_current_partitioned,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    chunk(str(src / "c1.parquet"), [100], time.time())  # user_id=1, value=1.0
+    init = spark.createDataFrame([(1, 99.0), (7, 70.0)], "k bigint, v double").select(
+        "k", F.col("v").cast("decimal(15,2)").alias("v")
+    )
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    q = foreach_batch_cdc_merge_partitioned(
+        _cdc_to_changes(event_stream(spark, str(src))),
+        store,
+        ckpt,
+        "k",
+        n_buckets=4,
+        init=init,
+    )
+    q.awaitTermination()
+    # all buckets (touched by the batch or still on the v=-1 seed)
+    # read together under one coerced type
+    got = {r.k: float(r.v) for r in read_current_partitioned(spark, store).collect()}
+    assert got == {1: 1.0, 7: 70.0}
+
+    # torn manifest: a version dir with an EMPTY _touched.json is
+    # invisible, and the snapshot still reads
+    torn = _pl.Path(store) / "v=50"
+    torn.mkdir()
+    (torn / "_touched.json").write_text("")
+    assert {
+        r.k: float(r.v) for r in read_current_partitioned(spark, store).collect()
+    } == got
+
+
+def test_vacuum_versions_partitioned_reclaims_empty_commits(spark, tmp_path):
+    """code-review r7: empty-touched commits older than the newest
+    `keep` versions are debris — a stream of empty batches must not
+    accumulate version dirs forever."""
+    import json as _json
+    import pathlib as _pl
+
+    from distributed_mapreduce_spark.streaming import event_stream
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_cdc_merge_partitioned,
+        read_current_partitioned,
+        vacuum_versions_partitioned,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    chunk(str(src / "c1.parquet"), [1], time.time())
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    q = foreach_batch_cdc_merge_partitioned(
+        _cdc_to_changes(event_stream(spark, str(src))), store, ckpt, "k", n_buckets=4
+    )
+    q.awaitTermination()
+    # simulate a run of committed empty batches
+    for v in range(1, 6):
+        d = _pl.Path(store) / f"v={v}"
+        d.mkdir()
+        (d / "_touched.json").write_text(
+            _json.dumps({"touched": [], "n_buckets": 4})
+        )
+    before = {r.k: r.v for r in read_current_partitioned(spark, store).collect()}
+    deleted = vacuum_versions_partitioned(store, keep=2)
+    # v=0 holds the only data; newest two commits (4, 5) survive; the
+    # older empty commits (1, 2, 3) are reclaimed
+    assert deleted == [1, 2, 3]
+    left = sorted(int(p.name.split("=", 1)[1]) for p in _pl.Path(store).glob("v=*"))
+    assert 0 in left and 4 in left and 5 in left
+    assert {r.k: r.v for r in read_current_partitioned(spark, store).collect()} == before
+
+
 def test_vacuum_versions_partitioned(spark, tmp_path):
     """Partition-scoped vacuum: versions still holding some
     partition's live (or redelivery-window) state survive; fully
