@@ -71,6 +71,7 @@ SMOKE_SET = {
     "st_q9_cdc_upsert": "shadow",
     "ml_q1_scaling_fit": "shadow",
     "dedup_q10_source_overlap": "shadow",
+    "dedup_q15_incremental_lsh": "shadow",  # two-sided band probe + carry agg
 }
 
 
