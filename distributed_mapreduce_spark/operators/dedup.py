@@ -94,8 +94,18 @@ def doc_shingles(
         *carry,
     ).distinct()
     if max_df is not None:
-        rare = sh.groupBy("shingle").count().where(F.col("count") <= max_df)
-        sh = sh.join(rare.select("shingle"), "shingle", "left_semi")
+        # Drop HOT shingles via a broadcast ANTI join rather than
+        # keeping rare ones via a shuffle semi join (r7): the two are
+        # the same predicate (df ≤ max_df ⟺ not hot), but the hot set
+        # is SMALL by construction — at most total-occurrences/max_df
+        # shingles can exceed the bound, and in natural text it is the
+        # handful of stopword runs — so it broadcasts, and the big
+        # expansion side never reshuffles on shingle for the guard.
+        # (The df-count aggregation still shuffles once; that pass is
+        # irreducible.) The DuckDB oracles keep their HAVING ≤ form —
+        # semantics identical.
+        hot = sh.groupBy("shingle").count().where(F.col("count") > max_df)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     return sh
 
 
