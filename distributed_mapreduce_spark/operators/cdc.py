@@ -59,9 +59,10 @@ def merge_changes(
     `ord` order (true of a CDC log read in offset order, Spark's file
     and Kafka sources included). Under out-of-order cross-batch
     redelivery a stale change would overwrite a newer row. If the feed
-    cannot guarantee per-key order, persist `ord` in the snapshot and
-    gate the replace on `change.ord >= base.ord` — a one-column cost
-    this operator deliberately avoids for ordered feeds."""
+    cannot guarantee per-key order, use merge_changes_ordered below —
+    it persists `ord` in the snapshot and gates the replace on
+    `change.ord >= base.ord`, a one-column + one-narrow-scan cost this
+    operator deliberately avoids for ordered feeds."""
     payload = [c for c in base.columns if c != key]
     # One max_by over the whole change row as a struct: the winning
     # (delete flag, payload...) is picked atomically from the single
@@ -77,3 +78,83 @@ def merge_changes(
         F.col(delete_col).isNull() | (F.col(delete_col) == 0)
     ).select(key, *payload)
     return survivors.select(key, *payload).unionByName(upserts)
+
+
+def merge_changes_ordered(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    ord_col: str = "ord",
+    delete_col: str = "is_delete",
+) -> DataFrame:
+    """MERGE for feeds WITHOUT merge_changes' cross-batch per-key
+    ordering guarantee: the snapshot persists each key's last-applied
+    `ord_col` AND delete TOMBSTONES, and a batch winner applies only
+    when its ord is >= the stored one — a stale (out-of-order or
+    redelivered) change is a no-op instead of an overwrite. Given
+    per-key-unique ords (the operator's stated precondition: a log
+    offset, never a wall clock), applying any partition of a change
+    set in ANY batch order converges to the same snapshot — per key,
+    the max-ord change overall (a last-writer-wins register;
+    ✓property-tested under random batch permutations in
+    tests/test_cdc_ordered.py).
+
+    Tombstones are load-bearing, not bookkeeping: dropping a deleted
+    key's row (as merge_changes does) would drop its ord watermark,
+    and a stale upsert redelivered AFTER the newer delete would
+    resurrect the key. So a winning delete keeps its row with
+    `delete_col`=1 and NULL payload; live rows carry `delete_col`=0.
+    Readers filter `delete_col == 0`. Tombstones accumulate one row
+    per deleted key — reclaim them once no stale delivery can still
+    arrive (a retention horizon, the same contract as Cassandra's
+    gc_grace_seconds or Delta's deleted-file retention).
+
+    `base` schema = (key, payload..., ord_col, delete_col); rows
+    seeded from a non-CDC source may carry NULL ord, meaning
+    replaceable by any change. Returns the same schema: survivors
+    (including surviving tombstones) keep their stored ord, applied
+    winners carry theirs.
+
+    Scale shape — two base passes, NEITHER shuffles (plan-asserted):
+      1. a key+ord-ONLY probe scan (column-pruned to two columns at the
+         parquet reader) broadcast-semi-joined against the winner keys,
+         yielding the ≤|batch-keys| stored ords the gate needs;
+      2. merge_changes' own shape: LEFT ANTI broadcast(applied keys)
+         + union of the applied winners (upserts and tombstones).
+    The applicability gate joins two batch-sized tables driver-free.
+    The narrow extra scan is the price of order-independence; feeds
+    that ARE delivered in per-key ord order should keep merge_changes
+    (one pass, no stored ord or tombstones)."""
+    payload = [c for c in base.columns if c not in (key, ord_col, delete_col)]
+    winner = (
+        changes.groupBy(key)
+        .agg(
+            F.max_by(F.struct(ord_col, delete_col, *payload), F.col(ord_col)).alias(
+                "_w"
+            )
+        )
+        .select(key, "_w.*")
+    )
+    # Stored ords for exactly the winner keys: reads two columns of
+    # the base (tombstones included — that is the point), never the
+    # payload.
+    base_ords = (
+        base.select(key, ord_col)
+        .join(F.broadcast(winner.select(key)), key, "left_semi")
+        .withColumnRenamed(ord_col, "_base_ord")
+    )
+    # The gate: winner keys missing from base (NULL _base_ord) are
+    # inserts and always apply; a NULL stored ord is likewise open.
+    applied = winner.join(F.broadcast(base_ords), key, "left").where(
+        F.col("_base_ord").isNull() | (F.col(ord_col) >= F.col("_base_ord"))
+    )
+    survivors = base.join(F.broadcast(applied.select(key)), key, "left_anti")
+    tomb = F.coalesce(F.col(delete_col).cast("int") != 0, F.lit(False))
+    out = applied.select(
+        key,
+        # a tombstone's payload is NULLed — it is a watermark, not data
+        *[F.when(~tomb, F.col(c)).alias(c) for c in payload],
+        F.col(ord_col),
+        tomb.cast("int").alias(delete_col),
+    )
+    return survivors.select(key, *payload, ord_col, delete_col).unionByName(out)

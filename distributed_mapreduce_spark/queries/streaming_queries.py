@@ -360,18 +360,87 @@ def st_q9_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_current_partitioned(spark, f"{store}/t")
 
 
+def st_q10_cdc_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-INDEPENDENT streaming MERGE
+    (foreach_batch_cdc_merge_partitioned with ordered=True →
+    operators/cdc.merge_changes_ordered): the st_q9 change feed but
+    with the change order INVERTED (ord = -event_id), so the replay
+    delivers each key's changes in mostly-DESCENDING ord — every batch
+    after a key's first sighting carries stale, out-of-order changes.
+    The ordered sink persists each key's last-applied ord in the
+    snapshot and gates replacement on `change.ord >= stored.ord`, so
+    stale deliveries are no-ops and the final snapshot equals the
+    one-shot argmax(-event_id) MERGE regardless of batch boundaries OR
+    delivery order — that one-shot SQL is the graded oracle. The
+    unordered st_q9 sink on this same feed would instead keep the
+    latest-DELIVERED change per key (wrong under the oracle;
+    ✓negative-tested in test_cdc_ordered.py) — this query grades
+    exactly the property merge_changes cannot provide.
+
+    Scale shape per batch: st_q9's partition-scoped cost model plus
+    one key+ord-only probe scan of the touched buckets (column-pruned
+    to two columns); the base payload still never shuffles."""
+    import atexit as _atexit
+    import shutil as _shutil
+
+    from distributed_mapreduce_spark.streaming.replay import ephemeral_dir
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_cdc_merge_partitioned,
+        read_current_partitioned,
+    )
+
+    chunks = _staged(sf_dir)
+    init = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    store = ephemeral_dir("dmr_cdc_ord_store_")
+    ckpt = ephemeral_dir("dmr_cdc_ord_ckpt_")
+    _atexit.register(_shutil.rmtree, store, ignore_errors=True)
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        changes = event_stream(spark, chunks).select(
+            (F.col("user_id") + 1).alias("c_custkey"),
+            (-F.col("event_id")).alias("ord"),
+            (F.col("event_type") == "error").cast("int").alias("is_delete"),
+            F.upper("event_type").alias("c_mktsegment"),
+            F.col("value").alias("c_acctbal"),
+        )
+        q = foreach_batch_cdc_merge_partitioned(
+            changes, f"{store}/t", ckpt, "c_custkey", n_buckets=8, init=init,
+            ordered=True,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        _shutil.rmtree(ckpt, ignore_errors=True)
+    # the snapshot's persisted ord and delete tombstones are
+    # maintenance state, not payload: readers filter tombstones out
+    # (they exist to stop stale-upsert resurrection of deleted keys —
+    # see merge_changes_ordered) and drop the watermark column
+    return (
+        read_current_partitioned(spark, f"{store}/t")
+        .where(F.col("is_delete") == 0)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+
+
 # Sliding windows are tumbling windows with an overlap factor (same
 # state-store machinery, each event lands in duration/slide windows) —
 # shadow tier behind st_q1 (registry.py grading cap). The stream-static
 # join is shadow behind the stream-stream st_q6; the outer interval
 # join is shadow behind st_q6 as well (same state machinery + timeout
 # emission). The streaming MERGE is shadow behind its batch twin
-# rel_q18 (identical oracle — see st_q9's invariance argument).
+# rel_q18 (identical oracle — see st_q9's invariance argument); the
+# ordered MERGE is shadow behind st_q9 (same sink machinery + the
+# ord-persisting gate).
 SHADOW_QUERIES = {
     "st_q2_sliding": st_q2_sliding,
     "st_q7_stream_static_enrich": st_q7_stream_static_enrich,
     "st_q8_click_purchase_outer": st_q8_click_purchase_outer,
     "st_q9_cdc_upsert": st_q9_cdc_upsert,
+    "st_q10_cdc_ordered": st_q10_cdc_ordered,
 }
 
 def _st_q9_oracle() -> str:
@@ -383,8 +452,19 @@ def _st_q9_oracle() -> str:
     return _SQL["rel_q18_cdc_merge"]
 
 
+def _st_q10_oracle() -> str:
+    # rel_q18's one-shot MERGE SQL with the change order inverted
+    # (ord = -event_id): the one-shot winner-per-key form is
+    # delivery-order independent by construction, which is precisely
+    # the property the ordered sink is graded on.
+    sql = _st_q9_oracle().replace("event_id AS ord", "-event_id AS ord")
+    assert sql != _st_q9_oracle(), "rel_q18 oracle changed shape; fix the rewrite"
+    return sql
+
+
 SHADOW_ORACLES = {
     "st_q9_cdc_upsert": _st_q9_oracle(),
+    "st_q10_cdc_ordered": _st_q10_oracle(),
     # Matched rows = the batch interval join (same as st_q6); null
     # rows = clicks with no in-window purchase whose window closed
     # before the final global watermark (min over the two sides' max

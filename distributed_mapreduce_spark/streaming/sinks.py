@@ -155,13 +155,16 @@ def foreach_batch_cdc_merge(
     )
 
 
-def _write_manifest(version_dir, touched: list[int], n_buckets: int) -> None:
+def _write_manifest(
+    version_dir, touched: list[int], n_buckets: int, ordered: bool = False
+) -> None:
     """Atomic commit marker for a partition-scoped CDC version: a
     driver-written `_touched.json` via temp+rename — the reference's
     own atomic-commit pattern (worker.go:184-198) at the version
     level. Lists the partition values this batch rewrote (including
     ones it emptied: touched-but-absent-as-dir means EMPTY, not
-    unknown)."""
+    unknown) plus the store invariants (n_buckets routing, ordered
+    snapshot schema) later writers must match."""
     import json
     import os
     import pathlib
@@ -169,7 +172,9 @@ def _write_manifest(version_dir, touched: list[int], n_buckets: int) -> None:
     version_dir = pathlib.Path(version_dir)
     tmp = version_dir / "_touched.json.tmp"
     tmp.write_text(
-        json.dumps({"touched": sorted(touched), "n_buckets": n_buckets})
+        json.dumps(
+            {"touched": sorted(touched), "n_buckets": n_buckets, "ordered": ordered}
+        )
     )
     os.replace(tmp, version_dir / "_touched.json")
 
@@ -221,6 +226,7 @@ def foreach_batch_cdc_merge_partitioned(
     init: DataFrame | None = None,
     ord_col: str = "ord",
     delete_col: str = "is_delete",
+    ordered: bool = False,
 ) -> StreamingQuery:
     """Partition-scoped streaming MERGE INTO — foreach_batch_cdc_merge
     with the 100 TB cost model: the snapshot is hash-partitioned on
@@ -251,8 +257,16 @@ def foreach_batch_cdc_merge_partitioned(
     to detect it; versioned dirs + manifest make the torn state
     unreachable instead.
 
-    Ordering contract: same as foreach_batch_cdc_merge (per-key
-    nondecreasing ord across batches; see operators/cdc.merge_changes).
+    Ordering contract: by default the same as foreach_batch_cdc_merge
+    (per-key nondecreasing ord across batches; see
+    operators/cdc.merge_changes). With `ordered=True` the snapshot
+    additionally persists each key's last-applied `ord_col` and merges
+    through operators/cdc.merge_changes_ordered — stale out-of-order
+    redeliveries become no-ops and the maintained snapshot is
+    DELIVERY-ORDER independent (per key: the max-ord change overall).
+    The flag is pinned in the store's manifests like n_buckets: the
+    two modes write different snapshot schemas, so a store must be
+    maintained in one mode for its lifetime.
 
     Scale notes: `n_buckets` sizes the rewrite amplification — a batch
     touching k distinct keys rewrites ≤ min(k, n_buckets) buckets of
@@ -267,7 +281,10 @@ def foreach_batch_cdc_merge_partitioned(
 
     from pyspark.sql import functions as F
 
-    from distributed_mapreduce_spark.operators.cdc import merge_changes
+    from distributed_mapreduce_spark.operators.cdc import (
+        merge_changes,
+        merge_changes_ordered,
+    )
 
     store = pathlib.Path(store_path)
 
@@ -281,6 +298,12 @@ def foreach_batch_cdc_merge_partitioned(
             raise ValueError(
                 f"store {store_path} was built with n_buckets={have}; "
                 f"hash routing must stay stable (got {n_buckets})"
+            )
+        have_ordered = committed[0][1].get("ordered", False)
+        if have_ordered != ordered:
+            raise ValueError(
+                f"store {store_path} was built with ordered={have_ordered}; "
+                f"the snapshot schema must stay stable (got ordered={ordered})"
             )
     elif init is not None:
         # Seed the base as committed version v=-1, partitioned;
@@ -302,16 +325,30 @@ def foreach_batch_cdc_merge_partitioned(
         seed = init.select(
             *[F.col(f.name).cast(f.dataType) for f in tgt.fields]
         )
+        if ordered:
+            # seed rows predate the CDC feed: NULL ord = replaceable
+            # by any change (merge_changes_ordered's open gate), and
+            # all seed rows are live (tombstone flag 0).
+            seed = seed.withColumn(
+                ord_col, F.lit(None).cast(changes.schema[ord_col].dataType)
+            ).withColumn(delete_col, F.lit(0))
         seed.withColumn("p", bucket(F.col(key))).write.mode(
             "overwrite"
         ).partitionBy("p").parquet(str(store / "v=-1"))
-        _write_manifest(store / "v=-1", list(range(n_buckets)), n_buckets)
+        _write_manifest(store / "v=-1", list(range(n_buckets)), n_buckets, ordered)
 
     payload_cols = (
         init.columns
         if init is not None
         else [c for c in changes.columns if c not in (ord_col, delete_col)]
     )
+    # the columns each version directory stores: ordered snapshots
+    # persist the last-applied ord and the delete-tombstone flag
+    # alongside the payload (see merge_changes_ordered — tombstones
+    # carry the ord watermark that stops stale-upsert resurrection;
+    # readers filter `delete_col == 0`)
+    snapshot_cols = payload_cols + ([ord_col, delete_col] if ordered else [])
+    merge = merge_changes_ordered if ordered else merge_changes
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
@@ -340,14 +377,14 @@ def foreach_batch_cdc_merge_partitioned(
                 # Explicit leaf paths: partitions NOT in `base_paths`
                 # are never listed, opened, or scanned — the pruning
                 # that makes the batch cost ∝ touched bytes.
-                base = spark.read.parquet(*base_paths).select(*payload_cols)
+                base = spark.read.parquet(*base_paths).select(*snapshot_cols)
             else:
-                base = spark.createDataFrame([], df.select(*payload_cols).schema)
-            merged = merge_changes(base, df, key, ord_col, delete_col)
+                base = spark.createDataFrame([], df.select(*snapshot_cols).schema)
+            merged = merge(base, df, key, ord_col, delete_col)
             merged.withColumn("p", bucket(F.col(key))).write.mode(
                 "overwrite"
             ).partitionBy("p").parquet(str(store / f"v={batch_id}"))
-            _write_manifest(store / f"v={batch_id}", touched, n_buckets)
+            _write_manifest(store / f"v={batch_id}", touched, n_buckets, ordered)
         finally:
             df.unpersist()
 
@@ -356,7 +393,7 @@ def foreach_batch_cdc_merge_partitioned(
         # the version sequence stays dense for debugging; readers and
         # redelivery are indifferent.
         (store / f"v={batch_id}").mkdir(parents=True, exist_ok=True)
-        _write_manifest(store / f"v={batch_id}", [], n_buckets)
+        _write_manifest(store / f"v={batch_id}", [], n_buckets, ordered)
 
     return (
         changes.writeStream.foreachBatch(write_batch)

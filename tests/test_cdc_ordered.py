@@ -1,0 +1,249 @@
+"""Order-independence of the ord-gated CDC merge
+(operators/cdc.py::merge_changes_ordered) and its partition-scoped
+streaming sink (foreach_batch_cdc_merge_partitioned(ordered=True)).
+
+The property under test: with per-key-unique ords, applying any
+partition of a change set in ANY batch order converges to the same
+snapshot — per key the max-ord change overall (a last-writer-wins
+register). Tombstones are the load-bearing detail: a winning delete
+keeps its row (flag=1, NULL payload) so its ord watermark survives and
+a stale upsert redelivered AFTER the delete cannot resurrect the key.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_mapreduce_spark.operators.cdc import (
+    merge_changes,
+    merge_changes_ordered,
+)
+
+SNAP = "k long, v double, ord long, is_delete int"
+CHG = "k long, ord long, is_delete int, v double"
+
+
+def _snap(spark, rows):
+    """rows: (k, v, ord, is_delete)"""
+    return spark.createDataFrame(rows, SNAP)
+
+
+def _chg(spark, rows):
+    """rows: (k, ord, is_delete, v)"""
+    return spark.createDataFrame(rows, CHG)
+
+
+def _state(df) -> dict:
+    return {r.k: (r.v, r.ord, r.is_delete) for r in df.collect()}
+
+
+def _expected(seed, changes) -> dict:
+    """Python oracle: per key, the max-ord change overall wins; keys
+    without changes keep their seed row. seed: (k, v, ord)."""
+    st = {k: (v, o, 0) for k, v, o in seed}
+    best: dict = {}
+    for k, o, d, v in changes:
+        if k not in best or o > best[k][0]:
+            best[k] = (o, d, v)
+    for k, (o, d, v) in best.items():
+        st[k] = (None, o, 1) if d else (v, o, 0)
+    return st
+
+
+def test_ordered_merge_gates_stale_changes(spark):
+    """The resurrection scenario, end to end: a newer delete lands
+    first; the stale upsert redelivered afterwards must be a no-op
+    (the tombstone's ord watermark gates it). Plus: stale delete after
+    a newer upsert, insert of an unseen key, NULL seed ord open to any
+    change."""
+    seed = [(1, 10.0, None), (2, 20.0, None), (3, 30.0, None)]
+    base = _snap(spark, [(k, v, o, 0) for k, v, o in seed])
+    newer = [  # (k, ord, is_delete, v)
+        (1, 100, 0, 11.0),  # upsert over NULL-ord seed
+        (2, 200, 1, None),  # delete key 2
+        (4, 50, 0, 44.0),  # insert unseen key
+    ]
+    stale = [
+        (1, 90, 0, 666.0),  # stale upsert: must not overwrite ord 100
+        (2, 150, 0, 666.0),  # stale upsert AFTER the delete: must not resurrect
+        (3, 5, 1, None),  # delete over NULL-ord seed: applies
+        (4, 40, 1, None),  # stale delete: must not remove ord-50 row
+    ]
+    s1 = merge_changes_ordered(base, _chg(spark, newer), "k")
+    s2 = merge_changes_ordered(s1, _chg(spark, stale), "k")
+    assert _state(s2) == _expected(seed, newer + stale) == {
+        1: (11.0, 100, 0),
+        2: (None, 200, 1),
+        3: (None, 5, 1),
+        4: (44.0, 50, 0),
+    }
+    # and the reverse delivery order converges to the same snapshot
+    r1 = merge_changes_ordered(base, _chg(spark, stale), "k")
+    r2 = merge_changes_ordered(r1, _chg(spark, newer), "k")
+    assert _state(r2) == _state(s2)
+
+
+def test_ordered_merge_redelivery_idempotent(spark):
+    """Crash-redelivery of the SAME batch (ord ties on the stored row,
+    >= gate) must rewrite identical content, deletes included."""
+    base = _snap(spark, [(1, 10.0, 7, 0), (2, None, 9, 1)])
+    batch = [(1, 8, 0, 18.0), (2, 12, 1, None), (3, 1, 0, 3.0)]
+    once = merge_changes_ordered(base, _chg(spark, batch), "k")
+    twice = merge_changes_ordered(once, _chg(spark, batch), "k")
+    assert _state(once) == _state(twice) == {
+        1: (18.0, 8, 0),
+        2: (None, 12, 1),
+        3: (3.0, 1, 0),
+    }
+
+
+def test_ordered_merge_permutation_invariance(spark):
+    """Random change sets, random batch partitions, random delivery
+    orders: every permutation converges to the Python LWW oracle."""
+    rng = random.Random(0xC0C)
+    for _ in range(4):
+        keys = list(range(1, 9))
+        seed = [(k, float(k), None) for k in keys[:5]]
+        ords = rng.sample(range(1, 200), 24)  # unique ords, the precondition
+        changes = [
+            (rng.choice(keys), o, int(rng.random() < 0.3), round(rng.random() * 100, 1))
+            for o in ords
+        ]
+        changes = [(k, o, d, None if d else v) for k, o, d, v in changes]
+        # partition into 3 batches, deliver in a random order
+        rng.shuffle(changes)
+        batches = [changes[0::3], changes[1::3], changes[2::3]]
+        order = rng.sample(range(3), 3)
+        snap = _snap(spark, [(k, v, o, 0) for k, v, o in seed])
+        for i in order:
+            snap = merge_changes_ordered(snap, _chg(spark, batches[i]), "k")
+        assert _state(snap) == _expected(seed, changes)
+
+
+def test_ordered_merge_plan_base_unshuffled(spark, tmp_path):
+    """The scale contract: BOTH base passes consume the snapshot
+    shuffle-free — the payload scan feeds a broadcast LEFT ANTI and
+    the probe scan is column-pruned to (key, ord) before its broadcast
+    semi join; no SortMergeJoin/FullOuter anywhere, on the static AND
+    AQE-final plans (the r5 CDC defect only showed on the latter)."""
+    from distributed_mapreduce_spark import plans
+
+    base_path = str(tmp_path / "base")
+    _snap(spark, [(i, float(i), i, 0) for i in range(1, 200)]).write.parquet(base_path)
+    base = spark.read.parquet(base_path)
+    df = merge_changes_ordered(
+        base, _chg(spark, [(1, 500, 0, 1.5), (999, 501, 0, 9.9)]), "k"
+    )
+    for p in (
+        plans.physical_plan(df),
+        plans.physical_plan(df, "formatted"),
+    ):
+        assert "SortMergeJoin" not in p, p
+        assert "FullOuter" not in p, p
+    assert "LeftAnti" in plans.physical_plan(df)
+    # the payload scan (the only scan reading v) is exchange-free
+    plans.assert_unshuffled_scan(df, "v#")
+    # the probe scan reads exactly (k, ord) — column pruning reached
+    # the parquet reader
+    fmt = plans.physical_plan(df, "formatted")
+    assert "struct<k:bigint,ord:bigint>" in fmt, fmt
+    # AQE-final plan agrees
+    df.collect()
+    pf = plans.physical_plan(df, "simple")
+    assert "SortMergeJoin" not in pf, pf
+    plans.assert_unshuffled_scan(df, "v#")
+
+
+def _chunk(path, rows, mtime):
+    """rows: (ord, key, type, value) in the events-table wire schema."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[0] * 1_000_000 for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))
+
+
+def _to_changes(ev):
+    return ev.select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("ord"),
+        (F.col("event_type") == "del").cast("int").alias("is_delete"),
+        F.col("value").alias("v"),
+    )
+
+
+def test_streaming_cdc_ordered_sink_out_of_order_feed(spark, tmp_path):
+    """The sink-level distinction: an out-of-order feed (later batches
+    carry lower ords) through the ordered sink converges to the
+    max-ord-wins snapshot; the unordered sink on the same feed keeps
+    the latest-DELIVERED change instead — including resurrecting a
+    deleted key. Also: the ordered flag is pinned in the manifest."""
+    from distributed_mapreduce_spark.streaming import event_stream
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_cdc_merge_partitioned,
+        read_current_partitioned,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = time.time()
+    # batch 0: the NEWEST changes arrive first
+    _chunk(str(src / "c1.parquet"), [(100, 1, "up", 1.0), (200, 2, "del", 0)], base)
+    # batch 1: stale redeliveries + one genuine insert
+    _chunk(
+        str(src / "c2.parquet"),
+        [(50, 1, "up", 9.0), (150, 2, "up", 8.0), (10, 3, "up", 10.0)],
+        base + 5,
+    )
+
+    def run(store, ckpt, ordered):
+        q = foreach_batch_cdc_merge_partitioned(
+            _to_changes(event_stream(spark, str(src))),
+            store,
+            ckpt,
+            "k",
+            n_buckets=4,
+            ordered=ordered,
+        )
+        q.awaitTermination()
+
+    store_o = str(tmp_path / "ordered")
+    run(store_o, str(tmp_path / "ordered_ckpt"), True)
+    live = read_current_partitioned(spark, store_o).where(F.col("is_delete") == 0)
+    assert {r.k: r.v for r in live.collect()} == {1: 1.0, 3: 10.0}
+    # the tombstone row is retained as the deleted key's watermark
+    tomb = read_current_partitioned(spark, store_o).where(F.col("is_delete") != 0)
+    assert [(r.k, r.ord) for r in tomb.collect()] == [(2, 200)]
+
+    # negative control: the unordered sink applies delivery order
+    store_u = str(tmp_path / "unordered")
+    run(store_u, str(tmp_path / "unordered_ckpt"), False)
+    got_u = {
+        r.k: r.v for r in read_current_partitioned(spark, store_u).collect()
+    }
+    assert got_u == {1: 9.0, 2: 8.0, 3: 10.0}  # stale wins + resurrection
+
+    # mode is pinned: reopening the ordered store as unordered refuses
+    with pytest.raises(ValueError, match="ordered"):
+        foreach_batch_cdc_merge_partitioned(
+            _to_changes(event_stream(spark, str(src))),
+            store_o,
+            str(tmp_path / "ckpt2"),
+            "k",
+            n_buckets=4,
+            ordered=False,
+        )
