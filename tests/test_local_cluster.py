@@ -35,7 +35,7 @@ session-scoped `spark` fixture would collide):
     DMR_LOCAL_CLUSTER=1 python -m pytest tests/test_local_cluster.py -v
 
 `DMR_LOCAL_CLUSTER_FULL=1` widens the run to EVERY oracle-backed query
-in both tiers (all 101) — the strongest single claim the container can
+in both tiers (all 103) — the strongest single claim the container can
 make about the 100×-scale story: the entire query surface passes
 value-exact parity under real multi-process serialization.
 """
@@ -69,6 +69,7 @@ SMOKE_SET = {
     "ev_q2_sessionize": "registered",
     "rel_q1_pricing_summary": "registered",
     "st_q9_cdc_upsert": "shadow",
+    "st_q10_cdc_ordered": "shadow",  # ordered sink: tombstone snapshot + ord gate
     "ml_q1_scaling_fit": "shadow",
     "dedup_q10_source_overlap": "shadow",
     "dedup_q15_incremental_lsh": "shadow",  # two-sided band probe + carry agg
