@@ -86,6 +86,7 @@ def merge_changes_ordered(
     key: str,
     ord_col: str = "ord",
     delete_col: str = "is_delete",
+    reap_below=None,
 ) -> DataFrame:
     """MERGE for feeds WITHOUT merge_changes' cross-batch per-key
     ordering guarantee: the snapshot persists each key's last-applied
@@ -107,7 +108,14 @@ def merge_changes_ordered(
     Readers filter `delete_col == 0`. Tombstones accumulate one row
     per deleted key — reclaim them once no stale delivery can still
     arrive (a retention horizon, the same contract as Cassandra's
-    gc_grace_seconds or Delta's deleted-file retention).
+    gc_grace_seconds or Delta's deleted-file retention). `reap_below`
+    does exactly that, opportunistically and for free: surviving
+    tombstones with ord < reap_below are dropped during a merge that
+    is rewriting their rows anyway — no separate compaction job, no
+    extra I/O. Sound ONLY under the horizon contract: the caller
+    promises no delivery with ord < reap_below can still arrive (a
+    reaped key's watermark is gone, so an older-than-horizon change
+    would re-apply as an insert).
 
     `base` schema = (key, payload..., ord_col, delete_col); rows
     seeded from a non-CDC source may carry NULL ord, meaning
@@ -149,6 +157,17 @@ def merge_changes_ordered(
         F.col("_base_ord").isNull() | (F.col(ord_col) >= F.col("_base_ord"))
     )
     survivors = base.join(F.broadcast(applied.select(key)), key, "left_anti")
+    if reap_below is not None:
+        # opportunistic tombstone GC: this merge is rewriting these
+        # rows anyway, so expired watermarks cost nothing to drop
+        # (NULL-ord rows are live seeds and never match).
+        survivors = survivors.where(
+            ~(
+                (F.coalesce(F.col(delete_col).cast("int"), F.lit(0)) != 0)
+                & F.col(ord_col).isNotNull()
+                & (F.col(ord_col) < F.lit(reap_below))
+            )
+        )
     tomb = F.coalesce(F.col(delete_col).cast("int") != 0, F.lit(False))
     out = applied.select(
         key,

@@ -227,6 +227,7 @@ def foreach_batch_cdc_merge_partitioned(
     ord_col: str = "ord",
     delete_col: str = "is_delete",
     ordered: bool = False,
+    reap_tombstones_below=None,
 ) -> StreamingQuery:
     """Partition-scoped streaming MERGE INTO — foreach_batch_cdc_merge
     with the 100 TB cost model: the snapshot is hash-partitioned on
@@ -266,7 +267,12 @@ def foreach_batch_cdc_merge_partitioned(
     DELIVERY-ORDER independent (per key: the max-ord change overall).
     The flag is pinned in the store's manifests like n_buckets: the
     two modes write different snapshot schemas, so a store must be
-    maintained in one mode for its lifetime.
+    maintained in one mode for its lifetime. `reap_tombstones_below`
+    (ordered mode only) passes merge_changes_ordered's opportunistic
+    tombstone GC threshold: each batch drops expired delete watermarks
+    from the buckets it is rewriting anyway — set it to the feed's
+    redelivery horizon (e.g. yesterday's max log offset minus the
+    grace window) on each maintenance run.
 
     Scale notes: `n_buckets` sizes the rewrite amplification — a batch
     touching k distinct keys rewrites ≤ min(k, n_buckets) buckets of
@@ -348,7 +354,15 @@ def foreach_batch_cdc_merge_partitioned(
     # carry the ord watermark that stops stale-upsert resurrection;
     # readers filter `delete_col == 0`)
     snapshot_cols = payload_cols + ([ord_col, delete_col] if ordered else [])
-    merge = merge_changes_ordered if ordered else merge_changes
+    if reap_tombstones_below is not None and not ordered:
+        raise ValueError("reap_tombstones_below requires ordered=True")
+
+    def merge(base, df, key, ord_col, delete_col):
+        if ordered:
+            return merge_changes_ordered(
+                base, df, key, ord_col, delete_col, reap_below=reap_tombstones_below
+            )
+        return merge_changes(base, df, key, ord_col, delete_col)
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession

@@ -127,6 +127,34 @@ def test_ordered_merge_permutation_invariance(spark):
         assert _state(snap) == _expected(seed, changes)
 
 
+def test_ordered_merge_reaps_expired_tombstones(spark):
+    """Opportunistic tombstone GC: a merge passing `reap_below` drops
+    surviving tombstones older than the horizon (their bucket is being
+    rewritten anyway); newer tombstones, live rows below the horizon,
+    and NULL-ord seeds are all untouched."""
+    base = _snap(
+        spark,
+        [
+            (1, None, 5, 1),  # expired tombstone: reaped
+            (2, None, 50, 1),  # tombstone inside the horizon: kept
+            (3, 3.0, 5, 0),  # live row below horizon: NEVER reaped
+            (4, 4.0, None, 0),  # NULL-ord seed: never matches
+        ],
+    )
+    out = merge_changes_ordered(
+        base, _chg(spark, [(9, 60, 0, 9.0)]), "k", reap_below=10
+    )
+    assert _state(out) == {
+        2: (None, 50, 1),
+        3: (3.0, 5, 0),
+        4: (4.0, None, 0),
+        9: (9.0, 60, 0),
+    }
+    # without the horizon the expired tombstone survives
+    out2 = merge_changes_ordered(base, _chg(spark, [(9, 60, 0, 9.0)]), "k")
+    assert 1 in _state(out2)
+
+
 def test_ordered_merge_plan_base_unshuffled(spark, tmp_path):
     """The scale contract: BOTH base passes consume the snapshot
     shuffle-free — the payload scan feeds a broadcast LEFT ANTI and
@@ -247,3 +275,61 @@ def test_streaming_cdc_ordered_sink_out_of_order_feed(spark, tmp_path):
             n_buckets=4,
             ordered=False,
         )
+    # reaping requires the ordered snapshot (there is no watermark to
+    # expire in the unordered layout)
+    with pytest.raises(ValueError, match="reap_tombstones_below"):
+        foreach_batch_cdc_merge_partitioned(
+            _to_changes(event_stream(spark, str(src))),
+            str(tmp_path / "u2"),
+            str(tmp_path / "ckpt3"),
+            "k",
+            n_buckets=4,
+            ordered=False,
+            reap_tombstones_below=5,
+        )
+
+
+def test_streaming_cdc_ordered_sink_reaps_on_rewrite(spark, tmp_path):
+    """Tombstone GC through the sink: a later batch that rewrites the
+    tombstone's bucket (any same-bucket key) drops the expired
+    watermark; the reaped store still serves the same live rows."""
+    from pyspark.sql import functions as F2
+
+    from distributed_mapreduce_spark.streaming import event_stream
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_cdc_merge_partitioned,
+        read_current_partitioned,
+    )
+
+    B = 4
+    # two keys guaranteed to share a hash bucket
+    rows = spark.range(1, 64).select(
+        F2.col("id").alias("k"),
+        F2.pmod(F2.xxhash64(F2.col("id")), F2.lit(B)).cast("int").alias("p"),
+    ).collect()
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r.p, []).append(r.k)
+    ka, kb = by_bucket[0][0], by_bucket[0][1]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = time.time()
+    _chunk(str(src / "c1.parquet"), [(100, ka, "del", 0)], base)
+    _chunk(str(src / "c2.parquet"), [(300, kb, "up", 7.0)], base + 5)
+
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    q = foreach_batch_cdc_merge_partitioned(
+        _to_changes(event_stream(spark, str(src))),
+        store,
+        ckpt,
+        "k",
+        n_buckets=B,
+        ordered=True,
+        reap_tombstones_below=200,
+    )
+    q.awaitTermination()
+    snap = read_current_partitioned(spark, store)
+    # batch 1 rewrote bucket 0 (kb's upsert) and reaped ka's expired
+    # tombstone (ord 100 < 200) in the same pass
+    assert {(r.k, r.v, r.is_delete) for r in snap.collect()} == {(kb, 7.0, 0)}
