@@ -416,13 +416,11 @@ def st_q10_cdc_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         _shutil.rmtree(ckpt, ignore_errors=True)
     # the snapshot's persisted ord and delete tombstones are
-    # maintenance state, not payload: readers filter tombstones out
+    # maintenance state, not payload: live_only filters the tombstones
     # (they exist to stop stale-upsert resurrection of deleted keys —
-    # see merge_changes_ordered) and drop the watermark column
-    return (
-        read_current_partitioned(spark, f"{store}/t")
-        .where(F.col("is_delete") == 0)
-        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    # see merge_changes_ordered); the ord watermark is then dropped
+    return read_current_partitioned(spark, f"{store}/t", live_only=True).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
     )
 
 

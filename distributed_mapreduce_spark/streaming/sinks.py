@@ -417,11 +417,20 @@ def foreach_batch_cdc_merge_partitioned(
     )
 
 
-def read_current_partitioned(spark, store_path: str) -> DataFrame:
+def read_current_partitioned(
+    spark, store_path: str, live_only: bool = False, delete_col: str = "is_delete"
+) -> DataFrame:
     """Live snapshot of a foreach_batch_cdc_merge_partitioned store:
     for each partition, its newest committed version's directory
     (absent dir for a touched partition = empty). Committed =
-    manifest present; a half-written version is never surfaced."""
+    manifest present; a half-written version is never surfaced.
+
+    For an `ordered=True` store, `live_only=True` filters the delete
+    tombstones out and drops the flag column — the row set a consumer
+    actually wants (tombstones are ord watermarks, not data; see
+    merge_changes_ordered). The per-key ord stays: it is the row's
+    freshness watermark. Refused on an unordered store, whose
+    snapshot has no tombstones to filter."""
     import pathlib
 
     store = pathlib.Path(store_path)
@@ -433,6 +442,11 @@ def read_current_partitioned(spark, store_path: str) -> DataFrame:
     for v, manifest in manifests:
         for p in manifest["touched"]:
             current[p] = v
+    if live_only and not manifests[0][1].get("ordered", False):
+        raise ValueError(
+            f"store {store_path} is not an ordered CDC store — its "
+            "snapshot has no tombstones to filter (live_only=True)"
+        )
     paths = [
         str(store / f"v={v}" / f"p={p}")
         for p, v in current.items()
@@ -449,7 +463,14 @@ def read_current_partitioned(spark, store_path: str) -> DataFrame:
             f"store {store_path} has no surviving rows or files to "
             "infer a schema from"
         )
-    return spark.read.parquet(*paths)
+    df = spark.read.parquet(*paths)
+    if live_only:
+        from pyspark.sql import functions as F
+
+        df = df.where(
+            F.coalesce(F.col(delete_col).cast("int"), F.lit(0)) == 0
+        ).drop(delete_col)
+    return df
 
 
 def vacuum_versions_partitioned(store_path: str, keep: int = 2) -> list[int]:

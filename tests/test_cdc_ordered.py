@@ -251,7 +251,8 @@ def test_streaming_cdc_ordered_sink_out_of_order_feed(spark, tmp_path):
 
     store_o = str(tmp_path / "ordered")
     run(store_o, str(tmp_path / "ordered_ckpt"), True)
-    live = read_current_partitioned(spark, store_o).where(F.col("is_delete") == 0)
+    live = read_current_partitioned(spark, store_o, live_only=True)
+    assert "is_delete" not in live.columns
     assert {r.k: r.v for r in live.collect()} == {1: 1.0, 3: 10.0}
     # the tombstone row is retained as the deleted key's watermark
     tomb = read_current_partitioned(spark, store_o).where(F.col("is_delete") != 0)
@@ -264,6 +265,9 @@ def test_streaming_cdc_ordered_sink_out_of_order_feed(spark, tmp_path):
         r.k: r.v for r in read_current_partitioned(spark, store_u).collect()
     }
     assert got_u == {1: 9.0, 2: 8.0, 3: 10.0}  # stale wins + resurrection
+    # live_only is an ordered-store concept; the unordered layout refuses
+    with pytest.raises(ValueError, match="live_only"):
+        read_current_partitioned(spark, store_u, live_only=True)
 
     # mode is pinned: reopening the ordered store as unordered refuses
     with pytest.raises(ValueError, match="ordered"):
