@@ -94,18 +94,23 @@ def doc_shingles(
         *carry,
     ).distinct()
     if max_df is not None:
-        # Drop HOT shingles via a broadcast ANTI join rather than
-        # keeping rare ones via a shuffle semi join (r7): the two are
-        # the same predicate (df ≤ max_df ⟺ not hot), but the hot set
-        # is SMALL by construction — at most total-occurrences/max_df
-        # shingles can exceed the bound, and in natural text it is the
-        # handful of stopword runs — so it broadcasts, and the big
-        # expansion side never reshuffles on shingle for the guard.
-        # (The df-count aggregation still shuffles once; that pass is
-        # irreducible.) The DuckDB oracles keep their HAVING ≤ form —
-        # semantics identical.
+        # Drop HOT shingles via an ANTI join rather than keeping rare
+        # ones via a semi join (r7): the two are the same predicate
+        # (df ≤ max_df ⟺ not hot), but the hot side is FAR smaller —
+        # at most total-occurrences/max_df shingles can exceed the
+        # bound, and in natural text it is a handful of stopword runs
+        # — so AQE's runtime stats turn the anti join into a broadcast
+        # and the big expansion side never reshuffles on shingle for
+        # the guard. Deliberately NO broadcast() hint: the hot count
+        # grows linearly with corpus size on boilerplate-heavy data
+        # (the dedup use case), and a forced broadcast bypasses
+        # autoBroadcastJoinThreshold — a driver-OOM cliff where the
+        # unhinted plan degrades gracefully back to a shuffle join
+        # (code-review r7-final). (The df-count aggregation still
+        # shuffles once; that pass is irreducible.) The DuckDB oracles
+        # keep their HAVING ≤ form — semantics identical.
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_df)
-        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
     return sh
 
 

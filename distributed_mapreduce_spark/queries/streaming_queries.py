@@ -297,6 +297,66 @@ def st_q8_click_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_maintained_snapshot(
+    spark: SparkSession, sf_dir: str, ord_expr, ordered: bool, tag: str
+) -> DataFrame:
+    """Shared replay body of st_q9/st_q10 (the _replayed analog for the
+    CDC maintenance sinks): stage the fixture chunks, derive the
+    rel_q18 change feed with the caller's ord expression, run the
+    partition-scoped MERGE sink over a fresh ephemeral store, and
+    return the final committed snapshot. The feed's column mapping
+    lives HERE, once — it must stay in lock-step with rel_q18's oracle
+    SQL, which grades both queries."""
+    import atexit as _atexit
+    import shutil as _shutil
+
+    from distributed_mapreduce_spark.streaming.replay import ephemeral_dir
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_cdc_merge_partitioned,
+        read_current_partitioned,
+    )
+
+    chunks = _staged(sf_dir)
+    init = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    # fresh store+checkpoint per call (bench passes must not resume
+    # each other's state); kept on disk until process exit because the
+    # returned DataFrame reads the store lazily
+    store = ephemeral_dir(f"dmr_cdc_{tag}_store_")
+    ckpt = ephemeral_dir(f"dmr_cdc_{tag}_ckpt_")
+    _atexit.register(_shutil.rmtree, store, ignore_errors=True)
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        changes = event_stream(spark, chunks).select(
+            (F.col("user_id") + 1).alias("c_custkey"),
+            ord_expr.alias("ord"),
+            (F.col("event_type") == "error").cast("int").alias("is_delete"),
+            F.upper("event_type").alias("c_mktsegment"),
+            F.col("value").alias("c_acctbal"),
+        )
+        q = foreach_batch_cdc_merge_partitioned(
+            changes, f"{store}/t", ckpt, "c_custkey", n_buckets=8, init=init,
+            ordered=ordered,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        _shutil.rmtree(ckpt, ignore_errors=True)
+    if ordered:
+        # the snapshot's persisted ord and delete tombstones are
+        # maintenance state, not payload: live_only filters the
+        # tombstones (they exist to stop stale-upsert resurrection of
+        # deleted keys — see merge_changes_ordered); the ord watermark
+        # is then dropped
+        return read_current_partitioned(spark, f"{store}/t", live_only=True).select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+    return read_current_partitioned(spark, f"{store}/t")
+
+
 def st_q9_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARTITION-SCOPED streaming MERGE INTO
     (streaming/sinks.foreach_batch_cdc_merge_partitioned): the rel_q18
@@ -320,44 +380,9 @@ def st_q9_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     test) + a rewrite of just those buckets into the batch's version
     dir. Per-batch cost ∝ touched-bucket bytes + batch size, never
     table size."""
-    import atexit as _atexit
-    import shutil as _shutil
-
-    from distributed_mapreduce_spark.streaming.replay import ephemeral_dir
-    from distributed_mapreduce_spark.streaming.sinks import (
-        foreach_batch_cdc_merge_partitioned,
-        read_current_partitioned,
+    return _cdc_maintained_snapshot(
+        spark, sf_dir, F.col("event_id"), ordered=False, tag="lww"
     )
-
-    chunks = _staged(sf_dir)
-    init = table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment", "c_acctbal"
-    )
-    # fresh store+checkpoint per call (bench passes must not resume
-    # each other's state); kept on disk until process exit because the
-    # returned DataFrame reads the store lazily
-    store = ephemeral_dir("dmr_cdc_store_")
-    ckpt = ephemeral_dir("dmr_cdc_ckpt_")
-    _atexit.register(_shutil.rmtree, store, ignore_errors=True)
-
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
-    try:
-        changes = event_stream(spark, chunks).select(
-            (F.col("user_id") + 1).alias("c_custkey"),
-            F.col("event_id").alias("ord"),
-            (F.col("event_type") == "error").cast("int").alias("is_delete"),
-            F.upper("event_type").alias("c_mktsegment"),
-            F.col("value").alias("c_acctbal"),
-        )
-        q = foreach_batch_cdc_merge_partitioned(
-            changes, f"{store}/t", ckpt, "c_custkey", n_buckets=8, init=init
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-        _shutil.rmtree(ckpt, ignore_errors=True)
-    return read_current_partitioned(spark, f"{store}/t")
 
 
 def st_q10_cdc_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,47 +405,8 @@ def st_q10_cdc_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape per batch: st_q9's partition-scoped cost model plus
     one key+ord-only probe scan of the touched buckets (column-pruned
     to two columns); the base payload still never shuffles."""
-    import atexit as _atexit
-    import shutil as _shutil
-
-    from distributed_mapreduce_spark.streaming.replay import ephemeral_dir
-    from distributed_mapreduce_spark.streaming.sinks import (
-        foreach_batch_cdc_merge_partitioned,
-        read_current_partitioned,
-    )
-
-    chunks = _staged(sf_dir)
-    init = table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment", "c_acctbal"
-    )
-    store = ephemeral_dir("dmr_cdc_ord_store_")
-    ckpt = ephemeral_dir("dmr_cdc_ord_ckpt_")
-    _atexit.register(_shutil.rmtree, store, ignore_errors=True)
-
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
-    try:
-        changes = event_stream(spark, chunks).select(
-            (F.col("user_id") + 1).alias("c_custkey"),
-            (-F.col("event_id")).alias("ord"),
-            (F.col("event_type") == "error").cast("int").alias("is_delete"),
-            F.upper("event_type").alias("c_mktsegment"),
-            F.col("value").alias("c_acctbal"),
-        )
-        q = foreach_batch_cdc_merge_partitioned(
-            changes, f"{store}/t", ckpt, "c_custkey", n_buckets=8, init=init,
-            ordered=True,
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-        _shutil.rmtree(ckpt, ignore_errors=True)
-    # the snapshot's persisted ord and delete tombstones are
-    # maintenance state, not payload: live_only filters the tombstones
-    # (they exist to stop stale-upsert resurrection of deleted keys —
-    # see merge_changes_ordered); the ord watermark is then dropped
-    return read_current_partitioned(spark, f"{store}/t", live_only=True).select(
-        "c_custkey", "c_mktsegment", "c_acctbal"
+    return _cdc_maintained_snapshot(
+        spark, sf_dir, -F.col("event_id"), ordered=True, tag="ord"
     )
 
 

@@ -294,6 +294,12 @@ def foreach_batch_cdc_merge_partitioned(
 
     store = pathlib.Path(store_path)
 
+    # Validate argument coherence BEFORE any side effect: a fresh
+    # store seeded under a mis-called mode would be permanently pinned
+    # to it by the manifest check below (code-review r7-final).
+    if reap_tombstones_below is not None and not ordered:
+        raise ValueError("reap_tombstones_below requires ordered=True")
+
     def bucket(col):
         return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
@@ -354,8 +360,6 @@ def foreach_batch_cdc_merge_partitioned(
     # carry the ord watermark that stops stale-upsert resurrection;
     # readers filter `delete_col == 0`)
     snapshot_cols = payload_cols + ([ord_col, delete_col] if ordered else [])
-    if reap_tombstones_below is not None and not ordered:
-        raise ValueError("reap_tombstones_below requires ordered=True")
 
     def merge(base, df, key, ord_col, delete_col):
         if ordered:

@@ -41,7 +41,12 @@ def _chg(spark, rows):
 
 
 def _state(df) -> dict:
-    return {r.k: (r.v, r.ord, r.is_delete) for r in df.collect()}
+    rows = df.collect()
+    out = {r.k: (r.v, r.ord, r.is_delete) for r in rows}
+    # a broken survivors/applied split would emit duplicate keys that
+    # the dict comprehension could silently mask (code-review r7-final)
+    assert len(out) == len(rows), "snapshot contains duplicate keys"
+    return out
 
 
 def _expected(seed, changes) -> dict:
