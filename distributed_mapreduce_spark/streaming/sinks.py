@@ -86,6 +86,8 @@ def foreach_batch_cdc_merge(
     init: DataFrame | None = None,
     ord_col: str = "ord",
     delete_col: str = "is_delete",
+    ordered: bool = False,
+    reap_tombstones_below=None,
 ) -> StreamingQuery:
     """Streaming MERGE INTO — the Delta streaming-upsert pattern on
     plain parquet: each micro-batch of keyed changes (upserts +
@@ -102,11 +104,20 @@ def foreach_batch_cdc_merge(
     applied to stateful maintenance. `read_current_version` gives
     readers the newest committed snapshot (_SUCCESS-gated).
 
-    Ordering contract: the snapshot stores no `ord`, so last-writer-
-    wins across micro-batches relies on the source delivering each
-    key's changes in nondecreasing `ord_col` order batch-to-batch
-    (Spark sources replay a CDC log in offset order, so this holds;
-    see operators/cdc.merge_changes for the out-of-order caveat).
+    Ordering contract: by default the snapshot stores no `ord`, so
+    last-writer-wins across micro-batches relies on the source
+    delivering each key's changes in nondecreasing `ord_col` order
+    batch-to-batch (Spark sources replay a CDC log in offset order, so
+    this holds; see operators/cdc.merge_changes for the out-of-order
+    caveat). `ordered=True` switches to merge_changes_ordered — the
+    snapshot persists per-key ord + delete tombstones and becomes
+    delivery-order independent; `reap_tombstones_below` is the
+    merge-time tombstone GC threshold (see the partitioned sink). The
+    two modes write different snapshot schemas; with no manifest to
+    pin the mode here, a resume under the WRONG mode is refused by a
+    schema check against the newest committed version (silently
+    dropping the ord/tombstone columns would downgrade the guarantee
+    and surface tombstones as live rows).
 
     Scale notes: each batch rewrites the whole current snapshot — the
     plain-parquet cost of not having a transaction log. At real scale
@@ -116,7 +127,15 @@ def foreach_batch_cdc_merge(
     maintenance cadence."""
     import pathlib
 
-    from distributed_mapreduce_spark.operators.cdc import merge_changes
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.operators.cdc import (
+        merge_changes,
+        merge_changes_ordered,
+    )
+
+    if reap_tombstones_below is not None and not ordered:
+        raise ValueError("reap_tombstones_below requires ordered=True")
 
     def _committed(below: int | None = None) -> list[int]:
         return [
@@ -126,25 +145,48 @@ def foreach_batch_cdc_merge(
             and (below is None or int(p.name.split("=", 1)[1]) < below)
         ]
 
-    # Seed the initial base as committed version v=-1 (distributed
-    # write, never a driver collect) — only when the store is fresh,
-    # so a resumed stream keeps its maintained state.
-    if init is not None and not _committed():
-        init.write.mode("overwrite").parquet(f"{store_path}/v=-1")
     payload_cols = (
         init.columns
         if init is not None
         else [c for c in changes.columns if c not in (ord_col, delete_col)]
     )
+    snapshot_cols = payload_cols + ([ord_col, delete_col] if ordered else [])
+
+    # Seed the initial base as committed version v=-1 (distributed
+    # write, never a driver collect) — only when the store is fresh,
+    # so a resumed stream keeps its maintained state.
+    if init is not None and not _committed():
+        seed = init
+        if ordered:
+            seed = seed.withColumn(
+                ord_col, F.lit(None).cast(changes.schema[ord_col].dataType)
+            ).withColumn(delete_col, F.lit(0))
+        seed.write.mode("overwrite").parquet(f"{store_path}/v=-1")
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
         committed = _committed(below=batch_id)
         if committed:
             base = spark.read.parquet(f"{store_path}/v={max(committed)}")
+            # mode guard (no manifest in this layout): the snapshot
+            # schema IS the mode — refuse a resume that would silently
+            # drop (or fabricate) the ord/tombstone columns.
+            has_ord = ord_col in base.columns
+            if has_ord != ordered:
+                raise ValueError(
+                    f"store {store_path} was maintained with "
+                    f"ordered={has_ord}; resume with the same mode"
+                )
+            base = base.select(*snapshot_cols)
         else:
-            base = spark.createDataFrame([], df.select(*payload_cols).schema)
-        merged = merge_changes(base, df, key, ord_col, delete_col)
+            base = spark.createDataFrame([], df.select(*snapshot_cols).schema)
+        if ordered:
+            merged = merge_changes_ordered(
+                base, df, key, ord_col, delete_col,
+                reap_below=reap_tombstones_below,
+            )
+        else:
+            merged = merge_changes(base, df, key, ord_col, delete_col)
         merged.write.mode("overwrite").parquet(f"{store_path}/v={batch_id}")
 
     return (
@@ -518,9 +560,14 @@ def vacuum_versions_partitioned(store_path: str, keep: int = 2) -> list[int]:
     return sorted(deleted)
 
 
-def read_current_version(spark, store_path: str) -> DataFrame:
+def read_current_version(
+    spark, store_path: str, live_only: bool = False, delete_col: str = "is_delete"
+) -> DataFrame:
     """Newest COMMITTED snapshot of a foreach_batch_cdc_merge store
-    (_SUCCESS-gated, so a crash mid-write never surfaces)."""
+    (_SUCCESS-gated, so a crash mid-write never surfaces). For an
+    ordered store, `live_only=True` filters the delete tombstones and
+    drops the flag column (see read_current_partitioned); refused when
+    the snapshot carries no tombstone column."""
     import pathlib
 
     store = pathlib.Path(store_path)
@@ -531,7 +578,19 @@ def read_current_version(spark, store_path: str) -> DataFrame:
     ]
     if not committed:
         raise FileNotFoundError(f"no committed version under {store_path}")
-    return spark.read.parquet(f"{store_path}/v={max(committed)}")
+    df = spark.read.parquet(f"{store_path}/v={max(committed)}")
+    if live_only:
+        from pyspark.sql import functions as F
+
+        if delete_col not in df.columns:
+            raise ValueError(
+                f"store {store_path} is not an ordered CDC store — its "
+                "snapshot has no tombstones to filter (live_only=True)"
+            )
+        df = df.where(
+            F.coalesce(F.col(delete_col).cast("int"), F.lit(0)) == 0
+        ).drop(delete_col)
+    return df
 
 
 def vacuum_versions(store_path: str, keep: int = 2) -> list[int]:

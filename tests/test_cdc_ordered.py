@@ -298,6 +298,66 @@ def test_streaming_cdc_ordered_sink_out_of_order_feed(spark, tmp_path):
         )
 
 
+def test_streaming_cdc_ordered_unpartitioned_sink(spark, tmp_path):
+    """The whole-snapshot sink's ordered mode: same out-of-order feed
+    as the partitioned test converges to max-ord-wins; with no
+    manifest in this layout, the mode guard is the snapshot schema —
+    a resume under the wrong mode refuses instead of silently
+    dropping (or fabricating) the ord/tombstone columns."""
+    from distributed_mapreduce_spark.streaming import event_stream
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_cdc_merge,
+        read_current_version,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = time.time()
+    _chunk(str(src / "c1.parquet"), [(100, 1, "up", 1.0), (200, 2, "del", 0)], base)
+    _chunk(
+        str(src / "c2.parquet"),
+        [(50, 1, "up", 9.0), (150, 2, "up", 8.0), (10, 3, "up", 10.0)],
+        base + 5,
+    )
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    q = foreach_batch_cdc_merge(
+        _to_changes(event_stream(spark, str(src))), store, ckpt, "k", ordered=True
+    )
+    q.awaitTermination()
+    live = read_current_version(spark, store, live_only=True)
+    assert "is_delete" not in live.columns
+    assert {r.k: r.v for r in live.collect()} == {1: 1.0, 3: 10.0}
+    tomb = read_current_version(spark, store).where(F.col("is_delete") != 0)
+    assert [(r.k, r.ord) for r in tomb.collect()] == [(2, 200)]
+
+    # wrong-mode resume refuses via the schema guard. The SAME
+    # checkpoint must be reused: a fresh checkpoint restarts batch ids
+    # at 0 and the `< batch_id` base rule sees no committed version at
+    # all (a fresh stream identity legitimately rebuilds the store, by
+    # the redelivery contract) — only a genuine resume, whose next
+    # batch reads the newest ordered version, hits the guard.
+    _chunk(str(src / "c3.parquet"), [(300, 4, "up", 4.0)], base + 10)
+    q2 = foreach_batch_cdc_merge(
+        _to_changes(event_stream(spark, str(src))),
+        store,
+        ckpt,
+        "k",
+        ordered=False,
+    )
+    with pytest.raises(Exception, match="ordered"):
+        q2.awaitTermination()
+
+    # reaping requires ordered, same as the partitioned sink
+    with pytest.raises(ValueError, match="reap_tombstones_below"):
+        foreach_batch_cdc_merge(
+            _to_changes(event_stream(spark, str(src))),
+            str(tmp_path / "other"),
+            str(tmp_path / "ckpt3"),
+            "k",
+            reap_tombstones_below=5,
+        )
+
+
 def test_streaming_cdc_ordered_sink_reaps_on_rewrite(spark, tmp_path):
     """Tombstone GC through the sink: a later batch that rewrites the
     tombstone's bucket (any same-bucket key) drops the expired
