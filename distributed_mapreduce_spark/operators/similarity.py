@@ -520,3 +520,57 @@ def ivf_topk(
 
     probe = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i][1]), i))[:nprobe]
     return topk_cosine(indexed.where(F.col("cell").isin(probe)), query, k, id_col, vec_col)
+
+
+def write_ivf_store(
+    emb: DataFrame,
+    centroids: list,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF serving layout the in-memory tiers only
+    DESCRIBE: vectors assigned to their nearest centroid (assign_cells)
+    and written `partitionBy("cell")` — one directory per inverted
+    list. This is the write-time half of the 100 TB serving story: the
+    probe below prunes at the PARTITION level, so unprobed cells'
+    files are never listed, opened, or scanned (✓plan-asserted:
+    `cell IN (...)` appears under PartitionFilters, not as a data
+    filter). Store the centroid table alongside (it is num_cells rows
+    — the index metadata)."""
+    assign_cells(emb, centroids, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+
+
+def ivf_store_topk(
+    spark,
+    path: str,
+    centroids: list,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = DEFAULT_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a write_ivf_store layout: rank centroids driver-side
+    (num_cells floats — tiny), then read ONLY the nprobe nearest
+    cells' partitions and exact-rank inside them (topk_cosine_literal,
+    map-side, no join). The `cell IN (probe)` predicate is a partition
+    filter against the store's directory layout — the scan's file
+    listing itself shrinks to ~nprobe/num_cells of the store, which is
+    what makes a single ANN probe against a 100 TB corpus an
+    interactive-scale read. Results are bit-identical to ivf_topk on
+    the same centroids (same assignment, same scoring contract)."""
+
+    def cos(c: list[float]) -> float:
+        d = sum(x * y for x, y in zip(c, query_vec))
+        na = sum(x * x for x in c) ** 0.5
+        nb = sum(y * y for y in query_vec) ** 0.5
+        return d / (na * nb) if na * nb > 0 else 0.0
+
+    probe = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i][1]), i))[
+        :nprobe
+    ]
+    store = spark.read.parquet(path).where(F.col("cell").isin(probe))
+    return topk_cosine_literal(store, query_vec, k, id_col, vec_col)

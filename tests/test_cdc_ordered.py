@@ -132,6 +132,30 @@ def test_ordered_merge_permutation_invariance(spark):
         assert _state(snap) == _expected(seed, changes)
 
 
+def test_ordered_merge_in_order_feed_equals_plain_merge(spark):
+    """On a feed that IS delivered in per-key ascending ord order —
+    merge_changes' contract — the ordered path's live rows must equal
+    the plain merge's output exactly (the two differ only in what they
+    store, not in what they answer). This pins the relationship
+    between the tiers: ordered is a superset guarantee, not a
+    different semantics."""
+    seed = [(1, 10.0), (2, 20.0), (3, 30.0)]
+    batches = [
+        [(1, 5, 0, 11.0), (4, 6, 0, 44.0)],
+        [(2, 10, 1, None), (4, 12, 0, 45.0)],
+        [(1, 20, 0, 12.0), (5, 21, 1, None)],
+    ]
+    plain = spark.createDataFrame(seed, "k long, v double")
+    ordered = _snap(spark, [(k, v, None, 0) for k, v in seed])
+    for b in batches:
+        plain = merge_changes(plain, _chg(spark, b), "k")
+        ordered = merge_changes_ordered(ordered, _chg(spark, b), "k")
+    live = ordered.where(F.col("is_delete") == 0).select("k", "v")
+    assert sorted((r.k, r.v) for r in live.collect()) == sorted(
+        (r.k, r.v) for r in plain.collect()
+    ) == [(1, 12.0), (3, 30.0), (4, 45.0)]
+
+
 def test_ordered_merge_reaps_expired_tombstones(spark):
     """Opportunistic tombstone GC: a merge passing `reap_below` drops
     surviving tombstones older than the horizon (their bucket is being

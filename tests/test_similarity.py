@@ -50,6 +50,51 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     assert total_hits >= 0.6 * 50, f"IVF recall too low: {total_hits}/50"
 
 
+def test_ivf_store_probe_matches_in_memory_and_prunes_partitions(
+    spark, emb, tmp_path
+):
+    """The materialized serving layout (write_ivf_store →
+    ivf_store_topk): the store probe returns the same ids+scores as
+    the in-memory ivf_topk on the same centroids, and the `cell IN`
+    predicate prunes at the PARTITION level — it must appear in the
+    scan's PartitionFilters (directory pruning), not as a post-scan
+    data filter."""
+    from distributed_mapreduce_spark import plans
+    from distributed_mapreduce_spark.operators.similarity import (
+        ivf_store_topk,
+        write_ivf_store,
+    )
+
+    cents = train_centroids(emb, 16)
+    path = str(tmp_path / "ivf_store")
+    write_ivf_store(emb, cents, path)
+
+    qid = 42
+    q = emb.where(F.col("vec_id") == qid).select(F.col("embedding").alias("qv"))
+    qvec = [
+        float(x) for x in emb.where(F.col("vec_id") == qid).collect()[0]["embedding"]
+    ]
+    mem = ivf_topk(emb, q, qvec, 10, num_cells=16, nprobe=4).collect()
+    store = ivf_store_topk(spark, path, cents, qvec, 10, nprobe=4)
+    got = store.collect()
+    assert [(r.vec_id, r.cos_sim) for r in got] == [
+        (r.vec_id, r.cos_sim) for r in mem
+    ]
+
+    fmt = plans.physical_plan(store, "formatted")
+    pf = [l for l in fmt.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell" in pf[0], fmt
+    # the cell predicate prunes directories; it must NOT also appear as
+    # a pushed DATA filter (cell is a partition column, not in files) —
+    # in this plan nothing is pushed at all, which is exactly right
+    for line in fmt.splitlines():
+        if "PushedFilters" in line:
+            assert "cell" not in line, fmt
+    # and the data files themselves carry no cell column
+    rs = [l for l in fmt.splitlines() if "ReadSchema" in l]
+    assert rs and "cell" not in rs[0], fmt
+
+
 def test_kmeans_ivf_recall_beats_deterministic_on_clustered_data(spark):
     """The pyspark.ml KMeans centroid build (non-graded variant) must
     match-or-beat the deterministic sampling build at equal nprobe.
