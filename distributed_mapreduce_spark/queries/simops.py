@@ -646,12 +646,41 @@ QUERIES = {
 # Sampled all-pairs top-k is the brute-force verifier tier of the pair
 # scoring that dedup_q6 grades through its pruned composition — shadow
 # tier (registry.py grading cap), still parity-checked in pytest.
+def sim_q7_ivf_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_q3's probe through the MATERIALIZED serving layout
+    (operators/similarity.write_ivf_store → ivf_store_topk): the
+    vectors are written `partitionBy("cell")` into an ephemeral store
+    and the probe reads only the nprobe nearest cells' partition
+    directories — the `cell IN (...)` predicate prunes at the FILE
+    LISTING level (plan-asserted in test_similarity.py), which is the
+    read shape a 100 TB ANN index actually serves from. Same
+    deterministic index build as sim_q3, bit-identical scoring
+    contract, so the graded oracle is sim_q3's SQL verbatim."""
+    import atexit as _atexit
+    import shutil as _shutil
+
+    from distributed_mapreduce_spark.operators.similarity import (
+        ivf_store_topk,
+        train_centroids,
+        write_ivf_store,
+    )
+    from distributed_mapreduce_spark.streaming.replay import ephemeral_dir
+
+    emb = _emb(spark, sf_dir)
+    cents = train_centroids(emb)
+    store = ephemeral_dir("dmr_ivf_store_")
+    _atexit.register(_shutil.rmtree, store, ignore_errors=True)
+    write_ivf_store(emb, cents, f"{store}/t")
+    return ivf_store_topk(spark, f"{store}/t", cents, _qvec(emb), TOP_K)
+
+
 SHADOW_QUERIES = {
     "sim_q2_top_pairs": sim_q2_top_pairs,
     "dedup_q11_embedding_clusters": dedup_q11_embedding_clusters,
     "sim_q4_pq_topk": sim_q4_pq_topk,
     "sim_q5_ivfpq_topk": sim_q5_ivfpq_topk,
     "sim_q6_kmeans_census": sim_q6_kmeans_census,
+    "sim_q7_ivf_store_probe": sim_q7_ivf_store_probe,
 }
 
 
@@ -805,6 +834,9 @@ def _pq_sql() -> str:
 SHADOW_ORACLES = {
     "sim_q4_pq_topk": _pq_sql(),
     "sim_q5_ivfpq_topk": _ivfpq_sql(),
+    # the store probe computes exactly sim_q3's result through the
+    # partitioned layout — one oracle definition, two read paths
+    "sim_q7_ivf_store_probe": ORACLES["sim_q3_ivf_topk"],
     "sim_q6_kmeans_census": _kmeans_sql(),
     # Transitive closure over the same pair graph as the dedup_q6
     # oracle (recursive CTE); component label = min reachable vec id —
