@@ -239,6 +239,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """PQ encode: each vector → m small integer codes (argmin L2 to the
     subspace codebook), the 8-byte-per-vector compression that makes a
@@ -254,7 +255,11 @@ def pq_encode(
     (fixed pivot values ⇒ single pass).
 
     Scale shape: one broadcast join + two keyed aggs on (id, sub)/(id);
-    the exchange carries m rows per vector, nothing quadratic."""
+    the exchange carries m rows per vector, nothing quadratic. `carry`
+    forwards per-vector columns (functionally dependent on the id —
+    the minhash_signatures carry contract) through both aggregations
+    via first(), so e.g. the IVF cell rides along for free when
+    building the partitioned IVFADC store."""
     import functools
     import operator
 
@@ -266,7 +271,7 @@ def pq_encode(
         [(j, c, codebooks[j][c]) for j in range(m) for c in range(cb_size)],
         "sub int, code int, cvec array<double>",
     )
-    exploded = emb.select(id_col, vec_col).withColumn(
+    exploded = emb.select(id_col, vec_col, *carry).withColumn(
         "sub", F.explode(F.array(*[F.lit(j) for j in range(m)]))
     )
     diff = [
@@ -277,10 +282,13 @@ def pq_encode(
     dist = functools.reduce(operator.add, [d * d for d in diff])
     best = (
         exploded.join(F.broadcast(cb), "sub")
-        .select(id_col, "sub", "code", dist.alias("dist"))
+        .select(id_col, "sub", "code", dist.alias("dist"), *carry)
         .groupBy(id_col, "sub")
-        .agg(F.min(F.struct(F.col("dist"), F.col("code"))).alias("m"))
-        .select(id_col, "sub", F.col("m.code").alias("code"))
+        .agg(
+            F.min(F.struct(F.col("dist"), F.col("code"))).alias("m"),
+            *[F.first(c).alias(c) for c in carry],
+        )
+        .select(id_col, "sub", F.col("m.code").alias("code"), *carry)
     )
     return best.groupBy(id_col).agg(
         *[
@@ -288,7 +296,8 @@ def pq_encode(
             .cast("int")
             .alias(f"c{j}")
             for j in range(m)
-        ]
+        ],
+        *[F.first(c).alias(c) for c in carry],
     )
 
 
@@ -574,3 +583,61 @@ def ivf_store_topk(
     ]
     store = spark.read.parquet(path).where(F.col("cell").isin(probe))
     return topk_cosine_literal(store, query_vec, k, id_col, vec_col)
+
+
+def write_ivfpq_store(
+    emb: DataFrame,
+    centroids: list,
+    codebooks: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVFADC serving layout (the sim_q5 claim, made
+    literal): PQ CODES — not vectors — assigned to their IVF cell and
+    written `partitionBy("cell")`. The store holds m small ints per
+    vector instead of dim floats, and a probe reads ~nprobe/num_cells
+    of the partition directories: the only layout that shrinks on BOTH
+    the search axis (partition pruning) and the storage axis (PQ
+    compression). The cell rides through pq_encode via its carry
+    contract — no rebuild join. Keep the centroid list and codebooks
+    alongside as index metadata (num_cells·dim + m·cb_size·subdim
+    floats — KBs)."""
+    coded = pq_encode(
+        assign_cells(emb, centroids, id_col, vec_col),
+        codebooks,
+        id_col,
+        vec_col,
+        carry=("cell",),
+    )
+    coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivfpq_store_topk(
+    spark,
+    path: str,
+    centroids: list,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = DEFAULT_NPROBE,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a write_ivfpq_store layout: rank centroids driver-side,
+    partition-pruned read of the nprobe nearest cells' CODES, then ADC
+    ranking (pq_adc_topk) — the probe never touches a float vector and
+    never lists an unprobed cell's files. Results are identical to the
+    in-memory ivfpq_topk on the same index metadata (same assignment,
+    same decimal-staged ADC contract)."""
+
+    def cos(c: list[float]) -> float:
+        d = sum(x * y for x, y in zip(c, query_vec))
+        na = sum(x * x for x in c) ** 0.5
+        nb = sum(y * y for y in query_vec) ** 0.5
+        return d / (na * nb) if na * nb > 0 else 0.0
+
+    probe = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i][1]), i))[
+        :nprobe
+    ]
+    codes = spark.read.parquet(path).where(F.col("cell").isin(probe))
+    return pq_adc_topk(codes, codebooks, query_vec, k, id_col)

@@ -674,6 +674,36 @@ def sim_q7_ivf_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_store_topk(spark, f"{store}/t", cents, _qvec(emb), TOP_K)
 
 
+def sim_q8_ivfpq_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_q5's IVFADC probe through the MATERIALIZED code store
+    (write_ivfpq_store → ivfpq_store_topk): PQ codes — not vectors —
+    written partitionBy(cell); the probe partition-prunes to the
+    nprobe nearest cells and ADC-ranks without ever reading a float
+    vector (the scan's ReadSchema is the m code columns —
+    plan-asserted in test_similarity.py). Same deterministic index
+    metadata as sim_q5, so the graded oracle is sim_q5's composed SQL
+    verbatim — one definition, in-memory and serving-layout read
+    paths."""
+    import atexit as _atexit
+    import shutil as _shutil
+
+    from distributed_mapreduce_spark.operators.similarity import (
+        ivfpq_store_topk,
+        train_centroids,
+        train_pq_codebooks,
+        write_ivfpq_store,
+    )
+    from distributed_mapreduce_spark.streaming.replay import ephemeral_dir
+
+    emb = _emb(spark, sf_dir)
+    cents = train_centroids(emb)
+    cbs = train_pq_codebooks(emb, DIM)
+    store = ephemeral_dir("dmr_ivfpq_store_")
+    _atexit.register(_shutil.rmtree, store, ignore_errors=True)
+    write_ivfpq_store(emb, cents, cbs, f"{store}/t")
+    return ivfpq_store_topk(spark, f"{store}/t", cents, cbs, _qvec(emb), TOP_K)
+
+
 SHADOW_QUERIES = {
     "sim_q2_top_pairs": sim_q2_top_pairs,
     "dedup_q11_embedding_clusters": dedup_q11_embedding_clusters,
@@ -681,6 +711,7 @@ SHADOW_QUERIES = {
     "sim_q5_ivfpq_topk": sim_q5_ivfpq_topk,
     "sim_q6_kmeans_census": sim_q6_kmeans_census,
     "sim_q7_ivf_store_probe": sim_q7_ivf_store_probe,
+    "sim_q8_ivfpq_store_probe": sim_q8_ivfpq_store_probe,
 }
 
 
@@ -834,9 +865,11 @@ def _pq_sql() -> str:
 SHADOW_ORACLES = {
     "sim_q4_pq_topk": _pq_sql(),
     "sim_q5_ivfpq_topk": _ivfpq_sql(),
-    # the store probe computes exactly sim_q3's result through the
-    # partitioned layout — one oracle definition, two read paths
+    # the store probes compute exactly sim_q3's / sim_q5's results
+    # through the partitioned layouts — one oracle definition each,
+    # two read paths
     "sim_q7_ivf_store_probe": ORACLES["sim_q3_ivf_topk"],
+    "sim_q8_ivfpq_store_probe": _ivfpq_sql(),
     "sim_q6_kmeans_census": _kmeans_sql(),
     # Transitive closure over the same pair graph as the dedup_q6
     # oracle (recursive CTE); component label = min reachable vec id —

@@ -95,6 +95,46 @@ def test_ivf_store_probe_matches_in_memory_and_prunes_partitions(
     assert rs and "cell" not in rs[0], fmt
 
 
+def test_ivfpq_store_probe_matches_in_memory_and_reads_only_codes(
+    spark, emb, tmp_path
+):
+    """The IVFADC store (write_ivfpq_store → ivfpq_store_topk): same
+    result as the in-memory ivfpq_topk, the probe prunes partitions,
+    AND the scan's ReadSchema is the code columns only — the
+    storage-axis half of the claim (a probe of this layout never reads
+    a float vector)."""
+    from distributed_mapreduce_spark import plans
+    from distributed_mapreduce_spark.operators.similarity import (
+        ivfpq_store_topk,
+        ivfpq_topk,
+        train_centroids,
+        train_pq_codebooks,
+        write_ivfpq_store,
+    )
+
+    qid = 42
+    qvec = [
+        float(x) for x in emb.where(F.col("vec_id") == qid).collect()[0]["embedding"]
+    ]
+    cents = train_centroids(emb, 16)
+    cbs = train_pq_codebooks(emb, 64)
+    path = str(tmp_path / "ivfpq_store")
+    write_ivfpq_store(emb, cents, cbs, path)
+
+    mem = ivfpq_topk(emb, qvec, 10, num_cells=16, nprobe=4).collect()
+    store = ivfpq_store_topk(spark, path, cents, cbs, qvec, 10, nprobe=4)
+    got = store.collect()
+    assert [(r.vec_id, r.approx_dot) for r in got] == [
+        (r.vec_id, r.approx_dot) for r in mem
+    ]
+
+    fmt = plans.physical_plan(store, "formatted")
+    pf = [l for l in fmt.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell" in pf[0], fmt
+    rs = [l for l in fmt.splitlines() if "ReadSchema" in l]
+    assert rs and "embedding" not in rs[0] and "c0:int" in rs[0], fmt
+
+
 def test_kmeans_ivf_recall_beats_deterministic_on_clustered_data(spark):
     """The pyspark.ml KMeans centroid build (non-graded variant) must
     match-or-beat the deterministic sampling build at equal nprobe.
