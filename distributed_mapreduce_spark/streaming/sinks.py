@@ -519,6 +519,58 @@ def read_current_partitioned(
     return df
 
 
+def compact_store_partitioned(
+    spark,
+    src_path: str,
+    dst_path: str,
+    key: str,
+) -> int:
+    """Consolidate a partition-scoped CDC store: the live snapshot
+    (every partition's newest committed version, tombstones included)
+    becomes a FRESH store whose single seed version `v=-1` covers all
+    buckets — the manifest chain a reader must fold resets from
+    one-per-batch back to ONE. This is the third maintenance
+    primitive next to merge and vacuum: without it a long-lived store
+    accumulates a manifest per micro-batch and every
+    read_current_partitioned pays an O(#versions) listing+parse.
+
+    Why a NEW store rather than a new version in place: version
+    numbers are the stream's checkpoint batch ids, so any number a
+    compactor picks in the same store eventually collides with a
+    future batch id — and the colliding batch's overwrite would
+    clobber the compacted layout for every bucket it didn't touch.
+    `v=-1` is the one slot no batch ever writes, but a fresh
+    checkpoint reads manifests `< 0` — i.e. ONLY the seed — so the
+    seed slot of a fresh store is exactly where a compacted snapshot
+    belongs.
+
+    Contract: run in a maintenance window (stream stopped), then
+    resume against `dst_path` with a FRESH checkpoint. The fresh
+    checkpoint makes a file source replay its full input; re-merging
+    replayed changes onto the compacted snapshot CONVERGES (ordered
+    mode: the persisted ord gates every replayed change into a no-op;
+    unordered: the same winners re-apply in the same order —
+    ✓tested), but it costs a full re-read for sources without offset
+    tracking — at scale use an offset-tracked source started at the
+    compaction point. Returns the number of buckets seeded."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    manifests = _committed_manifests(src_path)
+    if not manifests:
+        raise FileNotFoundError(f"no committed version under {src_path}")
+    n_buckets = manifests[0][1]["n_buckets"]
+    ordered = manifests[0][1].get("ordered", False)
+    snap = read_current_partitioned(spark, src_path)
+    dst = pathlib.Path(dst_path)
+    snap.withColumn(
+        "p", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    ).write.mode("overwrite").partitionBy("p").parquet(str(dst / "v=-1"))
+    _write_manifest(dst / "v=-1", list(range(n_buckets)), n_buckets, ordered)
+    return n_buckets
+
+
 def vacuum_versions_partitioned(store_path: str, keep: int = 2) -> list[int]:
     """Reclaim partition-scoped CDC versions: a version directory is
     debris once NO partition's newest-`keep` rewrite history includes

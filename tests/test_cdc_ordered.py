@@ -382,6 +382,75 @@ def test_streaming_cdc_ordered_unpartitioned_sink(spark, tmp_path):
         )
 
 
+def test_compact_store_resets_chain_and_replay_converges(spark, tmp_path):
+    """compact_store_partitioned: the live snapshot (tombstones
+    INCLUDED — their ord watermarks must survive compaction, or
+    post-compaction replays would resurrect deleted keys) becomes a
+    fresh store's single v=-1 seed; the manifest chain a reader folds
+    drops to 1. A fresh-checkpoint resume then replays the whole feed
+    onto the compacted snapshot and converges: every replayed change
+    is gated to a no-op by its own persisted ord, and new data merges
+    normally — the final state equals a straight uncompacted run."""
+    from distributed_mapreduce_spark.streaming import event_stream
+    from distributed_mapreduce_spark.streaming.sinks import (
+        _committed_manifests,
+        compact_store_partitioned,
+        foreach_batch_cdc_merge_partitioned,
+        read_current_partitioned,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = time.time()
+    _chunk(str(src / "c1.parquet"), [(100, 1, "up", 1.0), (200, 2, "del", 0)], base)
+    _chunk(str(src / "c2.parquet"), [(150, 2, "up", 8.0), (10, 3, "up", 10.0)], base + 5)
+
+    def run(store, ckpt):
+        q = foreach_batch_cdc_merge_partitioned(
+            _to_changes(event_stream(spark, str(src))),
+            store,
+            ckpt,
+            "k",
+            n_buckets=4,
+            ordered=True,
+        )
+        q.awaitTermination()
+
+    s1 = str(tmp_path / "s1")
+    run(s1, str(tmp_path / "ckpt1"))
+    assert len(_committed_manifests(s1)) == 2  # one per batch
+
+    s2 = str(tmp_path / "s2")
+    compact_store_partitioned(spark, s1, s2, "k")
+    assert len(_committed_manifests(s2)) == 1  # the chain reset
+    # snapshot identical through compaction, tombstone included
+    assert sorted(
+        (r.k, r.v, r.ord, r.is_delete)
+        for r in read_current_partitioned(spark, s2).collect()
+    ) == sorted(
+        (r.k, r.v, r.ord, r.is_delete)
+        for r in read_current_partitioned(spark, s1).collect()
+    )
+
+    # new data arrives; resume against the compacted store with a
+    # FRESH checkpoint — the file source replays c1+c2 too
+    _chunk(
+        str(src / "c3.parquet"),
+        [(120, 2, "up", 666.0), (300, 4, "up", 4.0)],  # stale k2 + new k4
+        base + 10,
+    )
+    run(s2, str(tmp_path / "ckpt2"))
+
+    # straight uncompacted run over the full feed = the oracle
+    s3 = str(tmp_path / "s3")
+    run(s3, str(tmp_path / "ckpt3"))
+    live = lambda s: sorted(
+        (r.k, r.v)
+        for r in read_current_partitioned(spark, s, live_only=True).collect()
+    )
+    assert live(s2) == live(s3) == [(1, 1.0), (3, 10.0), (4, 4.0)]
+
+
 def test_streaming_cdc_ordered_sink_reaps_on_rewrite(spark, tmp_path):
     """Tombstone GC through the sink: a later batch that rewrites the
     tombstone's bucket (any same-bucket key) drops the expired
