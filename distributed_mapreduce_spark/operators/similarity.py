@@ -461,6 +461,26 @@ def kmeans_lloyd(
     return assign(cents).select(id_col, "cell")
 
 
+
+def _probe_cells(centroids: list, query_vec: list[float], nprobe: int) -> list[int]:
+    """Driver-side centroid ranking shared by every IVF probe tier:
+    the nprobe cells whose centroids are nearest the query by cosine,
+    lowest-index tiebreak. ONE definition on purpose — the
+    store-equals-in-memory contracts (and the reused sim_q3/sim_q5
+    oracles) depend on all probes ranking with the exact same float op
+    order and (-cos, i) tiebreak."""
+
+    def cos(c: list[float]) -> float:
+        d = sum(x * y for x, y in zip(c, query_vec))
+        na = sum(x * x for x in c) ** 0.5
+        nb = sum(y * y for y in query_vec) ** 0.5
+        return d / (na * nb) if na * nb > 0 else 0.0
+
+    return sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i][1]), i))[
+        :nprobe
+    ]
+
+
 def ivfpq_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -487,15 +507,7 @@ def ivfpq_topk(
     centroids = train_centroids(emb, num_cells, id_col, vec_col)
     indexed = assign_cells(emb, centroids, id_col, vec_col)
 
-    def cos(c: list[float]) -> float:
-        d = sum(x * y for x, y in zip(c, query_vec))
-        na = sum(x * x for x in c) ** 0.5
-        nb = sum(y * y for y in query_vec) ** 0.5
-        return d / (na * nb) if na * nb > 0 else 0.0
-
-    probe = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i][1]), i))[
-        :nprobe
-    ]
+    probe = _probe_cells(centroids, query_vec, nprobe)
     cand = indexed.where(F.col("cell").isin(probe))
     codebooks = train_pq_codebooks(emb, dim, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(cand, codebooks, id_col, vec_col)
@@ -521,13 +533,7 @@ def ivf_topk(
     centroids = trainer(emb, num_cells, id_col, vec_col)
     indexed = assign_cells(emb, centroids, id_col, vec_col)
 
-    def cos(c: list[float]) -> float:
-        d = sum(x * y for x, y in zip(c, query_vec))
-        na = sum(x * x for x in c) ** 0.5
-        nb = sum(y * y for y in query_vec) ** 0.5
-        return d / (na * nb) if na * nb > 0 else 0.0
-
-    probe = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i][1]), i))[:nprobe]
+    probe = _probe_cells(centroids, query_vec, nprobe)
     return topk_cosine(indexed.where(F.col("cell").isin(probe)), query, k, id_col, vec_col)
 
 
@@ -572,15 +578,7 @@ def ivf_store_topk(
     interactive-scale read. Results are bit-identical to ivf_topk on
     the same centroids (same assignment, same scoring contract)."""
 
-    def cos(c: list[float]) -> float:
-        d = sum(x * y for x, y in zip(c, query_vec))
-        na = sum(x * x for x in c) ** 0.5
-        nb = sum(y * y for y in query_vec) ** 0.5
-        return d / (na * nb) if na * nb > 0 else 0.0
-
-    probe = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i][1]), i))[
-        :nprobe
-    ]
+    probe = _probe_cells(centroids, query_vec, nprobe)
     store = spark.read.parquet(path).where(F.col("cell").isin(probe))
     return topk_cosine_literal(store, query_vec, k, id_col, vec_col)
 
@@ -630,14 +628,6 @@ def ivfpq_store_topk(
     in-memory ivfpq_topk on the same index metadata (same assignment,
     same decimal-staged ADC contract)."""
 
-    def cos(c: list[float]) -> float:
-        d = sum(x * y for x, y in zip(c, query_vec))
-        na = sum(x * x for x in c) ** 0.5
-        nb = sum(y * y for y in query_vec) ** 0.5
-        return d / (na * nb) if na * nb > 0 else 0.0
-
-    probe = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i][1]), i))[
-        :nprobe
-    ]
+    probe = _probe_cells(centroids, query_vec, nprobe)
     codes = spark.read.parquet(path).where(F.col("cell").isin(probe))
     return pq_adc_topk(codes, codebooks, query_vec, k, id_col)

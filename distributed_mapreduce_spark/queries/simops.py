@@ -666,9 +666,17 @@ def sim_q7_ivf_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from distributed_mapreduce_spark.streaming.replay import ephemeral_dir
 
+    import os as _os
+
     emb = _emb(spark, sf_dir)
     cents = train_centroids(emb)
-    store = ephemeral_dir("dmr_ivf_store_")
+    # the store is a full re-encode of the vectors — ask tmpfs for
+    # that much (×3: parquet re-write + partition-dir overhead) or
+    # fall back to disk; bench passes accumulate one store per call
+    # until process exit, so an unsized request would pile tmpfs full
+    # (code-review r7-final)
+    src = _os.path.getsize(_os.path.join(sf_dir, "embeddings.parquet"))
+    store = ephemeral_dir("dmr_ivf_store_", need_bytes=3 * src)
     _atexit.register(_shutil.rmtree, store, ignore_errors=True)
     write_ivf_store(emb, cents, f"{store}/t")
     return ivf_store_topk(spark, f"{store}/t", cents, _qvec(emb), TOP_K)
@@ -695,10 +703,16 @@ def sim_q8_ivfpq_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from distributed_mapreduce_spark.streaming.replay import ephemeral_dir
 
+    import os as _os
+
     emb = _emb(spark, sf_dir)
     cents = train_centroids(emb)
     cbs = train_pq_codebooks(emb, DIM)
-    store = ephemeral_dir("dmr_ivfpq_store_")
+    # codes are ~m ints/vector — far smaller than the vectors — but
+    # size the tmpfs ask off the source anyway (codes + footer +
+    # partition dirs); accumulation caveat as in sim_q7
+    src = _os.path.getsize(_os.path.join(sf_dir, "embeddings.parquet"))
+    store = ephemeral_dir("dmr_ivfpq_store_", need_bytes=src)
     _atexit.register(_shutil.rmtree, store, ignore_errors=True)
     write_ivfpq_store(emb, cents, cbs, f"{store}/t")
     return ivfpq_store_topk(spark, f"{store}/t", cents, cbs, _qvec(emb), TOP_K)

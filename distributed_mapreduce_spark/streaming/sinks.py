@@ -170,12 +170,17 @@ def foreach_batch_cdc_merge(
             base = spark.read.parquet(f"{store_path}/v={max(committed)}")
             # mode guard (no manifest in this layout): the snapshot
             # schema IS the mode — refuse a resume that would silently
-            # drop (or fabricate) the ord/tombstone columns.
-            has_ord = ord_col in base.columns
-            if has_ord != ordered:
+            # drop (or fabricate) the ord/tombstone columns. Compared
+            # as the exact expected column SET, not mere ord-column
+            # presence, so an unordered payload that legitimately
+            # contains a column named like ord_col is not
+            # misclassified (code-review r7-final).
+            if set(base.columns) != set(snapshot_cols):
                 raise ValueError(
-                    f"store {store_path} was maintained with "
-                    f"ordered={has_ord}; resume with the same mode"
+                    f"store {store_path} snapshot columns "
+                    f"{sorted(base.columns)} do not match this sink's "
+                    f"ordered={ordered} schema {sorted(snapshot_cols)}; "
+                    "resume with the mode the store was maintained in"
                 )
             base = base.select(*snapshot_cols)
         else:
@@ -198,7 +203,11 @@ def foreach_batch_cdc_merge(
 
 
 def _write_manifest(
-    version_dir, touched: list[int], n_buckets: int, ordered: bool = False
+    version_dir,
+    touched: list[int],
+    n_buckets: int,
+    ordered: bool = False,
+    key: str | None = None,
 ) -> None:
     """Atomic commit marker for a partition-scoped CDC version: a
     driver-written `_touched.json` via temp+rename — the reference's
@@ -215,7 +224,12 @@ def _write_manifest(
     tmp = version_dir / "_touched.json.tmp"
     tmp.write_text(
         json.dumps(
-            {"touched": sorted(touched), "n_buckets": n_buckets, "ordered": ordered}
+            {
+                "touched": sorted(touched),
+                "n_buckets": n_buckets,
+                "ordered": ordered,
+                "key": key,
+            }
         )
     )
     os.replace(tmp, version_dir / "_touched.json")
@@ -359,6 +373,12 @@ def foreach_batch_cdc_merge_partitioned(
                 f"store {store_path} was built with ordered={have_ordered}; "
                 f"the snapshot schema must stay stable (got ordered={ordered})"
             )
+        have_key = committed[0][1].get("key")
+        if have_key is not None and have_key != key:
+            raise ValueError(
+                f"store {store_path} routes on key={have_key!r}; hash "
+                f"routing must stay stable (got key={key!r})"
+            )
     elif init is not None:
         # Seed the base as committed version v=-1, partitioned;
         # touched = ALL buckets so every partition's baseline is
@@ -389,7 +409,7 @@ def foreach_batch_cdc_merge_partitioned(
         seed.withColumn("p", bucket(F.col(key))).write.mode(
             "overwrite"
         ).partitionBy("p").parquet(str(store / "v=-1"))
-        _write_manifest(store / "v=-1", list(range(n_buckets)), n_buckets, ordered)
+        _write_manifest(store / "v=-1", list(range(n_buckets)), n_buckets, ordered, key)
 
     payload_cols = (
         init.columns
@@ -444,7 +464,7 @@ def foreach_batch_cdc_merge_partitioned(
             merged.withColumn("p", bucket(F.col(key))).write.mode(
                 "overwrite"
             ).partitionBy("p").parquet(str(store / f"v={batch_id}"))
-            _write_manifest(store / f"v={batch_id}", touched, n_buckets, ordered)
+            _write_manifest(store / f"v={batch_id}", touched, n_buckets, ordered, key)
         finally:
             df.unpersist()
 
@@ -453,7 +473,7 @@ def foreach_batch_cdc_merge_partitioned(
         # the version sequence stays dense for debugging; readers and
         # redelivery are indifferent.
         (store / f"v={batch_id}").mkdir(parents=True, exist_ok=True)
-        _write_manifest(store / f"v={batch_id}", [], n_buckets, ordered)
+        _write_manifest(store / f"v={batch_id}", [], n_buckets, ordered, key)
 
     return (
         changes.writeStream.foreachBatch(write_batch)
@@ -523,7 +543,7 @@ def compact_store_partitioned(
     spark,
     src_path: str,
     dst_path: str,
-    key: str,
+    key: str | None = None,
 ) -> int:
     """Consolidate a partition-scoped CDC store: the live snapshot
     (every partition's newest committed version, tombstones included)
@@ -552,7 +572,14 @@ def compact_store_partitioned(
     unordered: the same winners re-apply in the same order —
     ✓tested), but it costs a full re-read for sources without offset
     tracking — at scale use an offset-tracked source started at the
-    compaction point. Returns the number of buckets seeded."""
+    compaction point. Returns the number of buckets seeded.
+
+    The routing key is read from the store's own manifests (the sinks
+    pin it there alongside n_buckets/ordered) — compacting with the
+    wrong key would silently scatter every row into the wrong bucket,
+    so it is not a free parameter; pass `key` only for stores written
+    before the manifests carried it, and it must then match any
+    pinned value."""
     import pathlib
 
     from pyspark.sql import functions as F
@@ -560,14 +587,43 @@ def compact_store_partitioned(
     manifests = _committed_manifests(src_path)
     if not manifests:
         raise FileNotFoundError(f"no committed version under {src_path}")
-    n_buckets = manifests[0][1]["n_buckets"]
-    ordered = manifests[0][1].get("ordered", False)
-    snap = read_current_partitioned(spark, src_path)
+    meta = manifests[0][1]
+    n_buckets = meta["n_buckets"]
+    ordered = meta.get("ordered", False)
+    pinned = meta.get("key")
+    if pinned is not None and key is not None and pinned != key:
+        raise ValueError(
+            f"store {src_path} routes on key={pinned!r}; got key={key!r}"
+        )
+    key = pinned if pinned is not None else key
+    if key is None:
+        raise ValueError(
+            f"store {src_path} predates key-pinned manifests; pass key= "
+            "explicitly (it must be the key the sink routed on)"
+        )
+    # one manifest scan serves the invariants above AND the snapshot
+    # paths below — the chain this function exists to shorten is not
+    # walked twice (code-review r7-final)
+    current: dict[int, int] = {}
+    for v, manifest in manifests:
+        for p in manifest["touched"]:
+            current[p] = v
+    store = pathlib.Path(src_path)
+    paths = [
+        str(store / f"v={v}" / f"p={p}")
+        for p, v in current.items()
+        if (store / f"v={v}" / f"p={p}").exists()
+    ]
+    if not paths:
+        raise FileNotFoundError(
+            f"store {src_path} has no surviving rows or files to compact"
+        )
+    snap = spark.read.parquet(*paths)
     dst = pathlib.Path(dst_path)
     snap.withColumn(
         "p", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
     ).write.mode("overwrite").partitionBy("p").parquet(str(dst / "v=-1"))
-    _write_manifest(dst / "v=-1", list(range(n_buckets)), n_buckets, ordered)
+    _write_manifest(dst / "v=-1", list(range(n_buckets)), n_buckets, ordered, key)
     return n_buckets
 
 

@@ -450,6 +450,53 @@ def test_compact_store_resets_chain_and_replay_converges(spark, tmp_path):
     )
     assert live(s2) == live(s3) == [(1, 1.0), (3, 10.0), (4, 4.0)]
 
+    # the routing key is pinned in the manifests: a mismatched key
+    # refuses instead of silently scattering rows into wrong buckets
+    with pytest.raises(ValueError, match="routes on key"):
+        compact_store_partitioned(spark, s1, str(tmp_path / "bad"), "v")
+
+
+def test_compact_store_unordered_replay_converges(spark, tmp_path):
+    """The unordered half of the compaction convergence claim: a fresh
+    checkpoint replays the whole in-order feed onto the compacted
+    snapshot, the same winners re-apply in the same order, and the
+    final state equals a straight run (the unordered snapshot has no
+    tombstones — deletes replay as deletes)."""
+    from distributed_mapreduce_spark.streaming import event_stream
+    from distributed_mapreduce_spark.streaming.sinks import (
+        _committed_manifests,
+        compact_store_partitioned,
+        foreach_batch_cdc_merge_partitioned,
+        read_current_partitioned,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = time.time()
+    _chunk(str(src / "c1.parquet"), [(1, 1, "up", 1.0), (2, 2, "up", 2.0)], base)
+    _chunk(str(src / "c2.parquet"), [(3, 2, "del", 0), (4, 3, "up", 3.0)], base + 5)
+
+    def run(store, ckpt):
+        q = foreach_batch_cdc_merge_partitioned(
+            _to_changes(event_stream(spark, str(src))), store, ckpt, "k", n_buckets=4
+        )
+        q.awaitTermination()
+
+    s1 = str(tmp_path / "s1")
+    run(s1, str(tmp_path / "ckpt1"))
+    s2 = str(tmp_path / "s2")
+    compact_store_partitioned(spark, s1, s2)  # key comes from the manifest
+    assert len(_committed_manifests(s2)) == 1
+
+    _chunk(str(src / "c3.parquet"), [(5, 1, "up", 9.0), (6, 4, "up", 4.0)], base + 10)
+    run(s2, str(tmp_path / "ckpt2"))
+    s3 = str(tmp_path / "s3")
+    run(s3, str(tmp_path / "ckpt3"))
+    snap = lambda s: sorted(
+        (r.k, r.v) for r in read_current_partitioned(spark, s).collect()
+    )
+    assert snap(s2) == snap(s3) == [(1, 9.0), (3, 3.0), (4, 4.0)]
+
 
 def test_streaming_cdc_ordered_sink_reaps_on_rewrite(spark, tmp_path):
     """Tombstone GC through the sink: a later batch that rewrites the
