@@ -94,10 +94,64 @@ def merge_partials(partials: DataFrame, keys: list[str], measures: Measures) -> 
     LSM-style sibling of refresh_rollup. Writers append partials under
     `batch=<id>/` with overwrite (idempotent on redelivery — see
     streaming/sinks.foreach_batch_rollup_partials); readers fold them
-    with the merge form of each measure. Periodically compact by
-    writing merge_partials(...) back as a single base partial — the
-    fold is associative, so base+new merges stay exact."""
+    with the merge form of each measure. Periodically compact with
+    compact_partials below — the fold is associative, so base+new
+    merges stay exact."""
     return partials.groupBy(*keys).agg(*_aggs(measures, merge=True))
+
+
+def compact_partials(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    keys: list[str],
+    measures: Measures,
+    keep: int = 2,
+) -> list[int]:
+    """Compact a per-batch partials store (the
+    streaming/sinks.foreach_batch_rollup_partials layout) into a fresh
+    store: every batch directory EXCEPT the newest `keep` is folded —
+    with the merge form of each measure — into one base partial
+    written under the smallest folded batch id; the kept directories
+    are copied byte-verbatim. merge-at-read over the compacted store
+    equals the original bit-for-bit (the fold is associative — ✓test),
+    but the reader now lists O(keep+1) directories instead of one per
+    batch ever ingested.
+
+    Why a NEW store and why `keep`: the writer's exactly-once story is
+    idempotent per-batch overwrite, so a crashed batch N may be
+    redelivered and rewrite `batch=N` — folding a batch that can still
+    be redelivered would double-count it when the redelivery recreates
+    its directory. Only the newest `keep` (≥2, the vacuum_versions
+    window) are still in that window; everything older is final. And
+    an in-place fold has no safe ordering: writing the folded sum
+    before deleting the folded dirs over-counts on crash, deleting
+    first loses data. A fresh store leaves `src_path` untouched until
+    the caller atomically swaps paths in the maintenance window
+    (writer stopped); a crash mid-compaction means rerun, nothing
+    lost. Returns the folded batch ids."""
+    import pathlib
+    import shutil
+
+    if keep < 2:
+        raise ValueError("keep < 2 breaks crash-redelivery (see docstring)")
+    src = pathlib.Path(src_path)
+    dst = pathlib.Path(dst_path)
+    batches = sorted(
+        int(p.name.split("=", 1)[1]) for p in src.glob("batch=*") if p.is_dir()
+    )
+    fold_ids = batches[:-keep] if len(batches) > keep else []
+    dst.mkdir(parents=True, exist_ok=True)
+    if fold_ids:
+        folded = merge_partials(
+            spark.read.parquet(*[str(src / f"batch={b}") for b in fold_ids]),
+            keys,
+            measures,
+        )
+        folded.write.mode("overwrite").parquet(str(dst / f"batch={fold_ids[0]}"))
+    for b in batches[len(fold_ids):]:
+        shutil.copytree(src / f"batch={b}", dst / f"batch={b}")
+    return fold_ids
 
 
 def refresh_rollup(

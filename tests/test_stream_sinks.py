@@ -132,6 +132,78 @@ def test_streaming_rollup_partials_equal_batch_rollup(spark, tmp_path):
     assert merged() == before
 
 
+def test_compact_partials_preserves_fold_and_redelivery_window(spark, tmp_path):
+    """compact_partials: fold all-but-the-newest-keep batch partials
+    into one base dir in a FRESH store. merge-at-read over the
+    compacted store equals the original bit-for-bit (decimal measure);
+    the kept directories are byte-verbatim copies, so a redelivery of
+    a still-in-window batch rewrites its own dir exactly as before
+    compaction (the double-count hazard of folding an
+    outside-the-window batch cannot arise)."""
+    import hashlib
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.operators.incremental import (
+        compact_partials,
+        merge_partials,
+    )
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_rollup_partials,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    base = time.time()
+    # 4 chunks -> 4 batch partials: 2 folded + keep=2 kept
+    for i, ids in enumerate([[1, 2, 3], [10, 11], [4, 5], [2, 10]]):
+        chunk(str(src / f"c{i}.parquet"), ids, base + 5 * i)
+
+    keys = ["user_id", "event_type"]
+    measures = {"n": ("count", None), "total": ("sum", "v")}
+
+    def prep(df):
+        return df.withColumn("v", F.col("value").cast("decimal(18,4)"))
+
+    q = foreach_batch_rollup_partials(
+        prep(event_stream(spark, str(src))), store, str(tmp_path / "ckpt"), keys, measures
+    )
+    q.awaitTermination()
+    assert len(list(pathlib.Path(store).glob("batch=*"))) == 4
+
+    def merged(path):
+        return {
+            (r.user_id, r.event_type): (r.n, r.total)
+            for r in merge_partials(
+                spark.read.parquet(path), keys, measures
+            ).collect()
+        }
+
+    dst = str(tmp_path / "compacted")
+    folded = compact_partials(spark, store, dst, keys, measures, keep=2)
+    assert folded == [0, 1]
+    dirs = sorted(p.name for p in pathlib.Path(dst).glob("batch=*"))
+    assert dirs == ["batch=0", "batch=2", "batch=3"]
+    assert merged(dst) == merged(store)
+
+    # kept dirs are byte-verbatim (the redelivery window is intact)
+    def md5s(root, name):
+        return {
+            p.name: hashlib.md5(p.read_bytes()).hexdigest()
+            for p in (pathlib.Path(root) / name).glob("*.parquet")
+        }
+
+    for name in ("batch=2", "batch=3"):
+        assert md5s(dst, name) == md5s(store, name)
+
+    # nothing to fold (<= keep batches): pure copy, no batch=<id> merge
+    dst2 = str(tmp_path / "compacted2")
+    assert compact_partials(spark, dst, dst2, keys, measures, keep=3) == []
+    assert merged(dst2) == merged(store)
+
+
 def test_streaming_cdc_merge_maintains_table(spark, tmp_path):
     """Streaming MERGE INTO (foreach_batch_cdc_merge): a replayed
     change stream — upserts, updates, delete tombstones — maintains a
