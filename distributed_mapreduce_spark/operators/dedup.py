@@ -217,6 +217,60 @@ def band_rows(
     ).select("id", "bb.band", "bb.bucket")
 
 
+def write_lsh_band_index(
+    sig: DataFrame,
+    table_name: str,
+    n_buckets: int = 32,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> None:
+    """Materialize band_rows' docstring ("at scale it is written out
+    bucketed by (band, bucket)") as an actual serving index: the
+    (id, band, bucket) rows saved as a table BUCKETED on
+    (band, bucket) — the probe join's exact key set — and sorted
+    within buckets. The one shuffle this layout ever pays happens
+    here, at write time."""
+    (
+        band_rows(sig, num_hashes, bands)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .saveAsTable(table_name)
+    )
+
+
+def probe_lsh_band_index(
+    spark,
+    table_name: str,
+    new_sig: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Candidate pairs between an incoming batch and a maintained
+    write_lsh_band_index store: batch band-rows ⋈ index on
+    (band, bucket). Because the store is bucketed on precisely the
+    join keys, its scan satisfies the join's required distribution
+    AS STORED — the plan shuffles ONLY the batch side into the
+    store's bucket count; the corpus-sized index is never exchanged
+    (✓plan-asserted). Returns (id_i, id_j) with id_i = the batch id —
+    the batch↔store half of incremental_minhash_pairs' candidate
+    generation; batch-internal candidates come from
+    lsh_candidate_pairs on the batch alone, and candidates feed the
+    usual exact verification."""
+    nb = band_rows(new_sig, num_hashes, bands).alias("a")
+    idx = spark.table(table_name).alias("b")
+    return (
+        nb.join(
+            idx,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_i"), F.col("b.id").alias("id_j"))
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS
 ) -> DataFrame:
