@@ -217,6 +217,21 @@ def band_rows(
     ).select("id", "bb.band", "bb.bucket")
 
 
+def _band_bucket_join(a_rows: DataFrame, b_rows: DataFrame) -> DataFrame:
+    """THE banding join, defined once: two (id, band, bucket) frames
+    joined on (band, bucket) — a pair is a candidate iff some band
+    agrees on all r minhashes. All three candidate generators (corpus
+    self-join, maintained-index probe, incremental batch↔store cross)
+    route through this condition, so a change to the banding contract
+    (e.g. a signature-version column joining the key) lands in one
+    place. Callers apply their own id predicate / orientation."""
+    return a_rows.alias("a").join(
+        b_rows.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket")),
+    )
+
+
 def write_lsh_band_index(
     sig: DataFrame,
     table_name: str,
@@ -229,7 +244,27 @@ def write_lsh_band_index(
     (id, band, bucket) rows saved as a table BUCKETED on
     (band, bucket) — the probe join's exact key set — and sorted
     within buckets. The one shuffle this layout ever pays happens
-    here, at write time."""
+    here, at write time.
+
+    Bucketing metadata lives in the CATALOG (a path-based read cannot
+    expose the distribution), so a production deployment backs the
+    catalog with a real metastore (Hive/Glue) to make the index
+    survive driver restarts. Under this repo's in-memory catalog the
+    table entry dies with the session while its warehouse directory
+    does not — that orphaned location would brick every later
+    re-create with LOCATION_ALREADY_EXISTS (reproduced in review), so
+    after the DROP the default managed location is cleared before
+    writing. Single-part table names only (no custom database)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = sig.sparkSession
+    if "." in table_name:
+        raise ValueError("single-part table names only (default database)")
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, table_name.lower()), ignore_errors=True)
     (
         band_rows(sig, num_hashes, bands)
         .write.mode("overwrite")
@@ -257,15 +292,9 @@ def probe_lsh_band_index(
     generation; batch-internal candidates come from
     lsh_candidate_pairs on the batch alone, and candidates feed the
     usual exact verification."""
-    nb = band_rows(new_sig, num_hashes, bands).alias("a")
-    idx = spark.table(table_name).alias("b")
     return (
-        nb.join(
-            idx,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") != F.col("b.id")),
-        )
+        _band_bucket_join(band_rows(new_sig, num_hashes, bands), spark.table(table_name))
+        .where(F.col("a.id") != F.col("b.id"))
         .select(F.col("a.id").alias("id_i"), F.col("b.id").alias("id_j"))
         .distinct()
     )
@@ -278,15 +307,9 @@ def lsh_candidate_pairs(
     (band, hash-of-rows): a pair is a candidate iff some band agrees on
     all r minhashes. Never materializes the full pair space."""
     br = band_rows(sig, num_hashes, bands)
-    a = br.alias("a")
-    b = br.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        _band_bucket_join(br, br)
+        .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_i"), F.col("b.id").alias("id_j"))
         .distinct()
     )
@@ -384,17 +407,9 @@ def incremental_minhash_pairs(
     store_bands = band_rows(
         sig.where(~F.col(new_col)).select("id", "sig"), num_hashes, bands
     )
-    cross = (
-        new_bands.alias("a")
-        .join(
-            store_bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket")),
-        )
-        .select(
-            F.least(F.col("a.id"), F.col("b.id")).alias("id_i"),
-            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_j"),
-        )
+    cross = _band_bucket_join(new_bands, store_bands).select(
+        F.least(F.col("a.id"), F.col("b.id")).alias("id_i"),
+        F.greatest(F.col("a.id"), F.col("b.id")).alias("id_j"),
     )
     internal = lsh_candidate_pairs(new_sig, num_hashes, bands)
     cands = cross.unionByName(internal).distinct()

@@ -114,9 +114,22 @@ def compact_partials(
     with the merge form of each measure — into one base partial
     written under the smallest folded batch id; the kept directories
     are copied byte-verbatim. merge-at-read over the compacted store
-    equals the original bit-for-bit (the fold is associative — ✓test),
-    but the reader now lists O(keep+1) directories instead of one per
+    equals the original bit-for-bit for deterministic-merge measure
+    kinds — count/sum/min/max/hll (✓test); a `kll` sketch's merged
+    BYTES vary with the merge tree (see _KINDS), so compaction keeps
+    its estimates within the sketch's error bound but not byte-stable.
+    The reader now lists O(keep+1) directories instead of one per
     batch ever ingested.
+
+    The folded frame is cast back to the stored partials' exact
+    schema before writing: Spark's sum over decimal widens the type
+    (e.g. decimal(28,4) → decimal(38,4)), and a store with
+    heterogeneous parquet schemas hard-fails at read time whenever
+    the inferred-first directory is the narrow one
+    (PARQUET_COLUMN_DATA_TYPE_MISMATCH — reproduced in review). A
+    folded value that genuinely overflows the stored type would cast
+    to NULL, silently corrupting the base — that case raises
+    instead.
 
     Why a NEW store and why `keep`: the writer's exactly-once story is
     idempotent per-batch overwrite, so a crashed batch N may be
@@ -143,14 +156,40 @@ def compact_partials(
     fold_ids = batches[:-keep] if len(batches) > keep else []
     dst.mkdir(parents=True, exist_ok=True)
     if fold_ids:
-        folded = merge_partials(
-            spark.read.parquet(*[str(src / f"batch={b}") for b in fold_ids]),
-            keys,
-            measures,
-        )
-        folded.write.mode("overwrite").parquet(str(dst / f"batch={fold_ids[0]}"))
+        import functools
+        import operator
+
+        stored = spark.read.parquet(*[str(src / f"batch={b}") for b in fold_ids])
+        folded = merge_partials(stored, keys, measures)
+        # cast back to the stored schema; refuse silent overflow-to-NULL
+        types = {f.name: f.dataType for f in stored.schema}
+        meas = [n for n in types if n not in keys]
+        # try_cast: NULL-on-overflow under ANSI and legacy modes alike
+        # (a plain cast would throw an opaque executor
+        # ArithmeticException mid-guard under ANSI)
+        bad = folded.where(
+            functools.reduce(
+                operator.or_,
+                [
+                    F.col(c).isNotNull() & F.col(c).try_cast(types[c]).isNull()
+                    for c in meas
+                ],
+            )
+        ).count()
+        if bad:
+            raise ValueError(
+                f"{bad} folded row(s) overflow the stored partial schema; "
+                "widen the measure's stored type before compacting"
+            )
+        folded.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in stored.schema]
+        ).write.mode("overwrite").parquet(str(dst / f"batch={fold_ids[0]}"))
     for b in batches[len(fold_ids):]:
-        shutil.copytree(src / f"batch={b}", dst / f"batch={b}")
+        tgt = dst / f"batch={b}"
+        # re-runnable after a mid-compaction crash: replace, never mix
+        # a partial copy with a fresh one
+        shutil.rmtree(tgt, ignore_errors=True)
+        shutil.copytree(src / f"batch={b}", tgt)
     return fold_ids
 
 

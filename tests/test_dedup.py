@@ -283,7 +283,11 @@ def test_lsh_band_index_store_probe(spark, docs):
                 d = dd
         else:
             raise AssertionError(f"no join above the store scan:\n{plan}")
-        # and the batch side DOES shuffle into the store's distribution
-        assert "Exchange hashpartitioning" in plan, plan
+        # and the batch side DOES shuffle into the store's
+        # distribution — anchored on the BAND columns so the distinct's
+        # (id_i, id_j) exchange cannot satisfy this vacuously
+        import re as _re
+
+        assert _re.search(r"Exchange hashpartitioning\(band#", plan), plan
     finally:
         spark.sql("DROP TABLE IF EXISTS lsh_idx")

@@ -198,10 +198,41 @@ def test_compact_partials_preserves_fold_and_redelivery_window(spark, tmp_path):
     for name in ("batch=2", "batch=3"):
         assert md5s(dst, name) == md5s(store, name)
 
+    # the folded base carries the STORED schema, not sum's widened
+    # decimal — a heterogeneous store hard-fails at read whenever the
+    # narrow dir is inferred first (review-reproduced)
+    assert (
+        spark.read.parquet(f"{dst}/batch=0").schema
+        == spark.read.parquet(f"{dst}/batch=2").schema
+    )
+
     # nothing to fold (<= keep batches): pure copy, no batch=<id> merge
     dst2 = str(tmp_path / "compacted2")
     assert compact_partials(spark, dst, dst2, keys, measures, keep=3) == []
     assert merged(dst2) == merged(store)
+
+    # re-runnable after a mid-compaction crash: a partially-copied
+    # kept dir is replaced, never mixed
+    (pathlib.Path(dst2) / "batch=3").joinpath("junk.parquet").unlink(missing_ok=True)
+    assert compact_partials(spark, dst, dst2, keys, measures, keep=3) == []
+    assert merged(dst2) == merged(store)
+
+    # a fold whose sum genuinely overflows the stored decimal refuses
+    # instead of writing NULLs into the base
+    tiny = tmp_path / "tiny"
+    for b, vals in enumerate([[("a", "99.99")], [("a", "99.99")], [("a", "1.00")], [("a", "1.00")]]):
+        spark.createDataFrame(
+            vals, "k string, total string"
+        ).selectExpr("k", "CAST(total AS DECIMAL(4,2)) AS total").write.mode(
+            "overwrite"
+        ).parquet(str(tiny / f"batch={b}"))
+    import pytest
+
+    with pytest.raises(ValueError, match="overflow"):
+        compact_partials(
+            spark, str(tiny), str(tmp_path / "tiny_c"), ["k"],
+            {"total": ("sum", "total")}, keep=2,
+        )
 
 
 def test_streaming_cdc_merge_maintains_table(spark, tmp_path):
