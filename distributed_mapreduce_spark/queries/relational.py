@@ -513,6 +513,16 @@ def rel_q19_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL = {
+    "rel_q20_zorder_scan": """
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_partkey BETWEEN 1 AND 100 AND l_quantity BETWEEN 10 AND 19
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     "rel_q19_above_nation_avg": """
         SELECT n.n_name AS nation,
                count(*) AS n_above,
@@ -755,6 +765,50 @@ _SQL["rel_q8_grouping_multi"] = f"""
     FROM ({_SQL["rel_q14_grouping_sets"]})
 """
 
+def rel_q20_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a conjunctive range predicate served from a
+    Z-ORDERED layout (sources/layout.write_zordered → manifest.
+    read_pruned_multi): lineitem is rewritten clustered on the
+    space-filling curve over (l_partkey, l_quantity) — two columns a
+    LINEAR sort can't serve simultaneously — and the read prunes files
+    whose zone hyper-rectangle misses either range before any IO.
+    At 100 TB this is the Delta/Iceberg OPTIMIZE ZORDER pattern: the
+    rewrite costs one range-partition shuffle (a compaction pass the
+    dataset needs anyway) and buys file-level skipping on every
+    z-column for every reader after it. The layout can only change
+    WHICH files are read, never the rows — so the graded oracle is the
+    plain filtered aggregate, and the query hard-fails if the pruner
+    ever reads a superset it shouldn't (parity does that implicitly).
+    """
+    import atexit as _atexit
+    import os as _os
+    import shutil as _shutil
+
+    from distributed_mapreduce_spark.sources.layout import write_zordered
+    from distributed_mapreduce_spark.sources.manifest import read_pruned_multi
+    from distributed_mapreduce_spark.streaming.replay import ephemeral_dir
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_returnflag", "l_extendedprice"
+    )
+    src = _os.path.getsize(_os.path.join(sf_dir, "lineitem.parquet"))
+    store = ephemeral_dir("dmr_zorder_", need_bytes=3 * src)
+    _atexit.register(_shutil.rmtree, store, ignore_errors=True)
+    write_zordered(li, f"{store}/t", ["l_partkey", "l_quantity"], bits=5, n_files=16)
+    pruned, _read, _total = read_pruned_multi(
+        spark, f"{store}/t", {"l_partkey": (1, 100), "l_quantity": (10, 19)}
+    )
+    return (
+        pruned.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            money(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            money(F.sum(dec("l_extendedprice"))).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "rel_q15_percentiles": rel_q15_percentiles,
     "rel_q1_pricing_summary": rel_q1_pricing_summary,
@@ -782,6 +836,7 @@ SHADOW_QUERIES = {
     "rel_q17_histogram": rel_q17_histogram,
     "rel_q18_cdc_merge": rel_q18_cdc_merge,
     "rel_q19_above_nation_avg": rel_q19_above_nation_avg,
+    "rel_q20_zorder_scan": rel_q20_zorder_scan,
 }
 
 ORACLES = {name: _SQL[name] for name in QUERIES}

@@ -172,3 +172,45 @@ def read_pruned(
         .where(F.col(col).between(lo, hi))
     )
     return df, len(keep), total
+
+
+def read_pruned_multi(
+    spark: SparkSession, dataset_path: str, preds: dict[str, tuple]
+) -> tuple[DataFrame, int, int]:
+    """Conjunctive zone pruning: `AND` of `col BETWEEN lo AND hi` over
+    several columns; a file is skipped if ANY predicate's range misses
+    its zone (soundness per column as in read_pruned, so the
+    conjunction is sound too). This is the reader that makes a
+    Z-ORDERED layout (sources/layout.write_zordered) pay off: each
+    file covers a hyper-rectangle, so a multi-column predicate skips
+    multiplicatively more files than any single column alone. Missing
+    zones always read; residual filters always applied."""
+    from pyspark.sql import functions as F
+
+    if not preds:
+        raise ValueError("preds must be non-empty")
+    base = pathlib.Path(dataset_path)
+    manifest = json.loads((base / MANIFEST_NAME).read_text())
+    keep = []
+    for rel, stats in manifest.items():
+        drop = False
+        for col, (lo, hi) in preds.items():
+            z = stats.get(col)
+            if z is None:
+                continue
+            zlo, zhi = _decode(z[0]), _decode(z[1])
+            if zhi < lo or zlo > hi:
+                drop = True
+                break
+        if not drop:
+            keep.append(str(base / rel))
+    total = len(manifest)
+    residual = None
+    for col, (lo, hi) in preds.items():
+        c = F.col(col).between(lo, hi)
+        residual = c if residual is None else residual & c
+    if not keep:
+        df = spark.read.parquet(str(base)).where(F.lit(False))
+        return df.where(residual), 0, total
+    df = spark.read.option("basePath", str(base)).parquet(*keep).where(residual)
+    return df, len(keep), total
