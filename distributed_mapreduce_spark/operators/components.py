@@ -185,12 +185,20 @@ def pagerank(
     )
     deg = und.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint()
     n = deg.count()
+    # Fold the STATIC deg table into the edge list once, partitioned on
+    # the join key: deg never changes across rounds, so joining it
+    # inside the loop paid an extra join (and its exchange) per
+    # iteration for nothing. The checkpointed (u, v, deg) list keeps
+    # its hash partitioning, so each round's join re-shuffles only the
+    # rank table — the side that actually changed. Same arithmetic,
+    # same rounding, bit-identical ranks (the DuckDB oracle replay is
+    # unchanged).
+    und = und.join(deg, "u").repartition("u").localCheckpoint()
     r = deg.select(F.col("u").alias("id"), F.lit(1.0 / n).alias("r"))
     base = (1.0 - damping) / n
     for _ in range(iters):
         contrib = (
             und.join(r.withColumnRenamed("id", "u"), "u")
-            .join(deg, "u")
             .select(
                 F.col("v").alias("id"),
                 F.round(F.col("r") / F.col("deg"), 12)
