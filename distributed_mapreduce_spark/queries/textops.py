@@ -684,6 +684,66 @@ def text_q8_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_TERMS = 3
+
+
+def text_q14_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k terms by Okapi BM25 — the retrieval-grade
+    relevance score a curation pipeline uses where TF-IDF (text_q8)
+    saturates: BM25's tf term is bounded (k1) and normalized by
+    document length (b·dl/avgdl), so boilerplate-length outliers don't
+    dominate term importance. score = idf(t) · tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl)) with the non-negative idf
+    ln((N − df + 0.5)/(df + 0.5) + 1); ranks on the ROUNDED score with
+    a token tiebreak (the text_q8 discipline, so engine fp ties cannot
+    flip ranks).
+
+    Scale shape: identical to text_q8 plus one doc-keyed length table —
+    tf agg on (doc, term), vocabulary-sized df table (AQE broadcasts),
+    dl re-aggregated from tf (never a second pass over raw tokens),
+    one per-document window for top-k. N and avgdl arrive as driver
+    scalars (a metadata count + one 1-row sum over the dl agg — the
+    bounded kind)."""
+    from pyspark.sql import Window
+
+    n_docs = table(spark, sf_dir, "documents").count()
+    docs = widen(table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    # dl from tf, not from raw tokens: same numbers, half the work;
+    # persisted because three consumers (dfq join, dl, avgdl) hang off it
+    tf = tf.localCheckpoint()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    total_tokens = dl.agg(F.sum("dl")).collect()[0][0]
+    avgdl = float(total_tokens) / float(n_docs)
+    dfq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_part = F.col("tf") * F.lit(BM25_K1 + 1.0)
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl)
+    )
+    scored = (
+        tf.join(dfq, "tok")
+        .join(dl, "doc_id")
+        .select("doc_id", "tok", F.round(idf * tf_part / denom, 6).alias("bm25"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= BM25_TOP_TERMS)
+        .select("doc_id", "tok", "bm25", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
 def dedup_q10_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix: near-dup pair counts per
     unordered source pair — the corpus-provenance analytics that tells
@@ -1113,6 +1173,7 @@ SHADOW_QUERIES = {
     "dedup_q13_pagerank": dedup_q13_pagerank,
     "dedup_q14_edit_distance": dedup_q14_edit_distance,
     "dedup_q15_incremental_lsh": dedup_q15_incremental_lsh,
+    "text_q14_bm25": text_q14_bm25,
 }
 
 # SPAN_N-gram concat expression for the dedup_q9 oracle (i is the
@@ -1120,6 +1181,40 @@ SHADOW_QUERIES = {
 _SPAN_GRAM_SQL = " || ' ' || ".join(f"ts[i+{off}]" for off in range(SPAN_N))
 
 SHADOW_ORACLES = {
+    # Mirrors text_q14_bm25 stage by stage: tf per (doc, tok), df and
+    # dl re-aggregated FROM tf, N/avgdl as scalars (exact-int double
+    # division — identical IEEE on both engines), the same
+    # fixed-order double score expression rounded to 6, rank on the
+    # rounded score with the token tiebreak.
+    "text_q14_bm25": f"""
+        WITH tf AS (
+            SELECT doc_id, tok, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)
+            GROUP BY 1, 2
+        ),
+        dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        stats AS (
+            SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+                   CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+                       / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.tok,
+                   round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                         * (tf * {BM25_K1 + 1.0!r})
+                         / (tf + {BM25_K1!r} * (1.0 - {BM25_B!r}
+                                                + {BM25_B!r} * dl / avgdl)),
+                         6) AS bm25
+            FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+        )
+        SELECT doc_id, tok, bm25, rk FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY bm25 DESC, tok ASC
+            ) AS rk
+            FROM scored
+        ) WHERE rk <= {BM25_TOP_TERMS}
+    """,
     # Mirrors text_q12_lm_score stage by stage: per-doc bigram counts,
     # corpus/context counts aggregated FROM the per-doc table, the same
     # smoothed-probability double expression rounded to 12 into DECIMAL
