@@ -37,9 +37,12 @@ boundary resolution all land in one bucket (sound: zone maps stay
 conservative; skipping on the tied range just degrades).
 
 Supported z-column types: numerics, date, timestamp (ranked through
-their natural numeric image). Strings would need sampled lexicographic
-boundaries (Delta's range_partition_id does this); deliberately not
-implemented — raise, don't mis-cluster.
+their natural numeric image — one approxQuantile sketch job), and
+strings (sampled lexicographic boundaries, the Delta
+range_partition_id approach: a deterministic hash-ordered sample —
+a distributed TakeOrdered, no count job, layout-independent — sorted
+on the driver and read at equal-frequency positions). Unsupported
+types raise rather than mis-cluster.
 
 Reference anchor: the reference's only layout lever is the fixed
 mr-<map>-<reduce> hash fan-out (/root/reference/src/mr/worker.go:123-131);
@@ -53,6 +56,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_spark.sources import manifest as zone_manifest
+
+
+def _is_string(df: DataFrame, col: str) -> bool:
+    return dict(df.dtypes)[col] == "string"
 
 
 def _numeric_image(df: DataFrame, col: str) -> Column:
@@ -69,20 +76,56 @@ def _numeric_image(df: DataFrame, col: str) -> Column:
         return F.col(col).cast("double")
     raise ValueError(
         f"z-order column {col!r} has unsupported type {dtype}; "
-        "supported: numeric, date, timestamp"
+        "supported: numeric, date, timestamp, string"
     )
 
 
-def rank_bucket(col: Column, boundaries: list[float]) -> Column:
+def _string_boundaries(
+    df: DataFrame, col: str, bits: int, sample_rows: int = 20_000
+) -> list[str]:
+    """Sampled lexicographic boundaries for a string z-column. The
+    sample is the `sample_rows` smallest rows by xxhash64 over the
+    FULL row — deterministic given the data, independent of partition
+    layout (unlike monotonically_increasing_id or rand()), and
+    distributed as a TakeOrdered (only the sample reaches the driver;
+    no count job). Frequency weighting is coarse — identical rows
+    share a hash so a value's copies enter all-or-nothing — which only
+    blurs bucket balance, never soundness (zone maps stay conservative
+    regardless of where boundaries land)."""
+    rows = (
+        df.where(F.col(col).isNotNull())
+        .orderBy(F.xxhash64(*[F.col(c) for c in df.columns]))
+        .select(col)
+        .limit(sample_rows)
+        .collect()
+    )
+    vals = sorted(r[0] for r in rows)
+    if not vals:
+        return []
+    n_buckets = 1 << bits
+    bnds = {
+        vals[min(len(vals) - 1, (i * len(vals)) // n_buckets)]
+        for i in range(1, n_buckets)
+    }
+    return sorted(bnds)
+
+
+def rank_bucket(col: Column, boundaries: list) -> Column:
     """Equal-frequency bucket id: number of boundaries ≤ value, via a
     JVM higher-order filter over the (small, ≤ 2^bits − 1 element)
-    boundary array literal. NULL ranks as bucket 0 (clustered with the
-    minimum — zone maps ignore NULLs anyway, so placement is a
-    locality choice, not a correctness one)."""
+    boundary array literal. Boundaries are floats for numeric-imaged
+    columns, strings for string columns (lexicographic — Spark's
+    UTF8String byte order equals code-point order, the same order
+    Python uses when the manifest reader compares zones). NULL ranks
+    as bucket 0 (clustered with the minimum — zone maps ignore NULLs
+    anyway, so placement is a locality choice, not a correctness
+    one)."""
     if not boundaries:
         return F.lit(0)
-    arr = F.array(*[F.lit(float(b)) for b in boundaries])
-    n = F.size(F.filter(arr, lambda b: b <= col))
+    lits = [
+        F.lit(b if isinstance(b, str) else float(b)) for b in boundaries
+    ]
+    n = F.size(F.filter(F.array(*lits), lambda b: b <= col))
     return F.coalesce(n, F.lit(0))
 
 
@@ -111,11 +154,19 @@ def zorder_boundaries(
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
     rel_err = 1.0 / (4 * n_buckets)
-    imaged = df.select(
-        *[_numeric_image(df, c).alias(f"__zi_{c}") for c in zcols]
-    )
-    quantiles = imaged.approxQuantile([f"__zi_{c}" for c in zcols], probs, rel_err)
-    return {c: qs for c, qs in zip(zcols, quantiles)}
+    out: dict[str, list] = {
+        c: _string_boundaries(df, c, bits) for c in zcols if _is_string(df, c)
+    }
+    num_cols = [c for c in zcols if c not in out]
+    if num_cols:
+        imaged = df.select(
+            *[_numeric_image(df, c).alias(f"__zi_{c}") for c in num_cols]
+        )
+        quantiles = imaged.approxQuantile(
+            [f"__zi_{c}" for c in num_cols], probs, rel_err
+        )
+        out.update({c: qs for c, qs in zip(num_cols, quantiles)})
+    return out
 
 
 def zorder_value(
@@ -123,7 +174,11 @@ def zorder_value(
 ) -> Column:
     """The z-value column for `df` given precomputed boundaries."""
     buckets = [
-        rank_bucket(_numeric_image(df, c), boundaries[c]) for c in zcols
+        rank_bucket(
+            F.col(c) if _is_string(df, c) else _numeric_image(df, c),
+            boundaries[c],
+        )
+        for c in zcols
     ]
     return interleave_bits(buckets, bits)
 

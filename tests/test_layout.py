@@ -159,9 +159,34 @@ def test_skewed_column_buckets_stay_balanced(spark, tmp_path):
     assert _ids(pruned) == _ids(full)
 
 
-def test_unsupported_string_zcol_raises(spark):
-    df = spark.range(10).select(F.col("id"), F.col("id").cast("string").alias("s"))
+def test_string_zcol_clusters_and_prunes(spark, tmp_path):
+    """String z-columns go through sampled lexicographic boundaries;
+    pruning and row-preservation must hold exactly as for numerics
+    (manifest string zones compare in code-point order on both the
+    write and read side)."""
+    df = spark.range(20_000).select(
+        F.col("id"),
+        F.format_string("k%04d", (F.col("id") % 1000).cast("int")).alias("s"),
+        ((F.col("id") * 7919) % 1000).alias("y"),
+    )
+    path = str(tmp_path / "zstr")
+    write_zordered(df, path, ["s", "y"], bits=5, n_files=N_FILES)
+    back = spark.read.parquet(path)
+    assert _ids(back) == _ids(df)
+
+    pruned, read_s, total = read_pruned(spark, path, "s", "k0100", "k0199")
+    full = back.where(F.col("s").between("k0100", "k0199"))
+    assert _ids(pruned) == _ids(full)
+    assert read_s <= (3 * total) // 4, f"string axis should prune, read {read_s}/{total}"
+
+    pruned, read_y, _ = read_pruned(spark, path, "y", 100, 199)
+    assert _ids(pruned) == _ids(back.where(F.col("y").between(100, 199)))
+    assert read_y <= (3 * total) // 4, f"numeric axis should prune, read {read_y}/{total}"
+
+
+def test_unsupported_zcol_type_raises(spark):
+    df = spark.range(10).select(F.col("id"), F.array(F.col("id")).alias("a"))
     import pytest
 
     with pytest.raises(ValueError, match="unsupported type"):
-        zorder_boundaries(df, ["s"], bits=4)
+        zorder_boundaries(df, ["a"], bits=4)
