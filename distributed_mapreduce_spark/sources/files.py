@@ -165,3 +165,95 @@ def compact_dataset(
         out_path
     )
     return n_files
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    target_file_bytes: int = 128 << 20,
+    slack: int = 1,
+) -> dict[str, int]:
+    """Partition-preserving, IN-PLACE compaction of a Hive-layout
+    dataset: rewrite only the partition directories that are actually
+    fragmented (file count exceeds their size-derived target by more
+    than `slack`), via one dynamic-partition-overwrite job per distinct
+    target file count; partitions
+    already compact are not read, not rewritten, and their files stay
+    byte-identical — the property that makes this safe to run as a
+    rolling maintenance job behind a streaming ingest (the idle 99% of
+    a 100 TB dataset costs nothing per run, matching Delta OPTIMIZE's
+    "only touched partitions" bin-packing contract).
+
+    Sizing is per-directory from the filesystem footprint (compressed
+    bytes — the unit the target is denominated in); the directory walk
+    is the same footer-listing-scale driver loop as
+    manifest.write_manifest (distributable as a mapPartitions over the
+    file list on a real deployment). Hot partitions that need several
+    files get them through write_partitioned's deterministic
+    files_per_partition spread (xxhash64, task-retry safe — not
+    rand()).
+
+    Returns {partition_dir_relpath: n_files_target} for the rewritten
+    directories only (empty dict = nothing fragmented, nothing
+    touched). Atomicity note: dynamic overwrite commits per partition
+    through the normal Spark committer; a crash mid-job leaves
+    untouched partitions intact and rewritten ones either old or new —
+    re-running converges (the operation is idempotent on content)."""
+    import pathlib
+
+    if not partition_cols:
+        raise ValueError("partition_cols must be non-empty; use compact_dataset")
+    base = pathlib.Path(path)
+    # group leaf files by partition directory (relative to base)
+    by_dir: dict[str, list] = {}
+    for p in base.rglob("*.parquet"):
+        rel_dir = str(p.parent.relative_to(base))
+        by_dir.setdefault(rel_dir, []).append(p)
+    plans: dict[str, int] = {}
+    for rel_dir, fs in by_dir.items():
+        size = sum(f.stat().st_size for f in fs)
+        want = max(1, -(-size // target_file_bytes))
+        if len(fs) > want + slack:
+            plans[rel_dir] = int(want)
+    if not plans:
+        return plans
+    # Group directories by their target file count so every partition
+    # gets ITS size's worth of files (one shared files_per_partition
+    # would hand cold partitions a hot partition's spread). Distinct
+    # targets are few (1, 2, 4, ...), so this is a handful of jobs.
+    #
+    # Each group stages through a scratch dir first: Spark cannot
+    # safely overwrite directories an in-flight plan is reading
+    # (lazy execution would race file deletes), and staging to disk —
+    # unlike a localCheckpoint — bounds nothing by executor memory.
+    # The 2× write of AFFECTED data only is the price of in-place
+    # maintenance; the fresh-store swap (operators/incremental.py's
+    # compactors) is the alternative when a manifest protocol needs
+    # crash-exactness beyond the committer's per-partition atomicity.
+    import shutil
+    import tempfile
+    from collections import defaultdict
+
+    groups: dict[int, list[str]] = defaultdict(list)
+    for rel_dir, want in plans.items():
+        groups[want].append(rel_dir)
+    for want, dirs in sorted(groups.items()):
+        staging = tempfile.mkdtemp(prefix="dmr_compact_")
+        try:
+            (
+                spark.read.option("basePath", str(base))
+                .parquet(*[str(base / d) for d in dirs])
+                .write.mode("overwrite")
+                .parquet(f"{staging}/stage")
+            )
+            write_partitioned(
+                spark.read.parquet(f"{staging}/stage"),
+                str(base),
+                partition_cols,
+                dynamic=True,
+                files_per_partition=want,
+            )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+    return plans

@@ -272,3 +272,82 @@ def test_compact_dataset_reduces_files_preserves_rows(spark, tmp_path):
     assert len(written) == 1
     back = spark.read.parquet(out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_compact_partitioned_rewrites_only_fragmented_dirs(spark, tmp_path):
+    """In-place partition-preserving compaction: the fragmented
+    partition collapses to its size-derived file count, the already-
+    compact partition is untouched BYTE-IDENTICALLY (mtime+content),
+    rows survive exactly, and a second run is a no-op."""
+    import pathlib
+
+    from distributed_mapreduce_spark.sources.files import (
+        compact_partitioned,
+        write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 2 == 0 else "cold", f"row {i}") for i in range(2000)],
+        "id long, part string, s string",
+    )
+    base = str(tmp_path / "ds")
+    # cold: compact from the start; hot written fragmented afterwards
+    write_partitioned(df.where("part = 'cold'"), base, ["part"])
+    (
+        df.where("part = 'hot'")
+        .repartition(23)
+        .write.mode("append")
+        .partitionBy("part")
+        .parquet(base)
+    )
+    hot_dir = pathlib.Path(base) / "part=hot"
+    cold_dir = pathlib.Path(base) / "part=cold"
+    assert len(list(hot_dir.glob("*.parquet"))) == 23
+    cold_before = sorted(
+        (p.name, p.stat().st_size, p.read_bytes()) for p in cold_dir.glob("*.parquet")
+    )
+
+    plans = compact_partitioned(spark, base, ["part"], target_file_bytes=1 << 30)
+    assert set(plans) == {"part=hot"} and plans["part=hot"] == 1
+    assert len(list(hot_dir.glob("*.parquet"))) == 1
+    cold_after = sorted(
+        (p.name, p.stat().st_size, p.read_bytes()) for p in cold_dir.glob("*.parquet")
+    )
+    assert cold_after == cold_before, "untouched partition must stay byte-identical"
+
+    back = spark.read.parquet(base)
+    assert sorted(r.id for r in back.collect()) == list(range(2000))
+
+    assert compact_partitioned(spark, base, ["part"], target_file_bytes=1 << 30) == {}
+
+
+def test_compact_partitioned_groups_by_target_file_count(spark, tmp_path):
+    """Two fragmented partitions with different size targets each get
+    THEIR OWN file count (a shared spread would hand the small
+    partition the big one's file count)."""
+    import pathlib
+
+    from distributed_mapreduce_spark.sources.files import compact_partitioned
+
+    big = spark.range(40_000).selectExpr(
+        "id", "'big' AS part", "repeat(uuid(), 8) AS s"
+    )
+    small = spark.range(200).selectExpr("id", "'small' AS part", "'x' AS s")
+    for d in (big, small):
+        d.repartition(17).write.mode("append").partitionBy("part").parquet(
+            str(tmp_path / "ds")
+        )
+    base = str(tmp_path / "ds")
+    big_bytes = sum(
+        p.stat().st_size for p in (pathlib.Path(base) / "part=big").glob("*.parquet")
+    )
+    # target sized so big needs >1 file and small needs exactly 1
+    target = max(1, big_bytes // 3)
+    plans = compact_partitioned(spark, base, ["part"], target_file_bytes=target)
+    assert plans["part=small"] == 1
+    assert plans["part=big"] >= 2
+    n_small = len(list((pathlib.Path(base) / "part=small").glob("*.parquet")))
+    n_big = len(list((pathlib.Path(base) / "part=big").glob("*.parquet")))
+    assert n_small == 1
+    assert 2 <= n_big <= plans["part=big"]
+    assert spark.read.parquet(base).count() == 40_200
