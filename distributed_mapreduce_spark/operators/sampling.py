@@ -146,3 +146,66 @@ def weighted_sample_k(
         .withColumn("rk", F.col("__rk").cast("bigint"))
         .drop("__rk")
     )
+
+
+def global_shuffle_index(
+    df: DataFrame, key_col: str, seed: str = "0", buckets: int = 256
+) -> DataFrame:
+    """Deterministic GLOBAL permutation index — the epoch-shuffle
+    operator of a training pipeline: every row gets a dense position
+    0..N−1 in content-addressed pseudo-random order (md5 of
+    seed:key — change the seed string, get an independent shuffle;
+    re-run at any cluster width, get the same one).
+
+    The naive plan — row_number() over a global ORDER BY — is a
+    single-partition window: one task sorts the entire corpus. This
+    implements the scalable two-phase ranking instead:
+      1. bucket by the md5 PREFIX (so bucket order ≡ global hash
+         order), count rows per bucket, cumulative-sum the counts on
+         the driver (`buckets` rows — the bounded kind of collect);
+      2. rank WITHIN each bucket (a window partitioned on the bucket —
+         distributed) and add the bucket's broadcast offset.
+    global_pos = offset[bucket] + local_rank − 1, dense and
+    collision-free because the within-bucket order (full hash, then
+    key) extends the cross-bucket prefix order to a total order.
+
+    Scale shape: one shuffle (the bucket window) + one `buckets`-row
+    aggregate; no global sort, no single-task stage. At 100 TB raise
+    `buckets` so each bucket's window partition fits an executor
+    (65536 prefix buckets ≈ corpus/65536 rows per sort)."""
+    if not (2 <= buckets <= 65536) or buckets & (buckets - 1):
+        raise ValueError("buckets must be a power of two in [2, 65536]")
+    # enough hex prefix to carry log2(buckets) bits; bucket = the top
+    # log2(buckets) bits of the prefix value. Lowercase hex sorts
+    # numerically ('0'-'9' < 'a'-'f'), so bucket order ≡ md5 string
+    # order and the two-level (bucket, full-hash) order is total.
+    hex_digits = -(-(buckets - 1).bit_length() // 4)
+    k = (16**hex_digits) // buckets
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    v = F.conv(F.substring("__h", 1, hex_digits), 16, 10).cast("bigint")
+    withh = df.withColumn("__h", h).withColumn(
+        "__b", F.floor(v / F.lit(k)).cast("bigint")
+    )
+    counts = {
+        r["__b"]: r["c"]
+        for r in withh.groupBy("__b").agg(F.count("*").alias("c")).collect()
+    }
+    if not counts:
+        return df.select(*df.columns, F.lit(None).cast("bigint").alias("pos"))
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_map = F.create_map(
+        *[x for b in sorted(offsets) for x in (F.lit(b), F.lit(offsets[b]))]
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("__b").orderBy(F.col("__h").asc(), F.col(key_col).asc())
+    return (
+        withh.withColumn("__rk", F.row_number().over(win))
+        .select(
+            *df.columns,
+            (off_map[F.col("__b")] + F.col("__rk") - 1).cast("bigint").alias("pos"),
+        )
+    )

@@ -484,8 +484,33 @@ def _ml_q2_sql() -> str:
 
 # Train/holdout is the 2-bucket special case of mix_q1's hash-bucket
 # stratified sampling — shadow tier (registry.py grading cap).
+SHUFFLE_SEED = "42"
+
+
+def pipe_q2_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-shuffle position for every document
+    (operators/sampling.global_shuffle_index): a dense 0..N−1 global
+    permutation in content-addressed pseudo-random order — the step
+    that turns a curated corpus into a training order, reproducible
+    across cluster widths and re-runs, re-seedable per epoch.
+
+    The graded point is the PLAN, not just the values: the oracle is
+    the naive `row_number() OVER (ORDER BY md5(...))` — a
+    single-partition sort Spark must never run at 100 TB — while the
+    query computes the identical permutation with the two-phase
+    bucket-offset ranking (one distributed window over 256 hash-prefix
+    buckets + a 256-row driver cumsum)."""
+    from distributed_mapreduce_spark.operators.sampling import global_shuffle_index
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle_index(docs, "doc_id", seed=SHUFFLE_SEED).select(
+        "doc_id", "pos"
+    )
+
+
 SHADOW_QUERIES = {
     "contam_q2_scrub": contam_q2_scrub,
+    "pipe_q2_shuffle_index": pipe_q2_shuffle_index,
     "ml_q1_scaling_fit": ml_q1_scaling_fit,
     "ml_q2_svm_quality": ml_q2_svm_quality,
     "mix_q2_train_holdout": mix_q2_train_holdout,
@@ -494,6 +519,17 @@ SHADOW_QUERIES = {
 }
 
 SHADOW_ORACLES = {
+    # The naive single-sort form of the same permutation: md5 hex
+    # compares identically in both engines; the doc_id tiebreak makes
+    # the order total even under (astronomically unlikely) collisions.
+    "pipe_q2_shuffle_index": f"""
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)),
+                            doc_id
+               ) - 1 AS BIGINT) AS pos
+        FROM documents
+    """,
     # contam_q1's roles reversed: train docs scored against the
     # DISTINCT bench shingle set; shingle-less train docs have no
     # score row and survive (mirrored by the anti join).
