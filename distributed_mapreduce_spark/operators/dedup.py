@@ -232,6 +232,12 @@ def _band_bucket_join(a_rows: DataFrame, b_rows: DataFrame) -> DataFrame:
     )
 
 
+# Ownership marker for write_lsh_band_index's managed location (see
+# the rmtree guard below). Underscore prefix keeps it invisible to
+# parquet/bucketed-table readers.
+_LSH_INDEX_MARKER = "_dmr_lsh_band_index"
+
+
 def write_lsh_band_index(
     sig: DataFrame,
     table_name: str,
@@ -264,7 +270,21 @@ def write_lsh_band_index(
         raise ValueError("single-part table names only (default database)")
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(os.path.join(wh, table_name.lower()), ignore_errors=True)
+    loc = os.path.join(wh, table_name.lower())
+    if os.path.exists(loc):
+        # Only reclaim a location this function verifiably owns: the
+        # orphan left by a dead in-memory catalog carries our marker
+        # file. Anything else at that path (an EXTERNAL table's data,
+        # another tenant's directory in a shared warehouse) is not
+        # ours to delete — refuse loudly instead (ADVICE r7).
+        if not os.path.exists(os.path.join(loc, _LSH_INDEX_MARKER)):
+            raise ValueError(
+                f"refusing to overwrite {loc}: directory exists but "
+                f"lacks the {_LSH_INDEX_MARKER} marker, so it was not "
+                "written by write_lsh_band_index — drop/move it "
+                "explicitly if it really is stale"
+            )
+        shutil.rmtree(loc)
     (
         band_rows(sig, num_hashes, bands)
         .write.mode("overwrite")
@@ -272,6 +292,10 @@ def write_lsh_band_index(
         .sortBy("band", "bucket")
         .saveAsTable(table_name)
     )
+    # Ownership marker (underscore-prefixed → invisible to parquet
+    # readers): proves a future re-create may reclaim this directory.
+    with open(os.path.join(loc, _LSH_INDEX_MARKER), "w") as fh:
+        fh.write("written by distributed_mapreduce_spark write_lsh_band_index\n")
 
 
 def probe_lsh_band_index(

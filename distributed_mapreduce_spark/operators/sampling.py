@@ -186,10 +186,25 @@ def global_shuffle_index(
     withh = df.withColumn("__h", h).withColumn(
         "__b", F.floor(v / F.lit(k)).cast("bigint")
     )
+    # Checkpoint the hashed projection so the corpus is scanned (and
+    # md5'd) ONCE: the counts collect below and the rank pass both read
+    # the materialized blocks instead of re-running the scan+hash
+    # lineage (ADVICE r7). localCheckpoint = executor memory+disk; on a
+    # real cluster with flaky executors use reliable checkpoint() into
+    # the job's scratch dir instead.
+    withh = withh.localCheckpoint()
     counts = {
         r["__b"]: r["c"]
         for r in withh.groupBy("__b").agg(F.count("*").alias("c")).collect()
     }
+    if None in counts:
+        # md5(concat(seed, NULL)) is NULL → NULL bucket. Without this
+        # check the sorted() below dies with an opaque TypeError.
+        raise ValueError(
+            f"global_shuffle_index: key_col {key_col!r} contains NULLs; "
+            "a permutation position is content-addressed off the key, so "
+            "every row needs a non-null key (filter or coalesce first)"
+        )
     if not counts:
         return df.select(*df.columns, F.lit(None).cast("bigint").alias("pos"))
     offsets, acc = {}, 0

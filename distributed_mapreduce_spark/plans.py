@@ -77,6 +77,28 @@ def assert_unshuffled_scan(df: DataFrame, scan_substring: str) -> None:
             d = dd
 
 
+def global_window_nodes(df: DataFrame) -> list[str]:
+    """Window nodes with an EMPTY partition spec in the optimized
+    logical plan. `row_number() OVER (ORDER BY …)` without PARTITION BY
+    plans a single-partition window — one task sorts the entire input,
+    the canonical scale-killer (sampling.global_shuffle_index exists
+    precisely to avoid it). Returns the offending nodes' simpleStrings
+    so the registry-wide guard (test_plans.py) can reject any query
+    that sneaks one in."""
+    out: list[str] = []
+
+    def walk(node) -> None:
+        if node.nodeName() in ("Window", "WindowGroupLimit") and (
+            node.partitionSpec().isEmpty()
+        ):
+            out.append(node.simpleString(200))
+        for i in range(node.children().length()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
 def assert_wholestage_codegen(df: DataFrame) -> None:
     # AQE prints codegen ids ("*(n)") only on the finalized plan, so
     # execute THIS plan (collect, not count — count builds a new plan).

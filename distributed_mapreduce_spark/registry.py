@@ -82,6 +82,36 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str], dict[str, QueryFn], 
     return queries, oracles, shadow_q, shadow_o
 
 
+def check_declared_counts() -> tuple[int, int]:
+    """Refuse silently-undocumented registrations (VERDICT r7 #3: a
+    query entered the registry inside a snapshot commit with no
+    COVERAGE row, bench sample, or floors entry). COVERAGE.md's header
+    declares the tier sizes; this check — run by scripts/parity.py AND
+    the pytest suite — fails the moment the registry and the declared
+    counts disagree, so a registration can't land without its evidence
+    chain. Returns (registered, shadow) on success."""
+    import pathlib
+    import re
+
+    q, _, s, _ = _collect()
+    cov = pathlib.Path(__file__).parents[1] / "COVERAGE.md"
+    m = re.search(
+        r"(\d+) queries \((\d+) registered \+ (\d+) shadow\)",
+        cov.read_text(),
+    )
+    if not m:
+        raise ValueError(f"{cov} lacks the 'N queries (R registered + S shadow)' header")
+    tot, reg, sh = (int(g) for g in m.groups())
+    if (reg, sh) != (len(q), len(s)) or tot != reg + sh:
+        raise ValueError(
+            f"COVERAGE.md declares {tot} queries ({reg} registered + {sh} "
+            f"shadow) but the registry holds {len(q)} + {len(s)} — a query "
+            "was (de)registered without updating the evidence chain; fix "
+            "COVERAGE.md (+ floors/bench/README counts) in the same commit"
+        )
+    return len(q), len(s)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _collect()[0]
 

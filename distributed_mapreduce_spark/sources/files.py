@@ -208,8 +208,19 @@ def compact_partitioned(
     # group leaf files by partition directory (relative to base)
     by_dir: dict[str, list] = {}
     for p in base.rglob("*.parquet"):
-        rel_dir = str(p.parent.relative_to(base))
-        by_dir.setdefault(rel_dir, []).append(p)
+        if p.parent == base:
+            # A parquet file at the dataset ROOT means the layout is
+            # not the Hive-partitioned one this maintenance assumes —
+            # staging such rows through write_partitioned(dynamic=True)
+            # would fail or misplace them (they carry no partition
+            # columns). Refuse loudly rather than skip: a mixed layout
+            # is corrupt for dynamic partition overwrite (ADVICE r7).
+            raise ValueError(
+                f"compact_partitioned: {p} sits at the dataset root — "
+                f"{path} is not a pure partitioned layout; use "
+                "compact_dataset for flat datasets"
+            )
+        by_dir.setdefault(str(p.parent.relative_to(base)), []).append(p)
     plans: dict[str, int] = {}
     for rel_dir, fs in by_dir.items():
         size = sum(f.stat().st_size for f in fs)

@@ -40,7 +40,13 @@ def main() -> int:
     assert rows > 0
 
     qs, oracles = e.queries(), e.oracle_sql()
-    from distributed_mapreduce_spark.registry import GRADING_CAP
+    from distributed_mapreduce_spark.registry import GRADING_CAP, check_declared_counts
+
+    # Hard gate (VERDICT r7 #3): registry tier sizes must match the
+    # counts COVERAGE.md declares, so no query can register without
+    # its evidence chain landing in the same commit.
+    reg_n, sh_n = check_declared_counts()
+    print(f"declared counts OK: {reg_n} registered + {sh_n} shadow")
 
     if len(qs) > GRADING_CAP:
         print(

@@ -291,3 +291,47 @@ def test_lsh_band_index_store_probe(spark, docs):
         assert _re.search(r"Exchange hashpartitioning\(band#", plan), plan
     finally:
         spark.sql("DROP TABLE IF EXISTS lsh_idx")
+
+
+def test_lsh_band_index_rmtree_ownership_guard(spark, docs, tmp_path):
+    """write_lsh_band_index may reclaim ONLY a directory it wrote (the
+    orphan a dead in-memory catalog leaves behind, identified by the
+    marker file). A foreign directory at the managed location — an
+    EXTERNAL table's data, another tenant's files — must refuse, not
+    silently rmtree (ADVICE r7)."""
+    import os
+    from urllib.parse import urlparse
+
+    import pytest
+
+    from distributed_mapreduce_spark.operators.dedup import write_lsh_band_index
+
+    sig = minhash_signatures(doc_shingles(docs))
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+    # foreign dir at the managed location → loud refusal, data intact
+    foreign = os.path.join(wh, "lsh_guard_foreign")
+    os.makedirs(foreign, exist_ok=True)
+    with open(os.path.join(foreign, "precious.txt"), "w") as fh:
+        fh.write("not yours\n")
+    try:
+        with pytest.raises(ValueError, match="marker"):
+            write_lsh_band_index(sig, "lsh_guard_foreign", n_buckets=4)
+        assert os.path.exists(os.path.join(foreign, "precious.txt"))
+    finally:
+        import shutil
+
+        shutil.rmtree(foreign, ignore_errors=True)
+
+    # marker-carrying orphan (catalog entry gone, dir remains) → reclaimed
+    try:
+        write_lsh_band_index(sig, "lsh_guard_orphan", n_buckets=4)
+        loc = os.path.join(wh, "lsh_guard_orphan")
+        spark.sql("DROP TABLE lsh_guard_orphan")  # managed drop deletes the dir...
+        os.makedirs(loc)  # ...recreate an orphan shell with the marker
+        with open(os.path.join(loc, "_dmr_lsh_band_index"), "w") as fh:
+            fh.write("orphan\n")
+        write_lsh_band_index(sig, "lsh_guard_orphan", n_buckets=4)
+        assert spark.table("lsh_guard_orphan").count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsh_guard_orphan")

@@ -351,3 +351,23 @@ def test_compact_partitioned_groups_by_target_file_count(spark, tmp_path):
     assert n_small == 1
     assert 2 <= n_big <= plans["part=big"]
     assert spark.read.parquet(base).count() == 40_200
+
+
+def test_compact_partitioned_refuses_root_level_files(spark, tmp_path):
+    """A parquet file at the dataset ROOT means the layout is not the
+    Hive-partitioned one the maintenance assumes — compacting it would
+    stage rows with no partition columns into a dynamic overwrite.
+    Must refuse loudly, touching nothing (ADVICE r7)."""
+    import pytest
+
+    from distributed_mapreduce_spark.sources.files import compact_partitioned
+
+    base = tmp_path / "ds"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, part string")
+    df.repartition(4).write.partitionBy("part").parquet(str(base))
+    # stray non-partitioned file at the root
+    df.coalesce(1).drop("part").write.mode("append").parquet(str(base))
+    before = sorted(p.name for p in base.rglob("*.parquet"))
+    with pytest.raises(ValueError, match="dataset root"):
+        compact_partitioned(spark, str(base), ["part"], target_file_bytes=1)
+    assert sorted(p.name for p in base.rglob("*.parquet")) == before

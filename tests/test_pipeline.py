@@ -471,3 +471,32 @@ def test_linsvm_gd_learns_separable_data(spark):
     assert row["n"] == 400
     assert row["accuracy"] >= 0.8, row["accuracy"]
     assert row["w1"] > 0  # aligned with the separating normal
+
+
+def test_global_shuffle_index_permutation_and_null_guard(spark):
+    """global_shuffle_index: dense 0..N−1 permutation, layout-
+    independent (re-run under a different partitioning yields the
+    SAME position per key), and a NULL key fails with a clear
+    ValueError instead of the opaque driver-side TypeError a None
+    bucket used to cause (ADVICE r7)."""
+    import pytest
+
+    from distributed_mapreduce_spark.operators.sampling import global_shuffle_index
+
+    df = spark.range(500).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+    out = global_shuffle_index(df, "k", seed="7", buckets=8)
+    rows = out.collect()
+    assert sorted(r.pos for r in rows) == list(range(500))
+    m2 = {
+        r.k: r.pos
+        for r in global_shuffle_index(
+            df.repartition(13), "k", seed="7", buckets=8
+        ).collect()
+    }
+    assert {r.k: r.pos for r in rows} == m2
+
+    with_null = df.unionByName(
+        spark.sql("SELECT CAST(NULL AS STRING) AS k, 999 AS v")
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        global_shuffle_index(with_null, "k", buckets=8)

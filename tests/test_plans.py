@@ -208,3 +208,32 @@ def test_dup_spans_partial_agg_and_semi_join(spark, sf_dir):
     plans.assert_partial_agg(df)
     p = plans.physical_plan(df)
     assert "LeftSemi" in p, p
+
+
+def test_no_global_window_in_any_query(spark, sf_dir):
+    """Registry-wide scale guard (VERDICT r7 #5): `row_number() OVER
+    (ORDER BY …)` with no PARTITION BY plans a single-partition Window
+    — one task sorts the whole input. global_shuffle_index exists
+    precisely to avoid that shape; nothing in either tier may sneak
+    one in. No allowlist: zero queries are expected to need a global
+    window."""
+    from distributed_mapreduce_spark.registry import all_queries, shadow_queries
+
+    checked = 0
+    for name, fn in {**all_queries(), **shadow_queries()}.items():
+        if name.startswith("st_"):
+            continue  # streaming queries execute on call; guarded in their own tests
+        offenders = plans.global_window_nodes(fn(spark, sf_dir))
+        assert not offenders, f"{name} plans a global (empty-partition) window:\n" + "\n".join(offenders)
+        checked += 1
+    assert checked >= 90, f"global-window guard covered only {checked} queries"
+
+
+def test_registry_matches_declared_counts():
+    """COVERAGE.md's declared tier sizes must equal the registry's —
+    the no-undocumented-registration gate (VERDICT r7 #3), enforced in
+    the suite AND scripts/parity.py."""
+    from distributed_mapreduce_spark.registry import check_declared_counts
+
+    reg, sh = check_declared_counts()
+    assert reg == 50
