@@ -1143,9 +1143,12 @@ def dedup_q15_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-batch cost ∝ batch size + bucket collisions,
     independent of store size — the store-side band rows and shingles
     are maintained artifacts appended per batch (the fixture derives
-    them in-query because the corpus is static; see the operator's
-    store-maintenance contract), and the global max_df skew guard is
-    the maintained per-shingle document-frequency count."""
+    them in-query because the corpus is static; the maintained form is
+    operators/dedup.append_lsh_band_index, whose append ≡ rebuild
+    equivalence is tested and whose streaming composition is
+    streaming/sinks.foreach_batch_dedup_ingest), and the global max_df
+    skew guard is the maintained per-shingle document-frequency
+    count."""
     from distributed_mapreduce_spark.operators.dedup import incremental_minhash_pairs
 
     docs = widen(table(spark, sf_dir, "documents"))

@@ -335,3 +335,102 @@ def test_lsh_band_index_rmtree_ownership_guard(spark, docs, tmp_path):
         assert spark.table("lsh_guard_orphan").count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS lsh_guard_orphan")
+
+
+def test_lsh_band_index_append_equals_full_build(spark, docs):
+    """append_lsh_band_index (VERDICT r7 #1): an index seeded from one
+    third of the corpus and maintained with two appended batches must
+    probe identically to a fresh full build; each append adds at most
+    one file per bucket (the repartition-to-bucket alignment), the
+    probe plan keeps the store side exchange-free across appends, and
+    compact_lsh_band_index squashes the chain back without changing a
+    single candidate."""
+    import os
+    from urllib.parse import urlparse
+
+    from distributed_mapreduce_spark import plans
+    from distributed_mapreduce_spark.operators.dedup import (
+        append_lsh_band_index,
+        compact_lsh_band_index,
+        probe_lsh_band_index,
+        write_lsh_band_index,
+    )
+
+    sig = minhash_signatures(doc_shingles(docs)).persist()
+    probe_sig = sig.where(F.col("id") % 7 == 3)
+    parts = [sig.where(F.col("id") % 3 == i) for i in range(3)]
+    try:
+        write_lsh_band_index(sig, "lsh_full", n_buckets=8)
+        write_lsh_band_index(parts[0], "lsh_inc", n_buckets=8)
+        append_lsh_band_index(parts[1], "lsh_inc", n_buckets=8)
+        append_lsh_band_index(parts[2], "lsh_inc", n_buckets=8)
+
+        want = sorted(
+            map(tuple, probe_lsh_band_index(spark, "lsh_full", probe_sig).collect())
+        )
+        got = sorted(
+            map(tuple, probe_lsh_band_index(spark, "lsh_inc", probe_sig).collect())
+        )
+        assert got == want and want
+
+        # file accounting: 3 write jobs x <=1 file per bucket per job
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        files = [
+            f
+            for f in os.listdir(os.path.join(wh, "lsh_inc"))
+            if f.endswith(".parquet") or ("part-" in f and not f.startswith("."))
+        ]
+        assert len(files) <= 3 * 8, files
+
+        # the probe against the APPENDED index still consumes the store
+        # bucketed (no Exchange between its scan and the join)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = plans.physical_plan(
+                probe_lsh_band_index(spark, "lsh_inc", probe_sig), "simple"
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        lines = [l for l in plan.splitlines() if l.strip() and not l.startswith("==")]
+
+        def depth(line):
+            i = 0
+            while i < len(line) and line[i] in " :+-":
+                i += 1
+            return i // 3
+
+        target = next(i for i, l in enumerate(lines) if "lsh_inc" in l and "Scan" in l)
+        d = depth(lines[target])
+        for i in range(target - 1, -1, -1):
+            dd = depth(lines[i])
+            if dd < d:
+                if "Join" in lines[i]:
+                    break
+                assert "Exchange" not in lines[i], plan
+                d = dd
+        else:
+            raise AssertionError(f"no join above the store scan:\n{plan}")
+
+        # compaction: one file per bucket again, candidates unchanged
+        n_before = spark.table("lsh_inc").count()
+        assert compact_lsh_band_index(spark, "lsh_inc", n_buckets=8) == n_before
+        files2 = [
+            f
+            for f in os.listdir(os.path.join(wh, "lsh_inc"))
+            if "part-" in f and not f.startswith(".")
+        ]
+        assert len(files2) <= 8, files2
+        after = sorted(
+            map(tuple, probe_lsh_band_index(spark, "lsh_inc", probe_sig).collect())
+        )
+        assert after == want
+        # append requires an existing table
+        import pytest
+
+        with pytest.raises(ValueError, match="does not exist"):
+            append_lsh_band_index(parts[0], "lsh_nonexistent", n_buckets=8)
+    finally:
+        sig.unpersist()
+        spark.sql("DROP TABLE IF EXISTS lsh_full")
+        spark.sql("DROP TABLE IF EXISTS lsh_inc")
