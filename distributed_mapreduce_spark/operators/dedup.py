@@ -705,3 +705,57 @@ def dup_span_coverage(
         F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
         frac.alias("dup_frac"),
     )
+
+
+# --- greedy keep-first resolution (the ingest dedup policy) ----------------
+
+
+def greedy_reject_ids(pairs: DataFrame) -> set:
+    """Resolve a VERIFIED near-dup pair list (id_i < id_j) to the set
+    of rejected ids under keep-first-by-id semantics: processing ids
+    ascending, a doc is rejected iff it near-dups a smaller KEPT id —
+    the deterministic policy of a streaming ingest (the first-arrived
+    copy survives; later copies are dropped even when their own
+    near-dups differ, so chains A~B~C with A≁C keep A and C).
+
+    Driver-side over the pair list only: verified near-dup pairs are
+    output-scale (the LSH tier guarantees candidate generation never
+    materializes the pair space), the same measured bound as
+    components.py's hybrid CC driver tier (~2M edges). Docs that touch
+    no pair are trivially kept and never reach the driver."""
+    from collections import defaultdict
+
+    smaller: dict = defaultdict(list)
+    for r in pairs.select("id_i", "id_j").collect():
+        smaller[r["id_j"]].append(r["id_i"])
+    rejected: set = set()
+    # ascending id order decides every i < j before j is examined
+    for j in sorted(smaller):
+        if any(i not in rejected for i in smaller[j]):
+            rejected.add(j)
+    return rejected
+
+
+def dedup_corpus_greedy(
+    docs: DataFrame,
+    min_jaccard: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-shot batch form of the ingest dedup policy: MinHash-LSH
+    candidates, exact-verified, greedily resolved keep-first-by-id.
+    This is the oracle the STREAMING ingest sink
+    (streaming/sinks.foreach_batch_dedup_ingest) must reproduce: for a
+    feed chunked in ascending id order, streamed ingest's surviving
+    set equals this exactly (tested) — the batch/streaming parity
+    contract of a crawl pipeline's dedup stage."""
+    pairs = minhash_near_dup_pairs(docs, min_jaccard, num_hashes, bands)
+    rejected = greedy_reject_ids(pairs)
+    if not rejected:
+        return docs
+    spark = docs.sparkSession
+    rej_df = spark.createDataFrame(
+        [(int(x),) for x in sorted(rejected)], f"{id_col} bigint"
+    )
+    return docs.join(F.broadcast(rej_df), id_col, "left_anti")

@@ -434,3 +434,17 @@ def test_lsh_band_index_append_equals_full_build(spark, docs):
         sig.unpersist()
         spark.sql("DROP TABLE IF EXISTS lsh_full")
         spark.sql("DROP TABLE IF EXISTS lsh_inc")
+
+
+def test_greedy_reject_keep_first_chain_semantics(spark):
+    """Keep-first-by-id resolution: chains A~B, B~C with A≁C keep A
+    AND C (B's rejection un-rejects C) — the property that
+    distinguishes greedy ingest dedup from component-collapse."""
+    from distributed_mapreduce_spark.operators.dedup import greedy_reject_ids
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (1, 6)], "id_i bigint, id_j bigint"
+    )
+    # 1 kept; 2 rejected (dups 1); 3 kept (its only smaller dup, 2, was
+    # rejected); 5 kept; 6 rejected (dups kept 1 even though 5 also dups it)
+    assert greedy_reject_ids(pairs) == {2, 6}

@@ -798,3 +798,122 @@ def test_vacuum_versions_keeps_redelivery_window(spark, tmp_path):
     assert left == [2, 3]
     after = {r.k: r.v for r in read_current_version(spark, store).collect()}
     assert after == before
+
+
+def test_streaming_dedup_ingest_matches_one_shot(spark, tmp_path):
+    """foreach_batch_dedup_ingest (VERDICT r8 #6): streamed ingest
+    over an id-ordered chunked feed must keep EXACTLY the same
+    surviving-doc set as the one-shot batch policy
+    (dedup_corpus_greedy), resume must change nothing, and a new
+    chunk must fold in incrementally — still equal to the one-shot
+    run over the widened corpus."""
+    import pathlib
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.operators.dedup import dedup_corpus_greedy
+    from distributed_mapreduce_spark.sources import table
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_dedup_ingest,
+        read_dedup_accepted,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    src = tmp_path / "feed"
+    src.mkdir()
+    base = time.time()
+
+    def write_chunk(name, chunk_rows, mtime):
+        tbl = _pa.table(
+            {
+                "doc_id": _pa.array([r.doc_id for r in chunk_rows], _pa.int64()),
+                "text": _pa.array([r.text for r in chunk_rows], _pa.string()),
+            }
+        )
+        p = str(src / name)
+        _pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    third = len(rows) // 3
+    write_chunk("c1.parquet", rows[:third], base)
+    write_chunk("c2.parquet", rows[third : 2 * third], base + 5)
+    write_chunk("c3.parquet", rows[2 * third :], base + 10)
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    tbl_name = "dedup_ingest_idx"
+
+    def run():
+        q = foreach_batch_dedup_ingest(
+            (
+                spark.readStream.schema("doc_id bigint, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            ),
+            store,
+            ckpt,
+            tbl_name,
+            min_jaccard=0.5,
+            bands=16,
+        )
+        q.awaitTermination()
+
+    try:
+        run()
+        got = sorted(
+            r.doc_id for r in read_dedup_accepted(spark, store).collect()
+        )
+        want = sorted(
+            r.doc_id
+            for r in dedup_corpus_greedy(docs, 0.5, bands=16).select("doc_id").collect()
+        )
+        assert got == want
+        assert len(got) < len(rows), "fixture plants near-dups; some must be rejected"
+
+        # resume with no new data: nothing changes
+        n_manifests = len(list(pathlib.Path(store, "_manifests").glob("*.json")))
+        run()
+        assert (
+            sorted(r.doc_id for r in read_dedup_accepted(spark, store).collect())
+            == got
+        )
+        assert (
+            len(list(pathlib.Path(store, "_manifests").glob("*.json")))
+            == n_manifests
+        )
+
+        # a fourth chunk (disjoint higher ids = shifted copies of the
+        # corpus tail: mostly near-dups of already-accepted docs)
+        extra = [
+            (r.doc_id + 1000, r.text) for r in rows[2 * third :][:40]
+        ]
+        tbl = _pa.table(
+            {
+                "doc_id": _pa.array([i for i, _ in extra], _pa.int64()),
+                "text": _pa.array([t for _, t in extra], _pa.string()),
+            }
+        )
+        p4 = str(src / "c4.parquet")
+        _pq.write_table(tbl, p4)
+        os.utime(p4, (base + 15, base + 15))
+        run()
+        widened = docs.unionByName(
+            spark.createDataFrame(extra, "doc_id bigint, text string")
+        )
+        want4 = sorted(
+            r.doc_id
+            for r in dedup_corpus_greedy(widened, 0.5, bands=16)
+            .select("doc_id")
+            .collect()
+        )
+        got4 = sorted(r.doc_id for r in read_dedup_accepted(spark, store).collect())
+        assert got4 == want4
+        # the duplicate tail chunk must have been (mostly) rejected
+        assert sum(1 for i in got4 if i >= 1000) < len(extra)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl_name}")
