@@ -239,3 +239,179 @@ def test_sf1_pack_q1_greedy(stress_spark, sf1_dir):
         f"pack_q1 took {dt:.0f}s at sf1 (budget {BUDGET_PACK_S}s) — "
         "check packing is still one Arrow-lane pass per stratum"
     )
+
+
+# r8 additions (VERDICT r7 #4): the r7 layout/ingest newcomers at 10×.
+# Measured r8 (quiet host, local[32]): write_zordered 6.6 s (vs
+# ~1.5 s inside rel_q20 at sf0.1 — linear in rows through the one
+# range shuffle), global_shuffle_index 2.6 s over 10× rows,
+# compact_store replay 93.6 s for 24+4 micro-batches (cost is
+# per-batch stream overhead, not data volume). Budgets ~10× worst
+# measurement; scaling reads in SCALE.md's stress table.
+BUDGET_ZORDER_S = 90
+BUDGET_SHUFFLE_IDX_S = 45
+BUDGET_COMPACT_REPLAY_S = 420
+
+
+def test_sf1_write_zordered(stress_spark, sf1_dir):
+    """write_zordered at 10× documents, string + numeric z-columns:
+    the boundary sample (TakeOrdered, no count job) + ONE
+    repartitionByRange shuffle must scale ~linearly, rows must
+    survive exactly, and the zone manifest must actually prune a
+    point-range read (the property the layout exists for)."""
+    from distributed_mapreduce_spark.sources.layout import write_zordered
+    from distributed_mapreduce_spark.sources.manifest import read_pruned_multi
+
+    docs = stress_spark.read.parquet(f"{sf1_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    out = os.path.join(sf1_dir, "zordered")
+    t0 = time.perf_counter()
+    manifest = write_zordered(docs, out, ["lang", "n_chars"], bits=5, n_files=32)
+    dt = time.perf_counter() - t0
+    print(f"\n  [sf1 stress] write_zordered: {dt:.1f}s")
+    assert dt < BUDGET_ZORDER_S, (
+        f"write_zordered took {dt:.0f}s at sf1 (budget {BUDGET_ZORDER_S}s) — "
+        "check the boundary sample is still TakeOrdered and the write "
+        "still pays exactly one range shuffle"
+    )
+    assert manifest, "zone manifest missing"
+    back = stress_spark.read.parquet(out)
+    assert back.count() == docs.count()
+    pruned, n_read, n_total = read_pruned_multi(
+        stress_spark,
+        out,
+        {"lang": ("de", "de"), "n_chars": (0, 300)},
+    )
+    assert n_read < n_total, "zone pruning read every file on a point-range probe"
+    print(f"  [sf1 stress] zorder probe read {n_read}/{n_total} files")
+
+
+def test_sf1_global_shuffle_index(stress_spark, sf1_dir):
+    """global_shuffle_index at 10× rows: the permutation must stay the
+    two-phase bucket-offset plan (NO single-partition window — plan-
+    asserted with the r8 guard), produce a dense 0..N−1 index, and
+    scale ~linearly (one checkpointed scan + one bucket-partitioned
+    window)."""
+    from distributed_mapreduce_spark import plans
+    from distributed_mapreduce_spark.operators.sampling import global_shuffle_index
+
+    docs = stress_spark.read.parquet(f"{sf1_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    n = docs.count()
+    t0 = time.perf_counter()
+    out = global_shuffle_index(docs, "doc_id", seed="sf1", buckets=256)
+    assert not plans.global_window_nodes(out), "single-partition window sneaked in"
+    from pyspark.sql import functions as F
+
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("pos").alias("d"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    print(f"\n  [sf1 stress] global_shuffle_index: {dt:.1f}s over {n} rows")
+    assert (agg.n, agg.d, agg.lo, agg.hi) == (n, n, 0, n - 1)
+    assert dt < BUDGET_SHUFFLE_IDX_S, (
+        f"global_shuffle_index took {dt:.0f}s at sf1 "
+        f"(budget {BUDGET_SHUFFLE_IDX_S}s)"
+    )
+
+
+def test_sf1_compact_store_replay_10x_batches(stress_spark, tmp_path):
+    """compact_store_partitioned replay convergence at 10× the batch
+    count of the unit test (24 micro-batches → compact → fresh-
+    checkpoint resume over the full feed + 4 new batches): the
+    manifest chain resets 24 → 1, the replayed feed converges onto
+    the compacted snapshot, and the result equals a straight
+    uncompacted run."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from distributed_mapreduce_spark.streaming import event_stream
+    from distributed_mapreduce_spark.streaming.sinks import (
+        _committed_manifests,
+        compact_store_partitioned,
+        foreach_batch_cdc_merge_partitioned,
+        read_current_partitioned,
+    )
+    from pyspark.sql import functions as F
+
+    def chunk(path, rows, mtime):
+        tbl = pa2.table(
+            {
+                "event_id": pa2.array([r[0] for r in rows], pa2.int64()),
+                "ts": pa2.array(
+                    [r[0] * 1_000_000 for r in rows], pa2.timestamp("us")
+                ),
+                "user_id": pa2.array([r[1] for r in rows], pa2.int64()),
+                "event_type": pa2.array([r[2] for r in rows]),
+                "value": pa2.array([float(r[3]) for r in rows], pa2.float64()),
+                "props": pa2.array(["{}"] * len(rows)),
+            }
+        )
+        pq2.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    def to_changes(ev):
+        return ev.select(
+            F.col("user_id").alias("k"),
+            F.col("event_id").alias("ord"),
+            (F.col("event_type") == "del").cast("int").alias("is_delete"),
+            F.col("value").alias("v"),
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = time.time()
+    # 24 batches over 60 keys: updates with rising ord, every 5th
+    # batch deletes a key — a realistic upsert/delete mix
+    n_batches, keys = 24, 60
+    for b in range(n_batches):
+        rows = [
+            (b * 1000 + k, k, ("del" if (b % 5 == 4 and k % 7 == b % 7) else "up"), b + k / 100)
+            for k in range(b % 3, keys, 3)
+        ]
+        chunk(str(src / f"c{b:03d}.parquet"), rows, base + b)
+
+    def run(store, ckpt):
+        q = foreach_batch_cdc_merge_partitioned(
+            to_changes(event_stream(stress_spark, str(src))),
+            store,
+            ckpt,
+            "k",
+            n_buckets=8,
+            ordered=True,
+        )
+        q.awaitTermination()
+
+    t0 = time.perf_counter()
+    s1 = str(tmp_path / "s1")
+    run(s1, str(tmp_path / "ckpt1"))
+    assert len(_committed_manifests(s1)) == n_batches
+
+    s2 = str(tmp_path / "s2")
+    compact_store_partitioned(stress_spark, s1, s2, "k")
+    assert len(_committed_manifests(s2)) == 1
+
+    for b in range(n_batches, n_batches + 4):
+        rows = [(b * 1000 + k, k, "up", -b - k) for k in range(0, keys, 2)]
+        chunk(str(src / f"c{b:03d}.parquet"), rows, base + b)
+    run(s2, str(tmp_path / "ckpt2"))  # fresh checkpoint: full replay + new
+    s3 = str(tmp_path / "s3")
+    run(s3, str(tmp_path / "ckpt3"))  # straight run oracle
+    dt = time.perf_counter() - t0
+    print(f"\n  [sf1 stress] compact_store replay @ {n_batches}+4 batches: {dt:.1f}s")
+
+    live = lambda s: sorted(
+        (r.k, r.v, r.ord)
+        for r in read_current_partitioned(
+            stress_spark, s, live_only=True
+        ).collect()
+    )
+    assert live(s2) == live(s3)
+    assert dt < BUDGET_COMPACT_REPLAY_S, (
+        f"compact+replay took {dt:.0f}s (budget {BUDGET_COMPACT_REPLAY_S}s)"
+    )
