@@ -260,7 +260,12 @@ def write_lsh_band_index(
     does not — that orphaned location would brick every later
     re-create with LOCATION_ALREADY_EXISTS (reproduced in review), so
     after the DROP the default managed location is cleared before
-    writing. Single-part table names only (no custom database)."""
+    writing. Single-part table names only (no custom database).
+
+    Sizing note: `n_buckets` is both the probe join's distribution AND
+    the base build's write parallelism (the bucket-aligned repartition
+    below) — at 100 TB size it to the cluster (thousands), not the
+    test default."""
     import os
     import shutil
     from urllib.parse import urlparse

@@ -828,7 +828,26 @@ def foreach_batch_dedup_ingest(
         if manifest.exists():
             return  # committed batch redelivered after checkpoint loss — skip
         spark = batch_df.sparkSession
+        committed = _dedup_committed_batches(store)
+        # Known-id skip: a doc whose id is already ACCEPTED is not
+        # re-evaluated — this is what makes a FRESH-CHECKPOINT replay
+        # of the whole feed (after checkpoint loss, or a resume against
+        # a compact_dedup_ingest_store seed) converge instead of
+        # re-accepting every survivor (previously-REJECTED ids carry no
+        # state and re-reject deterministically against the unchanged
+        # store). At scale this membership probe is the maintained
+        # exact-id fingerprint store of the dedup_q8 pattern; here it
+        # is an id-column-only read of the committed accepted dirs.
+        acc_dirs = [
+            str(store / "accepted" / f"batch={b}")
+            for b in committed
+            if (store / "accepted" / f"batch={b}").exists()
+        ]
+        if acc_dirs:
+            known = spark.read.parquet(*acc_dirs).select(id_col)
+            batch_df = batch_df.join(known, id_col, "left_anti")
         sh_b = doc_shingles(batch_df, text_col, id_col).persist()
+        persisted = None
         try:
             batch_ids = {r["id"] for r in sh_b.select("id").distinct().collect()}
             sig_b = minhash_signatures(sh_b, num_hashes)
@@ -838,9 +857,6 @@ def foreach_batch_dedup_ingest(
                 cands = cands.unionByName(
                     probe_lsh_band_index(spark, table_name, sig_b, num_hashes, bands)
                 ).distinct()
-            committed = sorted(
-                int(p.stem) for p in man_dir.glob("*.json") if p.stem.isdigit()
-            )
             sh_all = sh_b.select("id", "shingle")
             shingle_dirs = [
                 str(store / "shingles" / f"batch={b}")
@@ -879,6 +895,8 @@ def foreach_batch_dedup_ingest(
                 )
                 accepted = batch_df.join(F.broadcast(rej), id_col, "left_anti")
             accepted = accepted.persist()
+            persisted = accepted  # unpersist in finally — a failed write
+            # mid-batch must not leak blocks across redeliveries
             n_acc = accepted.count()
 
             accepted.write.mode("overwrite").parquet(
@@ -911,8 +929,9 @@ def foreach_batch_dedup_ingest(
                 )
             )
             os.replace(tmp, manifest)
-            accepted.unpersist()
         finally:
+            if persisted is not None:
+                persisted.unpersist()
             sh_b.unpersist()
 
     return (
@@ -923,6 +942,20 @@ def foreach_batch_dedup_ingest(
     )
 
 
+def _dedup_committed_batches(store) -> list:
+    """Committed batch ids of a dedup-ingest store, ascending; the
+    int() parse (not isdigit) admits the -1 compaction seed."""
+    import pathlib
+
+    out = []
+    for p in (pathlib.Path(store) / "_manifests").glob("*.json"):
+        try:
+            out.append(int(p.stem))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
 def read_dedup_accepted(spark, store_path: str) -> DataFrame:
     """Surviving documents of a foreach_batch_dedup_ingest store:
     union of the COMMITTED accepted/batch=<id> partitions (manifest-
@@ -931,10 +964,56 @@ def read_dedup_accepted(spark, store_path: str) -> DataFrame:
 
     store = pathlib.Path(store_path)
     dirs = [
-        str(store / "accepted" / f"batch={int(p.stem)}")
-        for p in (store / "_manifests").glob("*.json")
-        if p.stem.isdigit() and (store / "accepted" / f"batch={int(p.stem)}").exists()
+        str(store / "accepted" / f"batch={b}")
+        for b in _dedup_committed_batches(store)
+        if (store / "accepted" / f"batch={b}").exists()
     ]
     if not dirs:
         raise ValueError(f"no committed batches under {store_path}")
     return spark.read.parquet(*dirs)
+
+
+def compact_dedup_ingest_store(spark, src_path: str, dst_path: str) -> int:
+    """Consolidate a foreach_batch_dedup_ingest store: all committed
+    accepted/shingle batch partitions fold into a FRESH store's single
+    `batch=-1` seed (one manifest instead of one per micro-batch —
+    the same chain-reset contract as compact_store_partitioned, and
+    for the same reason a fresh store: batch ids are checkpoint ids,
+    so no in-place number is collision-safe; -1 is the one id no
+    stream batch ever gets). Compact the band-index TABLE separately
+    with compact_lsh_band_index — it is keyed by content, not batch,
+    so it needs no seed trick.
+
+    Resume contract: point the stream at dst_path with a FRESH
+    checkpoint. The full-feed replay CONVERGES on the compacted store
+    (tested): every previously-accepted id is skipped by the sink's
+    known-id gate, every previously-rejected doc re-rejects
+    deterministically against the identical surviving store, so the
+    surviving set — and the one-shot-batch equality — is unchanged.
+    Returns the number of accepted docs seeded."""
+    import json
+    import os
+    import pathlib
+
+    src, dst = pathlib.Path(src_path), pathlib.Path(dst_path)
+    committed = _dedup_committed_batches(src)
+    if not committed:
+        raise ValueError(f"no committed batches under {src_path}")
+    acc = read_dedup_accepted(spark, src_path)
+    n = acc.count()
+    acc.write.mode("overwrite").parquet(str(dst / "accepted" / "batch=-1"))
+    sh_dirs = [
+        str(src / "shingles" / f"batch={b}")
+        for b in committed
+        if (src / "shingles" / f"batch={b}").exists()
+    ]
+    if sh_dirs:
+        spark.read.parquet(*sh_dirs).write.mode("overwrite").parquet(
+            str(dst / "shingles" / "batch=-1")
+        )
+    man_dir = dst / "_manifests"
+    man_dir.mkdir(parents=True, exist_ok=True)
+    tmp = man_dir / "-1.json.tmp"
+    tmp.write_text(json.dumps({"batch": -1, "accepted": n, "compacted_from": len(committed)}))
+    os.replace(tmp, man_dir / "-1.json")
+    return n

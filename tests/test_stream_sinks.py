@@ -917,3 +917,105 @@ def test_streaming_dedup_ingest_matches_one_shot(spark, tmp_path):
         assert sum(1 for i in got4 if i >= 1000) < len(extra)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl_name}")
+
+
+def test_dedup_ingest_compaction_and_fresh_checkpoint_replay(spark, tmp_path):
+    """compact_dedup_ingest_store + the known-id gate: the batch
+    chain folds into a fresh store's batch=-1 seed (manifest chain
+    K → 1), a FRESH-checkpoint resume replays the whole feed onto the
+    compacted store and CONVERGES — no survivor is re-accepted, no
+    duplicate rows appear — and a genuinely new chunk still folds in
+    equal to the one-shot batch policy."""
+    import pathlib
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.operators.dedup import (
+        compact_lsh_band_index,
+        dedup_corpus_greedy,
+    )
+    from distributed_mapreduce_spark.sources import table
+    from distributed_mapreduce_spark.streaming.sinks import (
+        compact_dedup_ingest_store,
+        foreach_batch_dedup_ingest,
+        read_dedup_accepted,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)[:300]
+    src = tmp_path / "feed"
+    src.mkdir()
+    base = time.time()
+
+    def write_chunk(name, chunk_rows, mtime):
+        tbl = _pa.table(
+            {
+                "doc_id": _pa.array([r[0] for r in chunk_rows], _pa.int64()),
+                "text": _pa.array([r[1] for r in chunk_rows], _pa.string()),
+            }
+        )
+        p = str(src / name)
+        _pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    half = len(rows) // 2
+    write_chunk("c1.parquet", [(r.doc_id, r.text) for r in rows[:half]], base)
+    write_chunk("c2.parquet", [(r.doc_id, r.text) for r in rows[half:]], base + 5)
+
+    tbl_name = "dedup_compact_idx"
+
+    def run(store, ckpt):
+        q = foreach_batch_dedup_ingest(
+            (
+                spark.readStream.schema("doc_id bigint, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            ),
+            store,
+            ckpt,
+            tbl_name,
+            min_jaccard=0.5,
+            bands=16,
+        )
+        q.awaitTermination()
+
+    s1 = str(tmp_path / "s1")
+    try:
+        run(s1, str(tmp_path / "ckpt1"))
+        got1 = sorted(r.doc_id for r in read_dedup_accepted(spark, s1).collect())
+
+        s2 = str(tmp_path / "s2")
+        n = compact_dedup_ingest_store(spark, s1, s2)
+        assert n == len(got1)
+        compact_lsh_band_index(spark, tbl_name, n_buckets=32)
+        assert (
+            len(list(pathlib.Path(s2, "_manifests").glob("*.json"))) == 1
+        )
+        assert sorted(
+            r.doc_id for r in read_dedup_accepted(spark, s2).collect()
+        ) == got1
+
+        # fresh checkpoint against the compacted store: full replay of
+        # c1+c2 converges (known-id gate), then a new chunk folds in
+        extra = [(r.doc_id + 5000, r.text) for r in rows[:25]]
+        write_chunk("c3.parquet", extra, base + 10)
+        run(s2, str(tmp_path / "ckpt2"))
+        got2 = sorted(r.doc_id for r in read_dedup_accepted(spark, s2).collect())
+        assert len(got2) == len(set(got2)), "replay duplicated accepted rows"
+
+        widened = docs.where(F.col("doc_id") < rows[-1].doc_id + 1).unionByName(
+            spark.createDataFrame(extra, "doc_id bigint, text string")
+        )
+        want = sorted(
+            r.doc_id
+            for r in dedup_corpus_greedy(widened, 0.5, bands=16)
+            .select("doc_id")
+            .collect()
+        )
+        assert got2 == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl_name}")
