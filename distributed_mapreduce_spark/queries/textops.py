@@ -1162,6 +1162,61 @@ def dedup_q15_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_q16_maintained_lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_q15's batch probe through the MATERIALIZED, incrementally
+    MAINTAINED band index — the r8 append path, graded end-to-end: the
+    store corpus (doc_id % 5 != 0) is indexed as a seed half
+    (write_lsh_band_index) PLUS an appended half (append_lsh_band_index
+    — frozen banding, ≤1 file/bucket/batch), the incoming batch
+    (doc_id % 5 = 0) probes the BUCKETED table (probe_lsh_band_index —
+    the store side satisfies the join distribution as stored, only the
+    batch exchanges) and itself, and the candidates are exact-jaccard
+    verified. Result contract identical to dedup_q15, so the oracle is
+    the same batch-touching restriction of the exact-tier SQL — a
+    green value-hash certifies that probing the maintained-on-disk
+    index equals the in-query derivation bit-for-bit (append ≡ rebuild
+    for the LSH artifact, the dedup half of what sim_q7/q8 certify for
+    the ANN stores).
+
+    Scale shape: the index write/append pays one bucket-aligned
+    shuffle of (id, band, bucket) int rows — the artifact is
+    bands×docs×3 ints, tiny next to the corpus — and the probe's
+    per-batch cost is batch band rows + bucket collisions, independent
+    of store size."""
+    from distributed_mapreduce_spark.operators.dedup import (
+        append_lsh_band_index,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        probe_lsh_band_index,
+        verify_jaccard_pairs,
+        write_lsh_band_index,
+    )
+
+    docs = widen(table(spark, sf_dir, "documents"))
+    sh = doc_shingles(
+        docs,
+        max_df=MAX_SHINGLE_DF,
+        carry=((F.pmod("doc_id", F.lit(5)) == 0).alias("is_new"),),
+    ).persist()
+    sig = minhash_signatures(sh, carry=("is_new",)).persist()
+    new_sig = sig.where(F.col("is_new")).select("id", "sig")
+    store_sig = sig.where(~F.col("is_new")).select("id", "sig")
+    tbl = "dedup_q16_band_idx"
+    write_lsh_band_index(
+        store_sig.where(F.col("id") % 2 == 1), tbl, n_buckets=16, bands=MINHASH_BANDS
+    )
+    append_lsh_band_index(
+        store_sig.where(F.col("id") % 2 == 0), tbl, n_buckets=16, bands=MINHASH_BANDS
+    )
+    cross = probe_lsh_band_index(spark, tbl, new_sig, bands=MINHASH_BANDS).select(
+        F.least("id_i", "id_j").alias("id_i"),
+        F.greatest("id_i", "id_j").alias("id_j"),
+    )
+    internal = lsh_candidate_pairs(new_sig, bands=MINHASH_BANDS)
+    cands = cross.unionByName(internal).distinct()
+    return verify_jaccard_pairs(sh.select("id", "shingle"), cands, NEAR_DUP_JACCARD)
+
+
 SHADOW_QUERIES = {
     "text_q7_repetition": text_q7_repetition,
     "text_q8_tfidf": text_q8_tfidf,
@@ -1177,6 +1232,7 @@ SHADOW_QUERIES = {
     "dedup_q14_edit_distance": dedup_q14_edit_distance,
     "dedup_q15_incremental_lsh": dedup_q15_incremental_lsh,
     "text_q14_bm25": text_q14_bm25,
+    "dedup_q16_maintained_lsh_store": dedup_q16_maintained_lsh_store,
 }
 
 # SPAN_N-gram concat expression for the dedup_q9 oracle (i is the
@@ -1360,6 +1416,15 @@ SHADOW_ORACLES = {
     # batch (doc_id % 5 = 0) — sound for the incremental LSH path by
     # the dedup_q4 exhaustive-recall banding argument.
     "dedup_q15_incremental_lsh": f"""
+        WITH pairs AS ({_Q3_PAIRS_SQL})
+        SELECT id_i, id_j, jaccard
+        FROM pairs
+        WHERE id_i % 5 = 0 OR id_j % 5 = 0
+    """,
+    # Identical contract through the MAINTAINED on-disk band index
+    # (write + append + probe) — same restriction, same soundness
+    # argument; a green hash is the append ≡ rebuild certificate.
+    "dedup_q16_maintained_lsh_store": f"""
         WITH pairs AS ({_Q3_PAIRS_SQL})
         SELECT id_i, id_j, jaccard
         FROM pairs
