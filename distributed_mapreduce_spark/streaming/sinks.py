@@ -1017,3 +1017,162 @@ def compact_dedup_ingest_store(spark, src_path: str, dst_path: str) -> int:
     tmp.write_text(json.dumps({"batch": -1, "accepted": n, "compacted_from": len(committed)}))
     os.replace(tmp, man_dir / "-1.json")
     return n
+
+
+def foreach_batch_ann_ingest(
+    vec_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    centroids: list,
+    codebooks: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Streaming ANN-index ingest — the vector half of the r8
+    incremental-serving story, composed the same way as
+    foreach_batch_dedup_ingest: per micro-batch, encode the batch
+    against the FROZEN index metadata (assign_cells; plus pq_encode
+    when `codebooks` is given — the IVFADC form) and commit it as its
+    own `batch=<id>/cell=<k>/` partition tree, manifest last.
+
+    Exactly-once: a committed batch id short-circuits on redelivery;
+    an uncommitted batch's replay overwrites its own `batch=<id>` dir
+    (invisible to readers until the manifest lands). A known-id gate
+    (anti-join against committed ids) makes a FRESH-CHECKPOINT
+    full-feed replay converge — the property that lets a compacted
+    store (compact_ann_ingest_store) resume cleanly, and that
+    append_ivf_store alone cannot give (a replayed append would
+    duplicate vectors, and duplicated ids DO corrupt top-k, unlike the
+    dedup sink's duplicate-tolerant band rows — which is exactly why
+    this sink versions by batch instead of appending in place).
+
+    Probes (ann_ingest_topk) read only committed batch dirs and prune
+    to the nprobe nearest cells at the PARTITION level — per-probe IO
+    is ~nprobe/num_cells of the committed store, same as the
+    write_ivf_store layout; compact_ann_ingest_store folds the batch
+    chain back into that single-tree layout when the per-batch dir
+    count grows."""
+    import json
+    import os
+    import pathlib
+
+    from distributed_mapreduce_spark.operators.similarity import (
+        assign_cells,
+        pq_encode,
+    )
+
+    store = pathlib.Path(store_path)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        man_dir = store / "_manifests"
+        man_dir.mkdir(parents=True, exist_ok=True)
+        manifest = man_dir / f"{batch_id}.json"
+        if manifest.exists():
+            return
+        spark = batch_df.sparkSession
+        committed = _dedup_committed_batches(store)
+        dirs = [
+            str(store / f"batch={b}")
+            for b in committed
+            if (store / f"batch={b}").exists()
+        ]
+        if dirs:
+            known = (
+                spark.read.option("basePath", str(store)).parquet(*dirs).select(id_col)
+            )
+            batch_df = batch_df.join(known, id_col, "left_anti")
+        coded = assign_cells(batch_df, centroids, id_col, vec_col)
+        if codebooks is not None:
+            coded = pq_encode(coded, codebooks, id_col, vec_col, carry=("cell",))
+        n = coded.count()
+        coded.write.mode("overwrite").partitionBy("cell").parquet(
+            str(store / f"batch={batch_id}")
+        )
+        tmp = man_dir / f"{batch_id}.json.tmp"
+        tmp.write_text(json.dumps({"batch": batch_id, "vectors": n}))
+        os.replace(tmp, manifest)
+
+    return (
+        vec_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ann_ingest_topk(
+    spark,
+    store_path: str,
+    centroids: list,
+    query_vec: list,
+    k: int = 10,
+    nprobe: int = 4,
+    codebooks: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a foreach_batch_ann_ingest store: committed batch dirs
+    only (manifest-gated — a torn batch write is invisible), pruned to
+    the nprobe nearest cells at the partition level (`cell IN (...)`
+    lands in PartitionFilters across every batch dir — plan-asserted
+    in tests), then exact cosine (or ADC when `codebooks` is given)
+    ranking. Results are identical to probing a one-shot
+    write_ivf_store/write_ivfpq_store build over the same vectors
+    (✓tested): frozen metadata makes the layout a pure re-bucketing of
+    the same rows."""
+    import pathlib
+
+    from distributed_mapreduce_spark.operators.similarity import (
+        _probe_cells,
+        pq_adc_topk,
+        topk_cosine_literal,
+    )
+
+    store = pathlib.Path(store_path)
+    dirs = [
+        str(store / f"batch={b}")
+        for b in _dedup_committed_batches(store)
+        if (store / f"batch={b}").exists()
+    ]
+    if not dirs:
+        raise ValueError(f"no committed batches under {store_path}")
+    probe = _probe_cells(centroids, query_vec, nprobe)
+    cand = (
+        spark.read.option("basePath", str(store))
+        .parquet(*dirs)
+        .where(F.col("cell").isin(probe))
+    )
+    if codebooks is not None:
+        return pq_adc_topk(cand, codebooks, query_vec, k, id_col)
+    return topk_cosine_literal(cand, query_vec, k, id_col, vec_col)
+
+
+def compact_ann_ingest_store(spark, src_path: str, dst_path: str) -> int:
+    """Fold an ANN ingest store's batch chain into a fresh store's
+    single `batch=-1` seed (same -1-seed contract as
+    compact_dedup_ingest_store; the known-id gate makes a
+    fresh-checkpoint resume against the compacted store converge).
+    Returns the vector count seeded. The seed keeps the
+    `batch=-1/cell=<k>/` shape so ann_ingest_topk's partition pruning
+    is unchanged; cell-level small files within the seed are bounded
+    by compact_partitioned(dst/batch=-1, ["cell"])."""
+    import json
+    import os
+    import pathlib
+
+    src, dst = pathlib.Path(src_path), pathlib.Path(dst_path)
+    committed = _dedup_committed_batches(src)
+    dirs = [str(src / f"batch={b}") for b in committed if (src / f"batch={b}").exists()]
+    if not dirs:
+        raise ValueError(f"no committed batches under {src_path}")
+    rows = spark.read.option("basePath", str(src)).parquet(*dirs).drop("batch")
+    n = rows.count()
+    rows.write.mode("overwrite").partitionBy("cell").parquet(
+        str(dst / "batch=-1")
+    )
+    man_dir = dst / "_manifests"
+    man_dir.mkdir(parents=True, exist_ok=True)
+    tmp = man_dir / "-1.json.tmp"
+    tmp.write_text(json.dumps({"batch": -1, "vectors": n, "compacted_from": len(committed)}))
+    os.replace(tmp, man_dir / "-1.json")
+    return n

@@ -1019,3 +1019,123 @@ def test_dedup_ingest_compaction_and_fresh_checkpoint_replay(spark, tmp_path):
         assert got2 == want
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl_name}")
+
+
+def test_streaming_ann_ingest_matches_one_shot_store(spark, tmp_path):
+    """foreach_batch_ann_ingest: a chunked vector feed committed as
+    manifest-gated batch/cell partitions probes IDENTICALLY to a
+    one-shot write_ivf_store build (and, with codebooks, to the
+    IVFADC store); the probe prunes cells at the partition level
+    across batch dirs; resume changes nothing; a fresh-checkpoint
+    replay against the compacted store converges with no duplicate
+    ids."""
+    import pathlib
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark import plans
+    from distributed_mapreduce_spark.operators.similarity import (
+        ivf_store_topk,
+        ivfpq_store_topk,
+        train_centroids,
+        train_pq_codebooks,
+        write_ivf_store,
+        write_ivfpq_store,
+    )
+    from distributed_mapreduce_spark.sources import table
+    from distributed_mapreduce_spark.streaming.sinks import (
+        ann_ingest_topk,
+        compact_ann_ingest_store,
+        foreach_batch_ann_ingest,
+    )
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = train_centroids(emb, 16)
+    cbs = train_pq_codebooks(emb, 64)
+    rows = emb.collect()
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    base = time.time()
+    third = len(rows) // 3
+    for i, lo in enumerate([0, third, 2 * third]):
+        chunk_rows = rows[lo : lo + third] if i < 2 else rows[lo:]
+        tbl = _pa.table(
+            {
+                "vec_id": _pa.array([r.vec_id for r in chunk_rows], _pa.int64()),
+                "embedding": _pa.array(
+                    [list(map(float, r.embedding)) for r in chunk_rows],
+                    _pa.list_(_pa.float32()),
+                ),
+            }
+        )
+        p = str(src / f"c{i}.parquet")
+        _pq.write_table(tbl, p)
+        os.utime(p, (base + 5 * i, base + 5 * i))
+
+    store = str(tmp_path / "store")
+
+    def run(st, ckpt, codebooks=None):
+        q = foreach_batch_ann_ingest(
+            (
+                spark.readStream.schema("vec_id bigint, embedding array<float>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            ),
+            st,
+            ckpt,
+            cents,
+            codebooks=codebooks,
+        )
+        q.awaitTermination()
+
+    run(store, str(tmp_path / "ckpt1"))
+    qvec = [float(x) for x in rows[42].embedding]
+    got = ann_ingest_topk(spark, store, cents, qvec, 10, nprobe=4)
+
+    full = str(tmp_path / "full")
+    write_ivf_store(emb.select("vec_id", "embedding"), cents, full)
+    want = ivf_store_topk(spark, full, cents, qvec, 10, nprobe=4).collect()
+    assert [(r.vec_id, r.cos_sim) for r in got.collect()] == [
+        (r.vec_id, r.cos_sim) for r in want
+    ]
+
+    # partition pruning across batch dirs
+    fmt = plans.physical_plan(got, "formatted")
+    pf = [l for l in fmt.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell" in pf[0], fmt
+
+    # resume: no new manifests, same result
+    n_man = len(list(pathlib.Path(store, "_manifests").glob("*.json")))
+    run(store, str(tmp_path / "ckpt1"))
+    assert len(list(pathlib.Path(store, "_manifests").glob("*.json"))) == n_man
+
+    # compact -> fresh checkpoint replay converges (known-id gate)
+    store2 = str(tmp_path / "store2")
+    n = compact_ann_ingest_store(spark, store, store2)
+    assert n == len(rows)
+    run(store2, str(tmp_path / "ckpt2"))
+    back = spark.read.option("basePath", store2).parquet(
+        *[str(p) for p in pathlib.Path(store2).glob("batch=*")]
+    )
+    ids = [r.vec_id for r in back.select("vec_id").collect()]
+    assert len(ids) == len(set(ids)) == len(rows), "replay duplicated vectors"
+    got2 = ann_ingest_topk(spark, store2, cents, qvec, 10, nprobe=4).collect()
+    assert [(r.vec_id, r.cos_sim) for r in got2] == [
+        (r.vec_id, r.cos_sim) for r in want
+    ]
+
+    # IVFADC form: codes-only store, ADC probe == one-shot IVFPQ store
+    store3 = str(tmp_path / "store3")
+    run(store3, str(tmp_path / "ckpt3"), codebooks=cbs)
+    got3 = ann_ingest_topk(
+        spark, store3, cents, qvec, 10, nprobe=4, codebooks=cbs
+    ).collect()
+    full2 = str(tmp_path / "full2")
+    write_ivfpq_store(emb.select("vec_id", "embedding"), cents, cbs, full2)
+    want3 = ivfpq_store_topk(spark, full2, cents, cbs, qvec, 10, nprobe=4).collect()
+    assert [(r.vec_id, r.approx_dot) for r in got3] == [
+        (r.vec_id, r.approx_dot) for r in want3
+    ]
