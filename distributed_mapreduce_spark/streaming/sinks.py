@@ -1288,24 +1288,48 @@ def compact_ann_ingest_store(spark, src_path: str, dst_path: str) -> int:
     Returns the vector count seeded. The seed keeps the
     `batch=-1/cell=<k>/` shape so ann_ingest_topk's partition pruning
     is unchanged; cell-level small files within the seed are bounded
-    by compact_partitioned(dst/batch=-1, ["cell"])."""
-    import json
-    import os
-    import pathlib
+    by compact_partitioned(dst/batch=-1, ["cell"]). The id sidecar
+    folds into `ids/batch=-1/p=<bucket>` with the SOURCE's pinned
+    id_buckets — losing it would silently disarm the known-id gate and
+    a fresh-checkpoint replay would duplicate every vector (duplicate
+    ids corrupt top-k; regression-tested)."""
+    from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
 
-    src, dst = pathlib.Path(src_path), pathlib.Path(dst_path)
-    committed = _dedup_committed_batches(src)
-    dirs = [str(src / f"batch={b}") for b in committed if (src / f"batch={b}").exists()]
+    src_ms, dst_ms = ManifestStore(src_path), ManifestStore(dst_path)
+    manifests = src_ms.manifests()
+    dirs = src_ms.batch_dirs()
     if not dirs:
         raise ValueError(f"no committed batches under {src_path}")
-    rows = spark.read.option("basePath", str(src)).parquet(*dirs).drop("batch")
+    id_buckets = next(
+        (p["id_buckets"] for _, p in manifests if "id_buckets" in p), None
+    )
+    if id_buckets is None:
+        raise ValueError(
+            f"store {src_path} has no pinned id_buckets in its manifests — "
+            "not a foreach_batch_ann_ingest store (or written by a "
+            "pre-sidecar version; rebuild it through the sink)"
+        )
+    rows = spark.read.option("basePath", src_path).parquet(*dirs).drop("batch")
     n = rows.count()
     rows.write.mode("overwrite").partitionBy("cell").parquet(
-        str(dst / "batch=-1")
+        str(dst_ms.batch_dir(-1))
     )
-    man_dir = dst / "_manifests"
-    man_dir.mkdir(parents=True, exist_ok=True)
-    tmp = man_dir / "-1.json.tmp"
-    tmp.write_text(json.dumps({"batch": -1, "vectors": n, "compacted_from": len(committed)}))
-    os.replace(tmp, man_dir / "-1.json")
+    touched: list[int] = []
+    id_dirs = _sidecar_leaf_dirs(src_ms, "ids")
+    if id_dirs:
+        ids = spark.read.parquet(*id_dirs).select(
+            "id", _id_bucket(F.col("id"), id_buckets).alias("p")
+        )
+        touched = sorted(r["p"] for r in ids.select("p").distinct().collect())
+        ids.repartition("p").write.mode("overwrite").partitionBy("p").parquet(
+            str(dst_ms.batch_dir(-1, "ids"))
+        )
+    dst_ms.seed(
+        {
+            "vectors": n,
+            "compacted_from": len(manifests),
+            "id_buckets": id_buckets,
+            "touched": touched,
+        }
+    )
     return n
