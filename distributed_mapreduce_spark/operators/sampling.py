@@ -186,13 +186,19 @@ def global_shuffle_index(
     withh = df.withColumn("__h", h).withColumn(
         "__b", F.floor(v / F.lit(k)).cast("bigint")
     )
-    # Checkpoint the hashed projection so the corpus is scanned (and
-    # md5'd) ONCE: the counts collect below and the rank pass both read
-    # the materialized blocks instead of re-running the scan+hash
-    # lineage (ADVICE r7). localCheckpoint = executor memory+disk; on a
-    # real cluster with flaky executors use reliable checkpoint() into
-    # the job's scratch dir instead.
-    withh = withh.localCheckpoint()
+    # Persist the hashed projection so the corpus is scanned (and
+    # md5'd) ONCE: the counts collect below materializes the cache and
+    # the rank pass reads the same blocks (ADVICE r7). persist — NOT
+    # localCheckpoint — on purpose (ADVICE r9): checkpoint blocks are
+    # invisible to the CacheManager, so repeated library calls leaked
+    # executor blocks with no release path short of hunting orphan
+    # RDDs. Persisted blocks are released by `spark.catalog.clearCache()`
+    # (or unpersist on any equivalent plan), and the retained lineage
+    # makes release safe at ANY point — a post-release action just
+    # recomputes the deterministic scan+md5. Callers running many
+    # epochs should clearCache between them; the bench harness already
+    # does this per query.
+    withh = withh.persist()
     counts = {
         r["__b"]: r["c"]
         for r in withh.groupBy("__b").agg(F.count("*").alias("c")).collect()

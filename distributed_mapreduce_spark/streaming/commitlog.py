@@ -75,7 +75,13 @@ class ManifestStore:
         self.man_dir = self.root / "_manifests"
 
     def is_committed(self, batch_id: int) -> bool:
-        return (self.man_dir / f"{batch_id}.json").exists()
+        """Parse-verified, not a bare exists() check — the committed
+        definition is EXISTS and PARSES. A torn manifest (power loss
+        after the rename but before its data reached disk) must read
+        as UNCOMMITTED here too: the sink's redelivery short-circuit
+        keys off this, and a bare exists() would skip the replay while
+        every reader skips the batch — data invisible forever."""
+        return read_json_tolerant(self.man_dir / f"{batch_id}.json") is not None
 
     def committed(self) -> list[int]:
         """Committed batch ids ascending. int() parse (not isdigit) so
@@ -115,14 +121,22 @@ class ManifestStore:
         base = self.root / subdir if subdir else self.root
         return base / f"batch={batch_id}"
 
-    def batch_dirs(self, subdir: str | None = None) -> list[str]:
+    def batch_dirs(
+        self,
+        subdir: str | None = None,
+        manifests: list[tuple[int, dict]] | None = None,
+    ) -> list[str]:
         """Existing data dirs of committed batches, ascending batch
         order — the read-side universe (a torn batch write is invisible
-        because its manifest never landed)."""
+        because its manifest never landed). Pass `manifests` to derive
+        the dirs from an already-taken snapshot: a compactor that
+        re-lists between its data read and its sidecar read can catch
+        a batch a live stream committed in between, folding its ids
+        without its data (or vice versa) — one snapshot, every dir set
+        derived from it."""
+        chain = self.manifests() if manifests is None else manifests
         return [
-            str(d)
-            for b in self.committed()
-            if (d := self.batch_dir(b, subdir)).exists()
+            str(d) for b, _ in chain if (d := self.batch_dir(b, subdir)).exists()
         ]
 
     def pruned_partition_dirs(
@@ -137,12 +151,17 @@ class ManifestStore:
         partitions its keys hash into, never the whole committed
         store. Each manifest's `touched` list (the non-empty buckets
         its batch wrote) prunes the filesystem walk too: a batch that
-        never wrote bucket k is skipped without a stat call. Pass
-        `manifests` to reuse an already-listed chain."""
+        never wrote bucket k is skipped without a stat call. A manifest
+        MISSING the key entirely (written by something other than this
+        repo's sinks) means UNKNOWN, not empty — every wanted bucket is
+        stat-checked for it, so pruning degrades to correctness, never
+        to silent data loss. Pass `manifests` to reuse an
+        already-listed chain."""
         want = set(buckets)
         out = []
         for b, payload in self.manifests() if manifests is None else manifests:
-            hit = want.intersection(payload.get("touched", ()))
+            touched = payload.get("touched")
+            hit = want if touched is None else want.intersection(touched)
             if not hit:
                 continue
             base = self.batch_dir(b, subdir)
@@ -176,7 +195,11 @@ class VersionManifests:
     ) -> None:
         """Make a version visible — call LAST. `touched` lists the
         partition values this version rewrote, INCLUDING ones it
-        emptied (touched-but-absent-as-dir means EMPTY, not unknown)."""
+        emptied (touched-but-absent-as-dir means EMPTY, not unknown).
+        The version dir is created here because a version that emptied
+        EVERY partition it touched wrote no data files at all — its
+        manifest is the whole version."""
+        self.version_dir(version).mkdir(parents=True, exist_ok=True)
         atomic_write_json(
             self.version_dir(version) / self.MANIFEST,
             {

@@ -725,18 +725,64 @@ def _id_bucket(col, id_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(id_buckets)).cast("int")
 
 
+def _dir_bytes(dirs) -> int:
+    """Total on-disk bytes under the given directories — the sinks
+    stamp each batch's STORE-SIDE read volume (gate + fetch dirs) into
+    its manifest, so the store-size-independence claim is recorded
+    per-batch evidence the sf1 stress can assert on, not a docstring
+    assertion. Driver-side listing of already-pruned dirs — bounded by
+    the pruned file count, never a store walk."""
+    import pathlib
+
+    return sum(
+        f.stat().st_size
+        for d in dirs
+        for f in pathlib.Path(d).rglob("*")
+        if f.is_file()
+    )
+
+
+def _pinned_id_buckets(manifests, store_path) -> int | None:
+    """Recover the store's pinned id-routing bucket count, validating
+    EVERY manifest carries it (None for an empty chain). A mixed store
+    — early batches written by a pre-sidecar version, later ones with
+    id sidecars — would pass a first-manifest-only check while the
+    early batches' ids are absent from the sidecar, so a
+    fresh-checkpoint replay would duplicate exactly those rows (the
+    failure the known-id gate exists to prevent, ADVICE r10). Reject
+    it the same way as a fully pre-sidecar store: rebuild through the
+    sink."""
+    pin = None
+    for b, payload in manifests:
+        have = payload.get("id_buckets")
+        if have is None:
+            raise ValueError(
+                f"store {store_path}: committed batch {b} has no pinned "
+                "id_buckets — written by a pre-sidecar version, so its ids "
+                "are missing from the id sidecar and the known-id gate "
+                "cannot be trusted; rebuild the store through the sink"
+            )
+        if pin is None:
+            pin = have
+        elif have != pin:
+            raise ValueError(
+                f"store {store_path}: inconsistent id_buckets across "
+                f"manifests ({pin} vs {have} at batch {b}) — pruned reads "
+                "cannot be trusted; rebuild the store through the sink"
+            )
+    return pin
+
+
 def _check_id_buckets(manifests, id_buckets: int, store_path) -> None:
     """Pin the id-routing bucket count to the store (the CDC sink's
     n_buckets rule): hash routing must stay stable for the store's
     lifetime, or pruned reads miss data silently."""
-    for _, payload in manifests:
-        have = payload.get("id_buckets")
-        if have is not None and have != id_buckets:
-            raise ValueError(
-                f"store {store_path} routes ids with id_buckets={have}; "
-                f"hash routing must stay stable (got {id_buckets})"
-            )
-        return
+    pin = _pinned_id_buckets(manifests, store_path)
+    if pin is not None and pin != id_buckets:
+        raise ValueError(
+            f"store {store_path} routes ids with id_buckets={pin}; "
+            f"hash routing must stay stable (got {id_buckets})"
+        )
 
 
 def foreach_batch_dedup_ingest(
@@ -787,8 +833,8 @@ def foreach_batch_dedup_ingest(
     pair's (id_i, id_j) orientation when both endpoints are batch
     docs (the torn copy answers the probe as a "store" row), which is
     why the keep-first step below normalizes both-in-batch pairs to
-    (min, max) before the greedy pass (ADVICE r9; ✓torn-append replay
-    test). compact_lsh_band_index bounds the index's append chain;
+    (min, max) before the greedy pass (ADVICE r9;
+    ✓tests/test_stream_sinks.py::test_dedup_ingest_torn_append_replay). compact_lsh_band_index bounds the index's append chain;
     compact_dedup_ingest_store folds the batch chain into a fresh
     store's seed.
 
@@ -828,8 +874,11 @@ def foreach_batch_dedup_ingest(
     ms = ManifestStore(store_path)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
         if ms.is_committed(batch_id):
             return  # committed batch redelivered after checkpoint loss — skip
+        t0 = _time.monotonic()
         spark = batch_df.sparkSession
         manifests = ms.manifests()
         _check_id_buckets(manifests, id_buckets, store_path)
@@ -1003,6 +1052,11 @@ def foreach_batch_dedup_ingest(
                     "rejected": len(rejected),
                     "id_buckets": id_buckets,
                     "touched": touched_acc,
+                    # per-batch evidence for the store-size-independence
+                    # claim: bytes of committed-store data this batch's
+                    # pruned reads touched, and its wall time
+                    "gate_bytes": _dir_bytes(gate_dirs) + _dir_bytes(sh_dirs),
+                    "elapsed_s": round(_time.monotonic() - t0, 3),
                 },
             )
         finally:
@@ -1040,18 +1094,43 @@ def read_dedup_accepted(spark, store_path: str) -> DataFrame:
     return spark.read.parquet(*dirs)
 
 
-def _sidecar_leaf_dirs(ms, subdir: str) -> list[str]:
+def _sidecar_leaf_dirs(ms, subdir: str, manifests=None) -> list[str]:
     """Existing `batch=<id>/p=<k>` leaf dirs of a bucketed sidecar
     across committed batches (a zero-accepted batch writes no leaf
     dirs, so its dir contributes nothing rather than breaking schema
-    inference)."""
+    inference). Pass `manifests` so a compactor derives these from the
+    SAME committed-batch snapshot as its data dirs — re-listing could
+    catch a batch a live stream committed in between, folding its ids
+    without its vectors (ADVICE r10)."""
     import pathlib
 
     return [
         str(p)
-        for b in ms.batch_dirs(subdir)
+        for b in ms.batch_dirs(subdir, manifests=manifests)
         for p in sorted(pathlib.Path(b).glob("p=*"))
     ]
+
+
+def _fold_id_sidecar(spark, src_ms, dst_ms, id_buckets: int, manifests) -> list[int]:
+    """Fold a source store's id sidecar chain into the destination's
+    `ids/batch=-1/p=<bucket>` seed sidecar, re-deriving each bucket
+    from the id with the SOURCE's pinned id_buckets (routing stays
+    stable, so post-compaction gate probes prune identically). Returns
+    the seed's `touched` bucket list. Shared by both ingest-store
+    compactors — losing the sidecar would silently disarm the known-id
+    gate and a fresh-checkpoint replay would duplicate every row
+    (regression-tested on both sinks)."""
+    id_dirs = _sidecar_leaf_dirs(src_ms, "ids", manifests=manifests)
+    if not id_dirs:
+        return []
+    ids = spark.read.parquet(*id_dirs).select(
+        "id", _id_bucket(F.col("id"), id_buckets).alias("p")
+    )
+    touched = sorted(r["p"] for r in ids.select("p").distinct().collect())
+    ids.repartition("p").write.mode("overwrite").partitionBy("p").parquet(
+        str(dst_ms.batch_dir(-1, "ids"))
+    )
+    return touched
 
 
 def compact_dedup_ingest_store(spark, src_path: str, dst_path: str) -> int:
@@ -1079,32 +1158,21 @@ def compact_dedup_ingest_store(spark, src_path: str, dst_path: str) -> int:
     from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
 
     src_ms, dst_ms = ManifestStore(src_path), ManifestStore(dst_path)
+    # ONE committed-batch snapshot; every dir set below derives from it
+    # (a live stream committing between two independent listings would
+    # desync the folded data from the folded sidecars — ADVICE r10).
     manifests = src_ms.manifests()
     if not manifests:
         raise ValueError(f"no committed batches under {src_path}")
-    id_buckets = next(
-        (p["id_buckets"] for _, p in manifests if "id_buckets" in p), None
-    )
-    if id_buckets is None:
-        raise ValueError(
-            f"store {src_path} has no pinned id_buckets in its manifests — "
-            "not a foreach_batch_dedup_ingest store (or written by a "
-            "pre-sidecar version; rebuild it through the sink)"
-        )
-    acc = read_dedup_accepted(spark, src_path)
+    id_buckets = _pinned_id_buckets(manifests, src_path)
+    acc_dirs = src_ms.batch_dirs("accepted", manifests=manifests)
+    if not acc_dirs:
+        raise ValueError(f"no committed batches under {src_path}")
+    acc = spark.read.parquet(*acc_dirs)
     n = acc.count()
     acc.write.mode("overwrite").parquet(str(dst_ms.batch_dir(-1, "accepted")))
-    touched: list[int] = []
-    id_dirs = _sidecar_leaf_dirs(src_ms, "ids")
-    if id_dirs:
-        ids = spark.read.parquet(*id_dirs).select(
-            "id", _id_bucket(F.col("id"), id_buckets).alias("p")
-        )
-        touched = sorted(r["p"] for r in ids.select("p").distinct().collect())
-        ids.repartition("p").write.mode("overwrite").partitionBy("p").parquet(
-            str(dst_ms.batch_dir(-1, "ids"))
-        )
-    sh_dirs = _sidecar_leaf_dirs(src_ms, "shingles")
+    touched = _fold_id_sidecar(spark, src_ms, dst_ms, id_buckets, manifests)
+    sh_dirs = _sidecar_leaf_dirs(src_ms, "shingles", manifests=manifests)
     if sh_dirs:
         spark.read.parquet(*sh_dirs).select(
             "id", "shingle", _id_bucket(F.col("id"), id_buckets).alias("p")
@@ -1172,8 +1240,11 @@ def foreach_batch_ann_ingest(
     ms = ManifestStore(store_path)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
         if ms.is_committed(batch_id):
             return
+        t0 = _time.monotonic()
         spark = batch_df.sparkSession
         manifests = ms.manifests()
         _check_id_buckets(manifests, id_buckets, store_path)
@@ -1218,6 +1289,8 @@ def foreach_batch_ann_ingest(
                         "vectors": n,
                         "id_buckets": id_buckets,
                         "touched": touched_acc,
+                        "gate_bytes": _dir_bytes(gate_dirs),
+                        "elapsed_s": round(_time.monotonic() - t0, 3),
                     },
                 )
             finally:
@@ -1280,6 +1353,62 @@ def ann_ingest_topk(
     return topk_cosine_literal(cand, query_vec, k, id_col, vec_col)
 
 
+def ann_ingest_topk_batch(
+    spark,
+    store_path: str,
+    centroids: list,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    codebooks: list | None = None,
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched serving probe of a foreach_batch_ann_ingest store
+    (VERDICT r8 #6 applied to the ingest layout): one manifest-gated,
+    partition-pruned scan of the UNION of all queries' probe cells
+    across the committed batch dirs, then the same broadcast-join +
+    per-query-window ranking as the write_ivf_store batch probe —
+    per-query results identical to an ann_ingest_topk loop (✓tested;
+    exact cosine, or ADC when `codebooks` is given). Cell pruning
+    survives the query join because the query side is broadcast — the
+    store rows are never exchanged (plan-asserted)."""
+    import pathlib
+
+    from distributed_mapreduce_spark.operators.similarity import (
+        _adc_probe_frame,
+        _batch_adc_topk,
+        _batch_exact_topk,
+        assign_probe_cells,
+    )
+
+    store = pathlib.Path(store_path)
+    dirs = [
+        str(store / f"batch={b}")
+        for b in _dedup_committed_batches(store)
+        if (store / f"batch={b}").exists()
+    ]
+    if not dirs:
+        raise ValueError(f"no committed batches under {store_path}")
+    reader = spark.read.option("basePath", str(store))
+    if codebooks is not None:
+        probe_df, cells = _adc_probe_frame(
+            spark, queries, centroids, codebooks, nprobe, qid_col, qvec_col
+        )
+        cand = reader.parquet(*dirs).where(F.col("cell").isin(cells))
+        return _batch_adc_topk(
+            cand, probe_df, len(codebooks), len(codebooks[0]), k, qid_col, id_col
+        )
+    qcells = assign_probe_cells(queries, centroids, nprobe, qid_col, qvec_col)
+    cells = sorted(r["cell"] for r in qcells.select("cell").distinct().collect())
+    cand = reader.parquet(*dirs).where(F.col("cell").isin(cells))
+    return _batch_exact_topk(
+        cand, qcells, len(centroids[0][1]), k, qid_col, qvec_col, id_col, vec_col
+    )
+
+
 def compact_ann_ingest_store(spark, src_path: str, dst_path: str) -> int:
     """Fold an ANN ingest store's batch chain into a fresh store's
     single `batch=-1` seed (same -1-seed contract as
@@ -1296,34 +1425,19 @@ def compact_ann_ingest_store(spark, src_path: str, dst_path: str) -> int:
     from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
 
     src_ms, dst_ms = ManifestStore(src_path), ManifestStore(dst_path)
+    # ONE committed-batch snapshot; data dirs AND the ids sidecar both
+    # derive from it (ADVICE r10 — see compact_dedup_ingest_store).
     manifests = src_ms.manifests()
-    dirs = src_ms.batch_dirs()
+    dirs = src_ms.batch_dirs(manifests=manifests)
     if not dirs:
         raise ValueError(f"no committed batches under {src_path}")
-    id_buckets = next(
-        (p["id_buckets"] for _, p in manifests if "id_buckets" in p), None
-    )
-    if id_buckets is None:
-        raise ValueError(
-            f"store {src_path} has no pinned id_buckets in its manifests — "
-            "not a foreach_batch_ann_ingest store (or written by a "
-            "pre-sidecar version; rebuild it through the sink)"
-        )
+    id_buckets = _pinned_id_buckets(manifests, src_path)
     rows = spark.read.option("basePath", src_path).parquet(*dirs).drop("batch")
     n = rows.count()
     rows.write.mode("overwrite").partitionBy("cell").parquet(
         str(dst_ms.batch_dir(-1))
     )
-    touched: list[int] = []
-    id_dirs = _sidecar_leaf_dirs(src_ms, "ids")
-    if id_dirs:
-        ids = spark.read.parquet(*id_dirs).select(
-            "id", _id_bucket(F.col("id"), id_buckets).alias("p")
-        )
-        touched = sorted(r["p"] for r in ids.select("p").distinct().collect())
-        ids.repartition("p").write.mode("overwrite").partitionBy("p").parquet(
-            str(dst_ms.batch_dir(-1, "ids"))
-        )
+    touched = _fold_id_sidecar(spark, src_ms, dst_ms, id_buckets, manifests)
     dst_ms.seed(
         {
             "vectors": n,

@@ -448,3 +448,79 @@ def test_greedy_reject_keep_first_chain_semantics(spark):
     # 1 kept; 2 rejected (dups 1); 3 kept (its only smaller dup, 2, was
     # rejected); 5 kept; 6 rejected (dups kept 1 even though 5 also dups it)
     assert greedy_reject_ids(pairs) == {2, 6}
+
+
+def test_compact_lsh_band_index_crash_exactness(spark, docs, monkeypatch):
+    """compact_lsh_band_index's fresh-name swap (VERDICT r10 #2): a
+    failure at ANY step leaves a complete, recoverable copy of the
+    index. (a) A rebuild failure — saveAsTable throws — leaves the
+    ORIGINAL table untouched and a plain retry succeeds (the old
+    stage-out design rmtree'd the staging copy in a finally after its
+    DROP, so any transient rebuild error was permanent data loss).
+    (b) A crash between the DROP and the RENAME leaves the complete
+    copy under `<table>__compact`; the next compact call SELF-HEALS by
+    renaming it into place. Probe results are unchanged throughout."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from distributed_mapreduce_spark.operators.dedup import (
+        append_lsh_band_index,
+        compact_lsh_band_index,
+        probe_lsh_band_index,
+        write_lsh_band_index,
+    )
+
+    sig = minhash_signatures(doc_shingles(docs.where(F.col("doc_id") < 200)))
+    probe_sig = sig.where(F.col("id") % 7 == 3)
+    tbl = "lsh_crash_idx"
+    try:
+        write_lsh_band_index(sig.where(F.col("id") % 2 == 0), tbl, n_buckets=4)
+        append_lsh_band_index(sig.where(F.col("id") % 2 == 1), tbl, n_buckets=4)
+        want = sorted(map(tuple, probe_lsh_band_index(spark, tbl, probe_sig).collect()))
+        n_want = spark.table(tbl).count()
+        assert want and n_want
+
+        # (a) rebuild failure: original untouched, retry succeeds
+        real_save = DataFrameWriter.saveAsTable
+
+        def boom(self, name, *a, **kw):
+            raise RuntimeError("injected crash: rebuild failed")
+
+        monkeypatch.setattr(DataFrameWriter, "saveAsTable", boom)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_lsh_band_index(spark, tbl, n_buckets=4)
+        monkeypatch.setattr(DataFrameWriter, "saveAsTable", real_save)
+
+        assert spark.catalog.tableExists(tbl), "original index must survive"
+        assert spark.table(tbl).count() == n_want
+        assert compact_lsh_band_index(spark, tbl, n_buckets=4) == n_want
+        assert not spark.catalog.tableExists(f"{tbl}__compact")
+        got = sorted(map(tuple, probe_lsh_band_index(spark, tbl, probe_sig).collect()))
+        assert got == want
+
+        # (b) crash between DROP and RENAME: reconstruct that exact
+        # state (complete staging copy, original gone) and self-heal
+        (
+            spark.table(tbl)
+            .repartition(4, "band", "bucket")
+            .write.bucketBy(4, "band", "bucket")
+            .sortBy("band", "bucket")
+            .saveAsTable(f"{tbl}__compact")
+        )
+        spark.sql(f"DROP TABLE {tbl}")
+        assert not spark.catalog.tableExists(tbl)
+
+        assert compact_lsh_band_index(spark, tbl, n_buckets=4) == n_want
+        assert spark.catalog.tableExists(tbl)
+        assert not spark.catalog.tableExists(f"{tbl}__compact")
+        healed = sorted(
+            map(tuple, probe_lsh_band_index(spark, tbl, probe_sig).collect())
+        )
+        assert healed == want
+
+        # nothing to compact and nothing to recover: loud error
+        spark.sql(f"DROP TABLE {tbl}")
+        with pytest.raises(ValueError, match="does not exist"):
+            compact_lsh_band_index(spark, tbl, n_buckets=4)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__compact")

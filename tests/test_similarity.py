@@ -761,3 +761,97 @@ def test_ivfpq_store_append_equals_full_build_and_compacts(spark, emb, tmp_path)
         for r in ivfpq_store_topk(spark, inc, cents, cbs, qvec, 10, nprobe=4).collect()
     ]
     assert after == want
+
+
+def _query_frame(spark, emb, ids):
+    """(query_id, qvec) serving batch built from embedding rows —
+    qvec stays array<float> like the source, so casts match the
+    per-query literal path bit-for-bit."""
+    rows = {r.vec_id: r.embedding for r in emb.where(F.col("vec_id").isin(ids)).collect()}
+    return (
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in rows[i]]) for i in ids],
+            "query_id bigint, qvec array<float>",
+        ),
+        {int(i): [float(x) for x in rows[i]] for i in ids},
+    )
+
+
+def _assert_pruned_broadcast_plan(df, plans):
+    """The directive's plan contract (VERDICT r8 #6): cell pruning
+    must SURVIVE the query join — `cell IN (...)` stays a partition
+    filter on the store scan, and the join is broadcast on the query
+    side so store rows are never exchanged."""
+    fmt = plans.physical_plan(df, "formatted")
+    pf = [l for l in fmt.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell" in pf[0], fmt
+    assert "BroadcastHashJoin" in fmt, fmt
+    assert "SortMergeJoin" not in fmt, fmt
+
+
+def test_batched_ivf_store_probe_equals_per_query_loop(spark, emb, tmp_path):
+    """ivf_store_topk_batch (VERDICT r8 #6): a multi-query serving
+    batch probed in ONE plan/one store scan returns, per query,
+    exactly what the single-query ivf_store_topk loop returns — same
+    probe cells, bit-identical scores, same top-k order."""
+    from distributed_mapreduce_spark import plans
+    from distributed_mapreduce_spark.operators.similarity import (
+        ivf_store_topk,
+        ivf_store_topk_batch,
+        write_ivf_store,
+    )
+
+    cents = train_centroids(emb, 16)
+    path = str(tmp_path / "ivf_store")
+    write_ivf_store(emb, cents, path)
+
+    qids = [3, 42, 77, 100, 123]
+    queries, qvecs = _query_frame(spark, emb, qids)
+    batch = ivf_store_topk_batch(spark, path, cents, queries, 10, nprobe=4)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.vec_id, r.cos_sim))
+    for qid in qids:
+        want = [
+            (r.vec_id, r.cos_sim)
+            for r in ivf_store_topk(spark, path, cents, qvecs[qid], 10, nprobe=4).collect()
+        ]
+        assert got[qid] == want, f"query {qid} diverged from the per-query loop"
+
+    _assert_pruned_broadcast_plan(batch, plans)
+
+
+def test_batched_ivfpq_store_probe_equals_per_query_loop(spark, emb, tmp_path):
+    """ivfpq_store_topk_batch: the batched ADC probe equals a
+    per-query ivfpq_store_topk loop — same driver LUT code path, same
+    decimal-exact staged sums — in one partition-pruned scan of the
+    codes."""
+    from distributed_mapreduce_spark import plans
+    from distributed_mapreduce_spark.operators.similarity import (
+        ivfpq_store_topk,
+        ivfpq_store_topk_batch,
+        train_pq_codebooks,
+        write_ivfpq_store,
+    )
+
+    cents = train_centroids(emb, 16)
+    cbs = train_pq_codebooks(emb, 64)
+    path = str(tmp_path / "ivfpq_store")
+    write_ivfpq_store(emb, cents, cbs, path)
+
+    qids = [3, 42, 77, 100, 123]
+    queries, qvecs = _query_frame(spark, emb, qids)
+    batch = ivfpq_store_topk_batch(spark, path, cents, cbs, queries, 10, nprobe=4)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.vec_id, r.approx_dot))
+    for qid in qids:
+        want = [
+            (r.vec_id, r.approx_dot)
+            for r in ivfpq_store_topk(
+                spark, path, cents, cbs, qvecs[qid], 10, nprobe=4
+            ).collect()
+        ]
+        assert got[qid] == want, f"query {qid} diverged from the per-query loop"
+
+    _assert_pruned_broadcast_plan(batch, plans)

@@ -1139,3 +1139,212 @@ def test_streaming_ann_ingest_matches_one_shot_store(spark, tmp_path):
     assert [(r.vec_id, r.approx_dot) for r in got3] == [
         (r.vec_id, r.approx_dot) for r in want3
     ]
+
+
+def test_dedup_ingest_torn_append_replay(spark, tmp_path):
+    """The torn-append replay edge the dedup sink's docstring claims
+    (sinks.py keep-first normalization, ADVICE r9): crash BETWEEN
+    append_lsh_band_index and the manifest commit, then replay. The
+    replayed batch probes an index already holding its own torn band
+    rows, so batch-internal candidate pairs can come back in EITHER
+    (id_i, id_j) orientation — without the (min, max) normalization
+    the greedy pass would resolve them inconsistently. Survivors must
+    equal the one-shot batch policy, with no duplicate rows and no
+    extra manifests."""
+    import pathlib
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from distributed_mapreduce_spark.operators.dedup import dedup_corpus_greedy
+    from distributed_mapreduce_spark.sources import table
+    from distributed_mapreduce_spark.streaming import commitlog
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_dedup_ingest,
+        read_dedup_accepted,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    src = tmp_path / "feed"
+    src.mkdir()
+    base = time.time()
+
+    def write_chunk(name, chunk_rows, mtime):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r.doc_id for r in chunk_rows], pa.int64()),
+                "text": pa.array([r.text for r in chunk_rows], pa.string()),
+            }
+        )
+        p = str(src / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    third = len(rows) // 3
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    tbl_name = "dedup_torn_idx"
+
+    def run():
+        q = foreach_batch_dedup_ingest(
+            (
+                spark.readStream.schema("doc_id bigint, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            ),
+            store,
+            ckpt,
+            tbl_name,
+            min_jaccard=0.5,
+            bands=16,
+        )
+        q.awaitTermination()
+
+    real_commit = commitlog.ManifestStore.commit
+    state = {"armed": False, "fired": False}
+
+    def crashing_commit(self, batch_id, payload):
+        if state["armed"] and not state["fired"]:
+            state["fired"] = True
+            raise RuntimeError("injected crash: torn index append")
+        return real_commit(self, batch_id, payload)
+
+    try:
+        write_chunk("c1.parquet", rows[:third], base)
+        run()  # batch 0 commits cleanly; the index table now exists
+
+        # batch 1 (holds planted near-dups of batch 0 AND internal
+        # pairs): append lands, manifest commit crashes
+        write_chunk("c2.parquet", rows[third : 2 * third], base + 5)
+        commitlog.ManifestStore.commit = crashing_commit
+        state["armed"] = True
+        with pytest.raises(StreamingQueryException, match="injected crash"):
+            run()
+        assert state["fired"]
+        # the torn state: index holds batch 1's band rows, manifest absent
+        assert len(list(pathlib.Path(store, "_manifests").glob("*.json"))) == 1
+    finally:
+        commitlog.ManifestStore.commit = real_commit
+
+    try:
+        run()  # replay batch 1 against its own torn band rows
+        write_chunk("c3.parquet", rows[2 * third :], base + 10)
+        run()
+
+        got = sorted(r.doc_id for r in read_dedup_accepted(spark, store).collect())
+        assert len(got) == len(set(got)), "replay duplicated accepted rows"
+        want = sorted(
+            r.doc_id
+            for r in dedup_corpus_greedy(docs, 0.5, bands=16).select("doc_id").collect()
+        )
+        assert got == want
+        assert len(list(pathlib.Path(store, "_manifests").glob("*.json"))) == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl_name}")
+
+
+def test_ann_ingest_batch_probe_equals_per_query_loop(spark, tmp_path):
+    """ann_ingest_topk_batch (VERDICT r8 #6 on the ingest layout): a
+    multi-query serving batch probed in one manifest-gated,
+    partition-pruned scan equals the single-query ann_ingest_topk
+    loop per query — exact-cosine AND ADC forms — and cell pruning
+    survives the broadcast query join (plan-asserted)."""
+    from distributed_mapreduce_spark import plans
+    from distributed_mapreduce_spark.operators.similarity import (
+        train_centroids,
+        train_pq_codebooks,
+    )
+    from distributed_mapreduce_spark.sources import table
+    from distributed_mapreduce_spark.streaming.sinks import (
+        ann_ingest_topk,
+        ann_ingest_topk_batch,
+        foreach_batch_ann_ingest,
+    )
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = train_centroids(emb, 16)
+    cbs = train_pq_codebooks(emb, 64)
+    rows = emb.collect()
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    base = time.time()
+    half = len(rows) // 2
+    for i, chunk_rows in enumerate([rows[:half], rows[half:]]):
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([r.vec_id for r in chunk_rows], pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r.embedding)) for r in chunk_rows],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        p = str(src / f"c{i}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (base + 5 * i, base + 5 * i))
+
+    def run(st, ckpt, codebooks=None):
+        q = foreach_batch_ann_ingest(
+            (
+                spark.readStream.schema("vec_id bigint, embedding array<float>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            ),
+            st,
+            ckpt,
+            cents,
+            codebooks=codebooks,
+        )
+        q.awaitTermination()
+
+    qids = [7, 42, 99]
+    qvecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in rows
+        if r.vec_id in qids
+    }
+    queries = spark.createDataFrame(
+        [(i, qvecs[i]) for i in qids], "query_id bigint, qvec array<float>"
+    )
+
+    store = str(tmp_path / "store")
+    run(store, str(tmp_path / "ckpt1"))
+    batch = ann_ingest_topk_batch(spark, store, cents, queries, 10, nprobe=4)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.vec_id, r.cos_sim))
+    for qid in qids:
+        want = [
+            (r.vec_id, r.cos_sim)
+            for r in ann_ingest_topk(
+                spark, store, cents, qvecs[qid], 10, nprobe=4
+            ).collect()
+        ]
+        assert got[qid] == want, f"query {qid} diverged from the per-query loop"
+
+    fmt = plans.physical_plan(batch, "formatted")
+    pf = [l for l in fmt.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell" in pf[0], fmt
+    assert "BroadcastHashJoin" in fmt and "SortMergeJoin" not in fmt, fmt
+
+    # ADC form over an IVFADC ingest store
+    store2 = str(tmp_path / "store2")
+    run(store2, str(tmp_path / "ckpt2"), codebooks=cbs)
+    batch2 = ann_ingest_topk_batch(
+        spark, store2, cents, queries, 10, nprobe=4, codebooks=cbs
+    )
+    got2 = {}
+    for r in batch2.collect():
+        got2.setdefault(r.query_id, []).append((r.vec_id, r.approx_dot))
+    for qid in qids:
+        want2 = [
+            (r.vec_id, r.approx_dot)
+            for r in ann_ingest_topk(
+                spark, store2, cents, qvecs[qid], 10, nprobe=4, codebooks=cbs
+            ).collect()
+        ]
+        assert got2[qid] == want2, f"ADC query {qid} diverged"
