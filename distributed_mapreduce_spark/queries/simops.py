@@ -738,6 +738,45 @@ def sim_q8_ivfpq_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_store_topk(spark, f"{store}/t", cents, cbs, _qvec(emb), TOP_K)
 
 
+BATCH_QUERY_IDS = (0, 42, 137, 311)
+
+
+def sim_q9_batch_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED multi-query probe of the materialized IVF store
+    (VERDICT r8 #6 / r10 #4): a serving batch of |Q|=4 queries
+    answered from ONE partition-pruned scan — assign_probe_cells ranks
+    each query's nprobe cells Spark-side (bit-matched to the
+    driver-side _probe_cells), the scan prunes to the UNION of probed
+    cells at the partition level, the broadcast query join keeps store
+    rows unexchanged, and a per-query window takes each top-k. The
+    oracle replays the per-query pipeline independently (sim_q3's CTEs
+    with the probe and final ranking PARTITIONed BY query id), so the
+    graded row certifies batch ≡ per-query loops — query_id 0 is
+    QUERY_VEC_ID on purpose: its slice of this result is exactly
+    sim_q7's. Returns (query_id, vec_id, cos_sim), k rows per query."""
+    import atexit as _atexit
+    import os as _os
+    import shutil as _shutil
+
+    from distributed_mapreduce_spark.operators.similarity import (
+        ivf_store_topk_batch,
+        train_centroids,
+        write_ivf_store,
+    )
+    from distributed_mapreduce_spark.streaming.replay import ephemeral_dir
+
+    emb = _emb(spark, sf_dir)
+    cents = train_centroids(emb)
+    src = _os.path.getsize(_os.path.join(sf_dir, "embeddings.parquet"))
+    store = ephemeral_dir("dmr_ivf_batch_", need_bytes=3 * src)
+    _atexit.register(_shutil.rmtree, store, ignore_errors=True)
+    write_ivf_store(emb, cents, f"{store}/t")
+    queries = emb.where(F.col("vec_id").isin(*BATCH_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_store_topk_batch(spark, f"{store}/t", cents, queries, TOP_K, nprobe=4)
+
+
 SHADOW_QUERIES = {
     "sim_q2_top_pairs": sim_q2_top_pairs,
     "dedup_q11_embedding_clusters": dedup_q11_embedding_clusters,
@@ -746,6 +785,7 @@ SHADOW_QUERIES = {
     "sim_q6_kmeans_census": sim_q6_kmeans_census,
     "sim_q7_ivf_store_probe": sim_q7_ivf_store_probe,
     "sim_q8_ivfpq_store_probe": sim_q8_ivfpq_store_probe,
+    "sim_q9_batch_store_probe": sim_q9_batch_store_probe,
 }
 
 
@@ -904,6 +944,62 @@ SHADOW_ORACLES = {
     # two read paths
     "sim_q7_ivf_store_probe": ORACLES["sim_q3_ivf_topk"],
     "sim_q8_ivfpq_store_probe": _ivfpq_sql(),
+    # sim_q3's replay generalized to a QUERY SET: the same cent /
+    # assign / best CTEs, with the probe and the final top-k each
+    # PARTITIONed BY query_id — one independent per-query pipeline per
+    # row of q, which is exactly the "batch ≡ per-query loop" claim
+    # the batched probe must satisfy.
+    "sim_q9_batch_store_probe": f"""
+        WITH cent AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+                   embedding AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id IN {BATCH_QUERY_IDS}
+        ),
+        assign AS (
+            SELECT e.vec_id, c.cell,
+                   {cosine_sql("e.embedding", "c.cvec", DIM)} AS score
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        best AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY score DESC, cell ASC
+                       ) AS rn
+                FROM assign
+            ) WHERE rn = 1
+        ),
+        probe AS (
+            SELECT query_id, cell FROM (
+                SELECT q.query_id, cent.cell,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {cosine_sql("cent.cvec", "q.qv", DIM)} DESC,
+                                    cent.cell ASC
+                       ) AS rn
+                FROM cent CROSS JOIN q
+            ) WHERE rn <= 4
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round({cosine_sql("e.embedding", "q.qv", DIM)}, 6) AS cos_sim
+            FROM embeddings e
+            JOIN best ON e.vec_id = best.vec_id
+            JOIN probe p ON best.cell = p.cell
+            JOIN q ON q.query_id = p.query_id
+        )
+        SELECT query_id, vec_id, cos_sim FROM (
+            SELECT query_id, vec_id, cos_sim,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+                   ) AS rn
+            FROM scored
+        ) WHERE rn <= {TOP_K}
+    """,
     "sim_q6_kmeans_census": _kmeans_sql(),
     # Transitive closure over the same pair graph as the dedup_q6
     # oracle (recursive CTE); component label = min reachable vec id —

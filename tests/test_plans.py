@@ -69,6 +69,11 @@ def test_no_cartesian_in_any_registered_query(spark, sf_dir):
         "sim_q3_ivf_topk",
         "sim_q5_ivfpq_topk",
         "sim_q6_kmeans_census",  # 8-row centroid-table crossJoin
+        # assign_probe_cells crossJoins the query batch against THE
+        # 16-row centroid table (broadcast) — the O(1)-row dim form;
+        # the store-side join is a BroadcastHashJoin on cell, guarded
+        # separately in test_similarity's plan asserts
+        "sim_q9_batch_store_probe",
         "text_q13_dynamic_quality",
     }
     checked = 0

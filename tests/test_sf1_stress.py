@@ -415,3 +415,205 @@ def test_sf1_compact_store_replay_10x_batches(stress_spark, tmp_path):
     assert dt < BUDGET_COMPACT_REPLAY_S, (
         f"compact+replay took {dt:.0f}s (budget {BUDGET_COMPACT_REPLAY_S}s)"
     )
+
+
+# r11 additions (VERDICT r8 #4 / r10 #3): the streaming ingest sinks at
+# 10× feed volume over ≥12 micro-batches. These are the tests that turn
+# the r9 bucket-pruning DESIGN into measured evidence: every batch's
+# manifest carries its wall time (elapsed_s) and the bytes of committed
+# store data its pruned reads listed (gate_bytes), so the assertions
+# read the sink's own per-batch records. What must hold as committed
+# batches grow, what must hold: s/batch ~flat (dominant cost ∝ batch,
+# not store) and the gate reads bounded by ONE listing of the
+# SIDECARS (int ids + shingle hashes — index-scale artifacts), never a
+# scan of the accepted documents or a multiple of the sidecars.
+#
+# What the bytes do and don't prove — MEASURED on this fixture, both
+# regimes, recorded in SCALE.md's stress table:
+# * At the unit default id_buckets=64 every ~3k-id batch touches all
+#   64 buckets, so the "pruned" read lists the entire (small) sidecar
+#   each batch: gate bytes grow by exactly the per-batch sidecar
+#   increment (~1.5 MB/batch), s/batch flat (~10 s).
+# * Following the sizing rule literally (id_buckets=2048 ≈ batch
+#   cardinality) made things WORSE here: s/batch TRIPLED to ~44 s —
+#   each batch writes ~1900 partition dirs per sidecar — and gate
+#   bytes still grew, because this corpus's planted-dup candidate set
+#   touches most buckets anyway. The rule's win needs batch ≪ buckets
+#   AND low candidate density; at fixture scale neither holds, so the
+#   defaults are both faster and the honest configuration.
+# The store-size-independence that DOES hold at any parameterization
+# (and that r8's verdict flagged as the real hazard): per-batch reads
+# are sidecar-scale, the accepted/ document store and the band index
+# are never re-scanned, and the row-bounding semi-join keeps executor
+# work ∝ candidates regardless of listed bytes.
+BUDGET_DEDUP_INGEST_S = 600
+BUDGET_ANN_INGEST_S = 240
+N_INGEST_BATCHES = 16
+
+
+def _write_feed_chunks(src_dir, tbl, n_chunks, cols):
+    """Split an arrow table into n ascending-mtime parquet chunks —
+    one file per micro-batch under maxFilesPerTrigger=1."""
+    base = time.time()
+    n = tbl.num_rows
+    step = -(-n // n_chunks)
+    for i in range(n_chunks):
+        part = tbl.select(cols).slice(i * step, step)
+        p = os.path.join(src_dir, f"c{i:03d}.parquet")
+        pq.write_table(part, p)
+        os.utime(p, (base + i, base + i))
+
+
+def _batch_records(store):
+    from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
+
+    return [p for _, p in ManifestStore(store).manifests()]
+
+
+def _assert_flat(records, budget_total, label):
+    els = [p["elapsed_s"] for p in records]
+    gbs = [p["gate_bytes"] for p in records]
+    total = sum(els)
+    # skip the first two batches (session warm-up + index creation);
+    # compare an early window to the final one
+    early_t, late_t = sum(els[2:6]) / 4, sum(els[-4:]) / 4
+    early_g, late_g = sum(gbs[2:6]) / 4, sum(gbs[-4:]) / 4
+    print(
+        f"\n  [sf1 stress] {label}: {len(els)} batches, total {total:.1f}s; "
+        f"s/batch early {early_t:.2f} late {late_t:.2f}; "
+        f"gate KB/batch early {early_g/1e3:.0f} late {late_g/1e3:.0f}"
+    )
+    print(f"  [sf1 stress] {label} per-batch s: {[round(e,2) for e in els]}")
+    print(f"  [sf1 stress] {label} per-batch gate KB: {[round(g/1e3) for g in gbs]}")
+    assert total < budget_total, f"{label}: {total:.0f}s (budget {budget_total}s)"
+    assert late_t <= max(2.5 * early_t, early_t + 2.0), (
+        f"{label}: s/batch grew {early_t:.2f} -> {late_t:.2f} as committed "
+        "batches accumulated — a store-side read is scaling with the store"
+    )
+    return early_g, late_g, gbs
+
+
+def test_sf1_dedup_ingest_scaling(stress_spark, sf1_dir, tmp_path):
+    """foreach_batch_dedup_ingest at 10× corpus over 16 micro-batches:
+    s/batch and per-batch gate bytes must stay ~flat as the committed
+    store grows — the store-size-independence contract of the r9
+    bucket-pruned gates (known-id anti-join + candidate shingle fetch
+    read ONLY the batch's/candidates' id buckets, manifests-`touched`
+    pruned, never the whole store)."""
+    from distributed_mapreduce_spark.streaming.sinks import (
+        _dir_bytes,
+        foreach_batch_dedup_ingest,
+        read_dedup_accepted,
+    )
+
+    docs = pq.read_table(f"{sf1_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = docs.sort_by("doc_id")
+    src = tmp_path / "feed"
+    src.mkdir()
+    _write_feed_chunks(str(src), docs, N_INGEST_BATCHES, ["doc_id", "text"])
+
+    store = str(tmp_path / "store")
+    tbl_name = "sf1_dedup_ingest_idx"
+    try:
+        q = foreach_batch_dedup_ingest(
+            (
+                stress_spark.readStream.schema("doc_id bigint, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            ),
+            store,
+            str(tmp_path / "ckpt"),
+            tbl_name,
+            min_jaccard=0.5,
+            bands=16,
+        )
+        q.awaitTermination()
+
+        recs = _batch_records(store)
+        assert len(recs) == N_INGEST_BATCHES
+        early_g, late_g, gbs = _assert_flat(
+            recs, BUDGET_DEDUP_INGEST_S, "dedup_ingest"
+        )
+        # the anti-scan property: a batch's store-side reads are
+        # bounded by ONE listing of the committed SIDECARS (ids +
+        # shingle hashes); the accepted/ document store and the band
+        # index are never re-read per batch (gate ≥ accepted bytes
+        # would be the r8 regression's signature)
+        sidecar_total = _dir_bytes([f"{store}/ids", f"{store}/shingles"])
+        accepted_total = _dir_bytes([f"{store}/accepted"])
+        print(
+            f"  [sf1 stress] dedup_ingest sidecar total "
+            f"{sidecar_total/1e6:.1f} MB, accepted total "
+            f"{accepted_total/1e6:.1f} MB; last gate read {gbs[-1]/1e6:.2f} MB"
+        )
+        assert gbs[-1] <= 1.2 * sidecar_total, (
+            "final batch's gate read exceeds one listing of the committed "
+            "sidecars — a store-side read is being repeated or has grown "
+            "beyond the sidecar artifacts"
+        )
+        # slope: per-batch growth must track the per-batch sidecar
+        # increment (~linear, small constant), not the store size
+        per_batch_sidecar = sidecar_total / len(gbs)
+        slope = (late_g - early_g) / 10.0  # window centers are 10 batches apart
+        print(f"  [sf1 stress] dedup_ingest gate slope {slope/1e3:.0f} KB/batch "
+              f"vs sidecar increment {per_batch_sidecar/1e3:.0f} KB/batch")
+        assert slope <= 2.0 * per_batch_sidecar, (
+            "gate bytes grow faster than the sidecar itself — superlinear "
+            "re-reading of committed batches"
+        )
+        n_acc = read_dedup_accepted(stress_spark, store).count()
+        assert 0 < n_acc <= docs.num_rows
+        print(f"  [sf1 stress] dedup_ingest accepted {n_acc}/{docs.num_rows}")
+    finally:
+        stress_spark.sql(f"DROP TABLE IF EXISTS {tbl_name}")
+
+
+def test_sf1_ann_ingest_scaling(stress_spark, sf1_dir, tmp_path):
+    """foreach_batch_ann_ingest at 10× vectors over 16 micro-batches:
+    same contract as the dedup sink — s/batch ~flat, known-id gate
+    reads bucket-pruned, exactly-once across the whole feed (no
+    duplicate ids in the committed store)."""
+    from distributed_mapreduce_spark.operators.similarity import train_centroids
+    from distributed_mapreduce_spark.streaming.sinks import (
+        _dir_bytes,
+        foreach_batch_ann_ingest,
+    )
+
+    vecs = pq.read_table(f"{sf1_dir}/embeddings.parquet").sort_by("vec_id")
+    src = tmp_path / "feed"
+    src.mkdir()
+    _write_feed_chunks(str(src), vecs, N_INGEST_BATCHES, ["vec_id", "embedding"])
+
+    emb = stress_spark.read.parquet(f"{sf1_dir}/embeddings.parquet")
+    cents = train_centroids(emb, 16)
+
+    store = str(tmp_path / "store")
+    q = foreach_batch_ann_ingest(
+        (
+            stress_spark.readStream.schema(
+                "vec_id bigint, embedding array<float>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        ),
+        store,
+        str(tmp_path / "ckpt"),
+        cents,
+    )
+    q.awaitTermination()
+
+    recs = _batch_records(store)
+    assert len(recs) == N_INGEST_BATCHES
+    _, _, gbs = _assert_flat(recs, BUDGET_ANN_INGEST_S, "ann_ingest")
+    sidecar_total = _dir_bytes([f"{store}/ids"])
+    print(
+        f"  [sf1 stress] ann_ingest id sidecar total {sidecar_total/1e3:.0f} KB; "
+        f"last gate read {gbs[-1]/1e3:.0f} KB"
+    )
+    import pathlib
+
+    back = stress_spark.read.option("basePath", store).parquet(
+        *[str(p) for p in pathlib.Path(store).glob("batch=*")]
+    )
+    ids = [r.vec_id for r in back.select("vec_id").collect()]
+    assert len(ids) == len(set(ids)) == vecs.num_rows, "ingest duplicated vectors"
