@@ -855,3 +855,31 @@ def test_batched_ivfpq_store_probe_equals_per_query_loop(spark, emb, tmp_path):
         assert got[qid] == want, f"query {qid} diverged from the per-query loop"
 
     _assert_pruned_broadcast_plan(batch, plans)
+
+
+def test_batched_blas_topk_equals_per_query_loop(spark, emb):
+    """topk_cosine_blas_batch: one corpus scan answers the whole query
+    batch with per-query results EQUAL to a topk_cosine_blas loop —
+    same gemv scoring (deliberately not gemm, which may re-order
+    accumulation), same round-6, same (cos desc, id asc) top-k; the
+    per-batch pre-reduction (map-side top-k combine) must not change
+    any query's answer."""
+    from distributed_mapreduce_spark.operators.similarity import (
+        topk_cosine_blas,
+        topk_cosine_blas_batch,
+    )
+
+    qids = [3, 42, 77, 100, 123]
+    queries, qvecs = _query_frame(spark, emb, qids)
+    # repartition so the pre-reduction actually runs on several
+    # batches (one partition would make it vacuous)
+    batch = topk_cosine_blas_batch(emb.repartition(7), queries, 10)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.vec_id, r.cos_sim))
+    for qid in qids:
+        want = [
+            (r.vec_id, r.cos_sim)
+            for r in topk_cosine_blas(emb, qvecs[qid], 10).collect()
+        ]
+        assert got[qid] == want, f"query {qid} diverged from the per-query loop"
