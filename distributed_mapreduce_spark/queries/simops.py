@@ -738,6 +738,79 @@ def sim_q8_ivfpq_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_store_topk(spark, f"{store}/t", cents, cbs, _qvec(emb), TOP_K)
 
 
+K_NN = 5  # neighbors per row in the kNN self-join
+
+
+def sim_q10_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-nearest-neighbor SELF-join: every row's K_NN nearest
+    neighbors by rounded cosine (id-asc tiebreak) — the all-rows twin
+    of the one-query top-k tiers, and the embedding-side workhorse of
+    cluster analysis / near-dup mining. Returns (id, nb, cos_sim),
+    K_NN rows per id.
+
+    Plan shape — the dedup_q6 grid plus ONE rank-limited window:
+      1. normalize+flatten ONCE below the exchange (persisted; both
+         sides read it), exactly dedup_q6's discipline, so scores are
+         bit-identical to the oracle's normalize-then-dot replay;
+      2. `_grid_self_pair_join` produces each unordered pair in ONE
+         cell; a 2-struct explode emits both orientations (the dot is
+         orientation-invariant bit-for-bit — multiplication commutes
+         exactly), so each endpoint sees the pair;
+      3. one window per id with `row_number() ≤ K_NN`: Spark ≥3.5
+         plans this as WindowGroupLimit PARTIAL before the exchange +
+         FINAL after (✓plan-asserted) — the engine's own map-side
+         top-k combine, so the id shuffle carries ≤ K_NN rows per id
+         per upstream partition instead of N. A hand-built per-cell
+         pre-window was tried and REJECTED (measured in the plan): the
+         alias chain through the struct-explode hides the join's
+         output partitioning, so the extra window costs a FULL-volume
+         exchange on (cell, id) — strictly worse than the free partial
+         limit. Lesson: for rank-limit windows, don't hand-stage the
+         combine; the optimizer already does.
+    The approximate path at higher thresholds composes from the IVF
+    store instead: cell-local kNN over `write_ivf_store` partitions
+    (sim_q3/q7 machinery), trading recall for the grid's B× row
+    replication. Oracle: quadratic DuckDB replay (every ordered pair,
+    rank per id) — feasible at grading scale, which is exactly why the
+    exact tier is the graded one."""
+    import functools
+    import operator
+
+    from pyspark.sql import Window
+
+    from distributed_mapreduce_spark.sources import widen
+
+    emb = _emb(spark, sf_dir)
+    flat = widen(_flat_normalized(emb, "id", "__v")).persist()
+    dot = functools.reduce(
+        operator.add,
+        [F.col(f"a.__v{i}") * F.col(f"b.__v{i}") for i in range(DIM)],
+    )
+    both = (
+        _grid_self_pair_join(flat, EMB_GRID_BLOCKS)
+        .select(
+            F.round(dot, 6).alias("cos_sim"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a.id").alias("id"), F.col("b.id").alias("nb")
+                    ),
+                    F.struct(
+                        F.col("b.id").alias("id"), F.col("a.id").alias("nb")
+                    ),
+                )
+            ).alias("__e"),
+        )
+        .select(F.col("__e.id").alias("id"), F.col("__e.nb").alias("nb"), "cos_sim")
+    )
+    w_glob = Window.partitionBy("id").orderBy(F.desc("cos_sim"), F.asc("nb"))
+    return (
+        both.withColumn("__rg", F.row_number().over(w_glob))
+        .where(F.col("__rg") <= K_NN)
+        .select("id", "nb", "cos_sim")
+    )
+
+
 BATCH_QUERY_IDS = (0, 42, 137, 311)
 
 
@@ -786,6 +859,7 @@ SHADOW_QUERIES = {
     "sim_q7_ivf_store_probe": sim_q7_ivf_store_probe,
     "sim_q8_ivfpq_store_probe": sim_q8_ivfpq_store_probe,
     "sim_q9_batch_store_probe": sim_q9_batch_store_probe,
+    "sim_q10_knn_join": sim_q10_knn_join,
 }
 
 
@@ -999,6 +1073,35 @@ SHADOW_ORACLES = {
                    ) AS rn
             FROM scored
         ) WHERE rn <= {TOP_K}
+    """,
+    # kNN self-join replay: normalize-then-dot per ORDERED pair (the
+    # dot is orientation-invariant bit-for-bit, so scoring a JOIN b ON
+    # id <> nb reproduces the grid's canonical-orientation scores
+    # exactly), then rank per id. Quadratic on purpose — grading scale
+    # makes the exact replay feasible.
+    "sim_q10_knn_join": f"""
+        WITH n AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) / sqrt({unrolled_dot_sql("embedding", "embedding", DIM)}))
+                   AS ne
+            FROM embeddings
+            WHERE sqrt({unrolled_dot_sql("embedding", "embedding", DIM)}) > 0
+        ),
+        a AS (SELECT vec_id AS id, ne AS va FROM n),
+        b AS (SELECT vec_id AS nb, ne AS vb FROM n),
+        scored AS (
+            SELECT id, nb,
+                   round({unrolled_dot_sql("a.va", "b.vb", DIM)}, 6) AS cos_sim
+            FROM a JOIN b ON id <> nb
+        )
+        SELECT id, nb, cos_sim FROM (
+            SELECT id, nb, cos_sim,
+                   row_number() OVER (
+                       PARTITION BY id ORDER BY cos_sim DESC, nb ASC
+                   ) AS rn
+            FROM scored
+        ) WHERE rn <= {K_NN}
     """,
     "sim_q6_kmeans_census": _kmeans_sql(),
     # Transitive closure over the same pair graph as the dedup_q6

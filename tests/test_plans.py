@@ -242,3 +242,30 @@ def test_registry_matches_declared_counts():
 
     reg, sh = check_declared_counts()
     assert reg == 50
+
+
+def test_knn_join_window_pre_reduces_before_exchange(spark, sf_dir):
+    """sim_q10's rank-limited window must plan as WindowGroupLimit
+    PARTIAL (before its exchange) + FINAL (after): the engine's
+    map-side top-k combine, which bounds the id shuffle to K_NN rows
+    per id per upstream partition instead of the full N²/B pair
+    volume. (A hand-staged per-cell pre-window was measured strictly
+    worse — it costs a full-volume exchange because the struct-explode
+    hides the grid join's output partitioning from the alias chain.)"""
+    from distributed_mapreduce_spark import plans
+    from distributed_mapreduce_spark.queries.simops import sim_q10_knn_join
+
+    plan = plans.physical_plan(sim_q10_knn_join(spark, sf_dir), "simple")
+    lines = plan.splitlines()
+    partial = next(
+        (i for i, l in enumerate(lines) if "WindowGroupLimit" in l and "Partial" in l),
+        None,
+    )
+    final = next(
+        (i for i, l in enumerate(lines) if "WindowGroupLimit" in l and "Final" in l),
+        None,
+    )
+    assert partial is not None and final is not None, plan
+    # tree prints root-first: Final above the Exchange above Partial
+    between = lines[final:partial]
+    assert any("Exchange" in l for l in between), plan

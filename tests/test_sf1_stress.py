@@ -490,7 +490,8 @@ def _assert_flat(records, budget_total, label):
         f"{label}: s/batch grew {early_t:.2f} -> {late_t:.2f} as committed "
         "batches accumulated — a store-side read is scaling with the store"
     )
-    return early_g, late_g, gbs
+    return {"early_t": early_t, "late_t": late_t, "early_g": early_g,
+            "late_g": late_g, "gbs": gbs}
 
 
 def test_sf1_dedup_ingest_scaling(stress_spark, sf1_dir, tmp_path):
@@ -531,9 +532,8 @@ def test_sf1_dedup_ingest_scaling(stress_spark, sf1_dir, tmp_path):
 
         recs = _batch_records(store)
         assert len(recs) == N_INGEST_BATCHES
-        early_g, late_g, gbs = _assert_flat(
-            recs, BUDGET_DEDUP_INGEST_S, "dedup_ingest"
-        )
+        stats = _assert_flat(recs, BUDGET_DEDUP_INGEST_S, "dedup_ingest")
+        early_g, late_g, gbs = stats["early_g"], stats["late_g"], stats["gbs"]
         # the anti-scan property: a batch's store-side reads are
         # bounded by ONE listing of the committed SIDECARS (ids +
         # shingle hashes); the accepted/ document store and the band
@@ -604,7 +604,8 @@ def test_sf1_ann_ingest_scaling(stress_spark, sf1_dir, tmp_path):
 
     recs = _batch_records(store)
     assert len(recs) == N_INGEST_BATCHES
-    _, _, gbs = _assert_flat(recs, BUDGET_ANN_INGEST_S, "ann_ingest")
+    stats = _assert_flat(recs, BUDGET_ANN_INGEST_S, "ann_ingest")
+    gbs = stats["gbs"]
     sidecar_total = _dir_bytes([f"{store}/ids"])
     print(
         f"  [sf1 stress] ann_ingest id sidecar total {sidecar_total/1e3:.0f} KB; "
@@ -617,3 +618,65 @@ def test_sf1_ann_ingest_scaling(stress_spark, sf1_dir, tmp_path):
     )
     ids = [r.vec_id for r in back.select("vec_id").collect()]
     assert len(ids) == len(set(ids)) == vecs.num_rows, "ingest duplicated vectors"
+
+    # ── compaction resets the chain-growth term ──────────────────────
+    # The mild s/batch upward trend above is Spark FILE LISTING over
+    # the growing batch×bucket dir count — the cost
+    # compact_ann_ingest_store exists to fold away. Demonstrate it:
+    # fold the 16-dir chain into one batch=-1 seed, resume with a
+    # fresh checkpoint (full-feed replay converges via the known-id
+    # gate), feed 4 genuinely NEW chunks, and require the new batches'
+    # s/batch back at the original early-window level.
+    from distributed_mapreduce_spark.streaming.sinks import compact_ann_ingest_store
+
+    store2 = str(tmp_path / "store2")
+    n = compact_ann_ingest_store(stress_spark, store, store2)
+    assert n == vecs.num_rows
+
+    import pyarrow.compute as pc
+
+    fresh = vecs.slice(0, 4 * (-(-vecs.num_rows // N_INGEST_BATCHES)))
+    fresh = fresh.set_column(
+        fresh.schema.get_field_index("vec_id"),
+        "vec_id",
+        pc.add(fresh["vec_id"], 10_000_000),
+    )
+    base2 = time.time()
+    step = -(-fresh.num_rows // 4)
+    for i in range(4):
+        part = fresh.select(["vec_id", "embedding"]).slice(i * step, step)
+        p = os.path.join(str(src), f"d{i:03d}.parquet")
+        pq.write_table(part, p)
+        os.utime(p, (base2 + i, base2 + i))
+
+    q2 = foreach_batch_ann_ingest(
+        (
+            stress_spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        ),
+        store2,
+        str(tmp_path / "ckpt2"),
+        cents,
+    )
+    q2.awaitTermination()
+
+    recs2 = _batch_records(store2)
+    new = [p for p in recs2 if p.get("vectors", 0) > 0 and p["batch"] >= N_INGEST_BATCHES]
+    assert len(new) == 4, recs2
+    new_t = sum(p["elapsed_s"] for p in new) / len(new)
+    print(
+        f"  [sf1 stress] ann_ingest post-compaction: new-batch s/batch "
+        f"{new_t:.2f} vs pre-compaction early {stats['early_t']:.2f} / "
+        f"late {stats['late_t']:.2f}"
+    )
+    assert new_t <= max(2.5 * stats["early_t"], stats["early_t"] + 2.0), (
+        "post-compaction batches did not return to the early-window cost — "
+        "compaction failed to fold the chain-growth term"
+    )
+    back2 = stress_spark.read.option("basePath", store2).parquet(
+        *[str(p) for p in pathlib.Path(store2).glob("batch=*")]
+    )
+    n2 = back2.count()
+    ids2 = back2.select("vec_id").distinct().count()
+    assert n2 == ids2 == vecs.num_rows + fresh.num_rows, "replay duplicated vectors"
