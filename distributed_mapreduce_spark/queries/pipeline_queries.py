@@ -16,6 +16,10 @@ from pyspark.sql import functions as F
 
 from distributed_mapreduce_spark.operators.contamination import contamination_report
 from distributed_mapreduce_spark.operators.dedup import doc_shingles
+from distributed_mapreduce_spark.queries.textops import (
+    MAX_SHINGLE_DF,
+    NEAR_DUP_JACCARD,
+)
 from distributed_mapreduce_spark.operators.packing import pack_greedy
 from distributed_mapreduce_spark.operators.sampling import (
     hash_bucket_sql,
@@ -508,8 +512,68 @@ def pipe_q2_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contam_q3_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination — the near-dup tier exact n-gram overlap
+    (contam_q1) misses: flag every (benchmark doc, training doc) pair
+    whose exact word-3-gram jaccard ≥ NEAR_DUP_JACCARD, catching
+    paraphrased / partially-edited benchmark leakage (the GPT-3 /
+    Dolma-style fuzzy-dedup decontamination pass). Returns
+    (bench_id, train_id, jaccard), sorted-free (hash-graded).
+
+    Plan: ONE shared scan+tokenize+shingle pass over the corpus tagged
+    with the bench flag (contam_q1's discipline) under the same
+    MAX_SHINGLE_DF skew guard as the dedup tiers (df counted over the
+    COMBINED corpus — the guard is shared semantics with the oracle,
+    not a shortcut); candidates from a CROSS-CORPUS MinHash-LSH band
+    join — bench band-rows ⋈ train band-rows on (band, bucket), the
+    incremental_minhash_pairs batch↔store probe with bench as the
+    batch — then exact-jaccard verification of candidates only. The
+    pair space never materializes; at 100 TB the train side is the
+    maintained write_lsh_band_index artifact and this query is one
+    probe_lsh_band_index call per benchmark shard. Oracle: the exact
+    cross-corpus jaccard join (dedup_q4's calibration argument — at
+    fixture scale the (32, 16) banding's recall is exhaustive above
+    the threshold, so the LSH plan IS the exact answer, cheaper)."""
+    from distributed_mapreduce_spark.operators.dedup import (
+        _band_bucket_join,
+        band_rows,
+        doc_shingles,
+        minhash_signatures,
+        verify_jaccard_pairs,
+    )
+    from distributed_mapreduce_spark.queries.textops import (
+        MAX_SHINGLE_DF,
+        MINHASH_BANDS,
+        NEAR_DUP_JACCARD,
+    )
+
+    docs = widen(table(spark, sf_dir, "documents"))
+    sh = doc_shingles(
+        docs,
+        max_df=MAX_SHINGLE_DF,
+        carry=((F.col("source") == BENCH_SOURCE).alias("is_bench"),),
+    ).persist()
+    sig_b = minhash_signatures(sh.where(F.col("is_bench")).select("id", "shingle"))
+    sig_t = minhash_signatures(sh.where(~F.col("is_bench")).select("id", "shingle"))
+    cands = (
+        _band_bucket_join(
+            band_rows(sig_b, bands=MINHASH_BANDS),
+            band_rows(sig_t, bands=MINHASH_BANDS),
+        )
+        .select(F.col("a.id").alias("id_i"), F.col("b.id").alias("id_j"))
+        .distinct()
+    )
+    pairs = verify_jaccard_pairs(sh.select("id", "shingle"), cands, NEAR_DUP_JACCARD)
+    return pairs.select(
+        F.col("id_i").alias("bench_id"),
+        F.col("id_j").alias("train_id"),
+        "jaccard",
+    )
+
+
 SHADOW_QUERIES = {
     "contam_q2_scrub": contam_q2_scrub,
+    "contam_q3_fuzzy": contam_q3_fuzzy,
     "pipe_q2_shuffle_index": pipe_q2_shuffle_index,
     "ml_q1_scaling_fit": ml_q1_scaling_fit,
     "ml_q2_svm_quality": ml_q2_svm_quality,
@@ -519,6 +583,38 @@ SHADOW_QUERIES = {
 }
 
 SHADOW_ORACLES = {
+    # Exact cross-corpus jaccard — the fuzzy-decontamination ground
+    # truth (quadratic, feasible at grading scale): same tokenization,
+    # same combined-corpus MAX_SHINGLE_DF guard (HAVING form), same
+    # round-6-then-threshold as the Spark verifier. The Spark side's
+    # LSH candidates equal this exactly at fixture scale — dedup_q4's
+    # calibration argument applied cross-corpus.
+    "contam_q3_fuzzy": f"""
+        WITH sh_all AS (
+            SELECT DISTINCT doc_id AS id,
+                   source = '{BENCH_SOURCE}' AS is_bench,
+                   unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+            FROM (SELECT doc_id, source, {_TOKS_SQL} AS ts FROM documents)
+        ),
+        rare AS (
+            SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
+        ),
+        sh AS (SELECT id, is_bench, shingle FROM sh_all SEMI JOIN rare USING (shingle)),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT b.id AS bench_id, t.id AS train_id, count(*) AS c
+            FROM sh b JOIN sh t
+              ON b.shingle = t.shingle AND b.is_bench AND NOT t.is_bench
+            GROUP BY 1, 2
+        )
+        SELECT bench_id, train_id,
+               round(c / (sb.sz + st.sz - c), 6) AS jaccard
+        FROM inter
+        JOIN sizes sb ON sb.id = bench_id
+        JOIN sizes st ON st.id = train_id
+        WHERE round(c / (sb.sz + st.sz - c), 6) >= {NEAR_DUP_JACCARD}
+    """,
     # The naive single-sort form of the same permutation: md5 hex
     # compares identically in both engines; the doc_id tiebreak makes
     # the order total even under (astronomically unlikely) collisions.
