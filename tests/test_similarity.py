@@ -883,3 +883,42 @@ def test_batched_blas_topk_equals_per_query_loop(spark, emb):
             for r in topk_cosine_blas(emb, qvecs[qid], 10).collect()
         ]
         assert got[qid] == want, f"query {qid} diverged from the per-query loop"
+
+
+def test_batched_probe_edge_cases(spark, emb, tmp_path):
+    """Degenerate serving batches must behave, not crash: an EMPTY
+    query batch returns an empty (not erroring) result from both
+    batched probe forms, and a single-query batch equals the
+    single-query API exactly (the |Q|=1 degeneracy)."""
+    from distributed_mapreduce_spark.operators.similarity import (
+        ivf_store_topk,
+        ivf_store_topk_batch,
+        ivfpq_store_topk_batch,
+        train_pq_codebooks,
+        write_ivf_store,
+        write_ivfpq_store,
+    )
+
+    cents = train_centroids(emb, 16)
+    path = str(tmp_path / "store")
+    write_ivf_store(emb, cents, path)
+    cbs = train_pq_codebooks(emb, 64)
+    pq_path = str(tmp_path / "pq_store")
+    write_ivfpq_store(emb, cents, cbs, pq_path)
+
+    empty = spark.createDataFrame([], "query_id bigint, qvec array<float>")
+    assert ivf_store_topk_batch(spark, path, cents, empty, 10).count() == 0
+    assert (
+        ivfpq_store_topk_batch(spark, pq_path, cents, cbs, empty, 10).count() == 0
+    )
+
+    one, qvecs = _query_frame(spark, emb, [42])
+    got = [
+        (r.vec_id, r.cos_sim)
+        for r in ivf_store_topk_batch(spark, path, cents, one, 10).collect()
+    ]
+    want = [
+        (r.vec_id, r.cos_sim)
+        for r in ivf_store_topk(spark, path, cents, qvecs[42], 10).collect()
+    ]
+    assert got == want

@@ -1348,3 +1348,8 @@ def test_ann_ingest_batch_probe_equals_per_query_loop(spark, tmp_path):
             ).collect()
         ]
         assert got2[qid] == want2, f"ADC query {qid} diverged"
+    # ADC form too: cell pruning survives the broadcast LUT join
+    fmt2 = plans.physical_plan(batch2, "formatted")
+    pf2 = [l for l in fmt2.splitlines() if "PartitionFilters" in l]
+    assert pf2 and "cell" in pf2[0], fmt2
+    assert "BroadcastHashJoin" in fmt2 and "SortMergeJoin" not in fmt2, fmt2
