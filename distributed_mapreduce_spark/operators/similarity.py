@@ -868,6 +868,7 @@ def _adc_probe_frame(
     batched sum is the same exact decimal chain."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
+    qid_type = dict(queries.dtypes)[qid_col]  # keep the caller's id type
     rows = queries.select(qid_col, qvec_col).collect()
     probe_rows, cells = [], set()
     for r in rows:
@@ -883,7 +884,7 @@ def _adc_probe_frame(
         cells.update(qcells)
         probe_rows.extend((r[qid_col], c, lut) for c in qcells)
     probe_df = spark.createDataFrame(
-        probe_rows, f"{qid_col} bigint, cell int, lut array<double>"
+        probe_rows, f"{qid_col} {qid_type}, cell int, lut array<double>"
     )
     return probe_df, sorted(cells)
 
