@@ -564,6 +564,90 @@ def test_sf1_dedup_ingest_scaling(stress_spark, sf1_dir, tmp_path):
         n_acc = read_dedup_accepted(stress_spark, store).count()
         assert 0 < n_acc <= docs.num_rows
         print(f"  [sf1 stress] dedup_ingest accepted {n_acc}/{docs.num_rows}")
+
+        # ── compaction + fresh-checkpoint resume at stress scale ─────
+        # (the ANN stress's reset phase, on the dedup sink): fold the
+        # 16-batch chain into one seed, squash the index append chain,
+        # replay the whole feed on a fresh checkpoint — every batch is
+        # emptied by the known-id gate BEFORE shingling, so replayed
+        # batches are cheap — then 4 chunks of re-crawled (duplicate
+        # text, new ids) docs, which must mostly REJECT against the
+        # compacted store, at the original per-batch cost.
+        from distributed_mapreduce_spark.operators.dedup import (
+            compact_lsh_band_index,
+        )
+        from distributed_mapreduce_spark.streaming.sinks import (
+            compact_dedup_ingest_store,
+        )
+
+        store2 = str(tmp_path / "store2")
+        assert compact_dedup_ingest_store(stress_spark, store, store2) == n_acc
+        compact_lsh_band_index(stress_spark, tbl_name)
+
+        base2 = time.time()
+        redup = docs.slice(0, 4 * (-(-docs.num_rows // N_INGEST_BATCHES)))
+        import pyarrow.compute as pc
+
+        redup = redup.set_column(
+            redup.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(redup["doc_id"], 10_000_000),
+        )
+        step = -(-redup.num_rows // 4)
+        for i in range(4):
+            part = redup.select(["doc_id", "text"]).slice(i * step, step)
+            p = os.path.join(str(src), f"d{i:03d}.parquet")
+            pq.write_table(part, p)
+            os.utime(p, (base2 + i, base2 + i))
+
+        q2 = foreach_batch_dedup_ingest(
+            (
+                stress_spark.readStream.schema("doc_id bigint, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            ),
+            store2,
+            str(tmp_path / "ckpt2"),
+            tbl_name,
+            min_jaccard=0.5,
+            bands=16,
+        )
+        q2.awaitTermination()
+
+        recs2 = _batch_records(store2)
+        new = [
+            p for p in recs2 if p["batch"] >= N_INGEST_BATCHES
+        ]
+        gated = [
+            p for p in recs2 if 0 <= p["batch"] < N_INGEST_BATCHES
+        ]
+        assert len(new) == 4 and len(gated) == N_INGEST_BATCHES
+        new_t = sum(p["elapsed_s"] for p in new) / len(new)
+        gated_t = sum(p["elapsed_s"] for p in gated) / len(gated)
+        print(
+            f"  [sf1 stress] dedup_ingest post-compaction: gated-replay "
+            f"{gated_t:.2f} s/batch, new-batch {new_t:.2f} s/batch vs "
+            f"pre-compaction early {stats['early_t']:.2f} / late {stats['late_t']:.2f}"
+        )
+        assert new_t <= max(2.5 * stats["early_t"], stats["early_t"] + 2.0), (
+            "post-compaction batches did not return to the early-window cost"
+        )
+        # convergence at stress scale: every originally-accepted doc
+        # survives (the gate skipped it), nothing duplicates, and the
+        # re-crawled duplicate chunks mostly reject
+        acc2 = read_dedup_accepted(stress_spark, store2).select("doc_id").collect()
+        ids2 = [r.doc_id for r in acc2]
+        assert len(ids2) == len(set(ids2)), "replay duplicated accepted rows"
+        n_new_acc = sum(1 for i in ids2 if i >= 10_000_000)
+        assert len(ids2) - n_new_acc == n_acc, "replay changed the original survivors"
+        assert n_new_acc < redup.num_rows / 2, (
+            "re-crawled duplicate chunks were mostly accepted — the "
+            "known-id gate or the probe lost the compacted store"
+        )
+        print(
+            f"  [sf1 stress] dedup_ingest re-crawl: {n_new_acc}/{redup.num_rows} "
+            "new-id duplicates accepted (rest rejected against the store)"
+        )
     finally:
         stress_spark.sql(f"DROP TABLE IF EXISTS {tbl_name}")
 
