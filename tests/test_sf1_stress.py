@@ -446,8 +446,12 @@ def test_sf1_compact_store_replay_10x_batches(stress_spark, tmp_path):
 # are sidecar-scale, the accepted/ document store and the band index
 # are never re-scanned, and the row-bounding semi-join keeps executor
 # work ∝ candidates regardless of listed bytes.
-BUDGET_DEDUP_INGEST_S = 600
-BUDGET_ANN_INGEST_S = 240
+#
+# Budgets bound the FIRST-phase (16-batch) manifest-summed wall time;
+# measured r11: dedup 187 s, ann 93 s — budgets sit ~5-10× above, the
+# complexity-class-not-host-noise convention of this module.
+BUDGET_DEDUP_INGEST_S = 900
+BUDGET_ANN_INGEST_S = 500
 N_INGEST_BATCHES = 16
 
 
