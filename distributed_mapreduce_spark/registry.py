@@ -82,7 +82,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str], dict[str, QueryFn], 
     return queries, oracles, shadow_q, shadow_o
 
 
-def check_declared_counts() -> tuple[int, int]:
+def check_declared_counts(coverage_path=None) -> tuple[int, int]:
     """Refuse silently-undocumented registrations (VERDICT r7 #3: a
     query entered the registry inside a snapshot commit with no
     COVERAGE row, bench sample, or floors entry). COVERAGE.md's header
@@ -94,14 +94,42 @@ def check_declared_counts() -> tuple[int, int]:
     import re
 
     q, _, s, _ = _collect()
-    cov = pathlib.Path(__file__).parents[1] / "COVERAGE.md"
-    m = re.search(
-        r"(\d+) queries \((\d+) registered \+ (\d+) shadow\)",
-        cov.read_text(),
+    cov = (
+        pathlib.Path(coverage_path)
+        if coverage_path is not None
+        else pathlib.Path(__file__).parents[1] / "COVERAGE.md"
     )
-    if not m:
+    text = cov.read_text()
+    headers = re.findall(
+        r"(\d+) queries \((\d+) registered \+ (\d+) shadow\)", text
+    )
+    if not headers:
         raise ValueError(f"{cov} lacks the 'N queries (R registered + S shadow)' header")
-    tot, reg, sh = (int(g) for g in m.groups())
+    if len(headers) > 1:
+        raise ValueError(
+            f"{cov} carries the tier-count header {len(headers)} times — it must "
+            "appear exactly once so the counts cannot drift apart"
+        )
+    # The r11 verdict caught a SECOND, stale count in prose ("a shadow
+    # tier of 59 further queries" while the header said 62): reject any
+    # other count-carrying tier phrasing so the number lives in exactly
+    # one machine-checked place.
+    stray = [
+        s
+        for s in re.findall(
+            r"\d+\s+(?:further|shadow|registered)\s+queries|"
+            r"(?:shadow|registered)\s+tier\s+of\s+\d+",
+            text,
+        )
+        if "registered +" not in s
+    ]
+    if stray:
+        raise ValueError(
+            f"{cov} carries tier counts outside the header sentence: {stray} — "
+            "keep the count in the single 'N queries (R registered + S shadow)' "
+            "header only"
+        )
+    tot, reg, sh = (int(g) for g in headers[0])
     if (reg, sh) != (len(q), len(s)) or tot != reg + sh:
         raise ValueError(
             f"COVERAGE.md declares {tot} queries ({reg} registered + {sh} "

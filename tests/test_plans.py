@@ -244,6 +244,38 @@ def test_registry_matches_declared_counts():
     assert reg == 50
 
 
+def test_declared_counts_reject_stray_prose_counts(tmp_path):
+    """The r11 verdict caught a stale SECOND count in COVERAGE.md prose
+    ("a shadow tier of 59 further queries" vs the header's 62) that the
+    mechanical check missed because it only read the header. The check
+    now rejects (a) any count-carrying tier phrasing outside the header
+    and (b) a duplicated header, so the count appears in exactly one
+    machine-verified place."""
+    import pytest
+
+    from distributed_mapreduce_spark.registry import check_declared_counts
+
+    reg, sh = check_declared_counts()
+    header = f"{reg + sh} queries ({reg} registered + {sh} shadow)"
+
+    ok = tmp_path / "ok.md"
+    ok.write_text(f"# COVERAGE\n{header} are oracle-backed.\n")
+    assert check_declared_counts(ok) == (reg, sh)
+
+    stale = tmp_path / "stale.md"
+    stale.write_text(
+        f"# COVERAGE\n{header} are oracle-backed.\n"
+        f"plus a shadow tier of {sh - 3} further queries\n"
+    )
+    with pytest.raises(ValueError, match="outside the header"):
+        check_declared_counts(stale)
+
+    dup = tmp_path / "dup.md"
+    dup.write_text(f"# COVERAGE\n{header} here.\n{header} again.\n")
+    with pytest.raises(ValueError, match="exactly once"):
+        check_declared_counts(dup)
+
+
 def test_knn_join_window_pre_reduces_before_exchange(spark, sf_dir):
     """sim_q10's rank-limited window must plan as WindowGroupLimit
     PARTIAL (before its exchange) + FINAL (after): the engine's
