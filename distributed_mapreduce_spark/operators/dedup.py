@@ -378,6 +378,13 @@ def compact_lsh_band_index(spark, table_name: str, n_buckets: int = 32) -> int:
         test), and until then the probe's table-not-found error is
         loud, never silently empty.
 
+    The catalog-keyed self-heal holds within a session, and across
+    restarts only under a PERSISTENT metastore (Hive/Glue at real
+    deployments): the default in-memory catalog loses both entries on
+    a process crash even though the data dirs survive. In that state
+    this function raises loudly and — if a marker-verified staging dir
+    survives on disk — names it and the manual recovery in the error.
+
     `<table>__compact` is the compactor's reserved staging namespace:
     a leftover there is always either a complete copy (original gone →
     self-heal) or debris of a crashed build (original intact → torn
@@ -397,10 +404,30 @@ def compact_lsh_band_index(spark, table_name: str, n_buckets: int = 32) -> int:
         if spark.catalog.tableExists(tmp):
             # self-heal: a prior compaction crashed between its DROP
             # and RENAME; the staging copy is complete (it is only
-            # DROPped-into-place after count verification below)
+            # DROPped-into-place after count verification below).
+            # Marker-write BEFORE the rename (r11 ADVICE: writing it
+            # after left a window where a crash produced a live index
+            # without its marker, bricking a later write_lsh_band_index
+            # with a misleading refusal) — the RENAME moves the whole
+            # directory, so the marker travels with it.
+            _write_index_marker(os.path.join(wh, tmp.lower()))
             spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
-            _write_index_marker(os.path.join(wh, table_name.lower()))
             return spark.table(table_name).count()
+        # Neither catalog entry survives — e.g. a real process crash
+        # under the default in-memory catalog (entries die with the
+        # session even though the data dirs survive). Point at a
+        # marker-verified on-disk staging copy if one exists rather
+        # than claiming nothing is recoverable.
+        loc_tmp_orphan = os.path.join(wh, tmp.lower())
+        if os.path.exists(os.path.join(loc_tmp_orphan, _LSH_INDEX_MARKER)):
+            raise ValueError(
+                f"compact_lsh_band_index: table {table_name!r} does not "
+                f"exist in the catalog, but a complete compacted copy "
+                f"survives on disk at {loc_tmp_orphan!r} (marker-verified) "
+                "— the catalog entries were lost (in-memory catalog + "
+                "process crash?); move that directory to the table's "
+                "location and re-register it, or rebuild from source"
+            )
         raise ValueError(
             f"compact_lsh_band_index: table {table_name!r} does not exist "
             f"(and no {tmp!r} staging copy to recover)"
@@ -440,9 +467,12 @@ def compact_lsh_band_index(spark, table_name: str, n_buckets: int = 32) -> int:
             "compaction? Original left untouched; drop the staging table "
             "and re-run offline."
         )
+    # Marker into the STAGING dir before the swap (r11 ADVICE): the
+    # RENAME moves the directory wholesale, so the marker arrives with
+    # the data and no crash point can yield a live index missing it.
+    _write_index_marker(loc_tmp)
     spark.sql(f"DROP TABLE {table_name}")  # managed: drops its dir too
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
-    _write_index_marker(os.path.join(wh, table_name.lower()))
     return n
 
 

@@ -725,21 +725,40 @@ def _id_bucket(col, id_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(id_buckets)).cast("int")
 
 
+def _evidence_enabled() -> bool:
+    """Whether the ingest sinks stamp per-batch `gate_bytes` evidence
+    into their manifests (r11 ADVICE: the recursive stat walk is pure
+    instrumentation on the ingest hot path — it exists for the sf1
+    stress suite's store-size-independence assertions, which set
+    DMR_SINK_EVIDENCE=1; production-shaped runs skip it). `elapsed_s`
+    is always stamped — a monotonic-clock diff is free."""
+    import os
+
+    return os.environ.get("DMR_SINK_EVIDENCE", "") == "1"
+
+
 def _dir_bytes(dirs) -> int:
     """Total on-disk bytes under the given directories — the sinks
     stamp each batch's STORE-SIDE read volume (gate + fetch dirs) into
-    its manifest, so the store-size-independence claim is recorded
-    per-batch evidence the sf1 stress can assert on, not a docstring
-    assertion. Driver-side listing of already-pruned dirs — bounded by
-    the pruned file count, never a store walk."""
+    its manifest (when DMR_SINK_EVIDENCE=1), so the
+    store-size-independence claim is recorded per-batch evidence the
+    sf1 stress can assert on, not a docstring assertion. Driver-side
+    listing of already-pruned dirs — bounded by the pruned file count,
+    never a store walk. Tolerates files vanishing mid-walk (a
+    concurrent compaction of the source store must not fail the
+    batch): a path that disappears between listing and stat simply
+    doesn't count."""
     import pathlib
 
-    return sum(
-        f.stat().st_size
-        for d in dirs
-        for f in pathlib.Path(d).rglob("*")
-        if f.is_file()
-    )
+    total = 0
+    for d in dirs:
+        for f in pathlib.Path(d).rglob("*"):
+            try:
+                if f.is_file():
+                    total += f.stat().st_size
+            except OSError:
+                continue  # vanished mid-walk (concurrent compaction)
+    return total
 
 
 def _pinned_id_buckets(manifests, store_path) -> int | None:
@@ -1045,20 +1064,20 @@ def foreach_batch_dedup_ingest(
             else:
                 write_lsh_band_index(acc_sig, table_name, n_buckets, num_hashes, bands)
 
-            ms.commit(
-                batch_id,
-                {
-                    "accepted": n_acc,
-                    "rejected": len(rejected),
-                    "id_buckets": id_buckets,
-                    "touched": touched_acc,
-                    # per-batch evidence for the store-size-independence
-                    # claim: bytes of committed-store data this batch's
-                    # pruned reads touched, and its wall time
-                    "gate_bytes": _dir_bytes(gate_dirs) + _dir_bytes(sh_dirs),
-                    "elapsed_s": round(_time.monotonic() - t0, 3),
-                },
-            )
+            payload = {
+                "accepted": n_acc,
+                "rejected": len(rejected),
+                "id_buckets": id_buckets,
+                "touched": touched_acc,
+                "elapsed_s": round(_time.monotonic() - t0, 3),
+            }
+            if _evidence_enabled():
+                # per-batch evidence for the store-size-independence
+                # claim: bytes of committed-store data this batch's
+                # pruned reads touched (opt-in — a recursive stat walk
+                # the production hot path shouldn't pay)
+                payload["gate_bytes"] = _dir_bytes(gate_dirs) + _dir_bytes(sh_dirs)
+            ms.commit(batch_id, payload)
         finally:
             for df in (accepted, cands, sh_b):
                 if df is not None:
@@ -1283,16 +1302,15 @@ def foreach_batch_ann_ingest(
                 acc_ids.repartition("p").write.mode("overwrite").partitionBy(
                     "p"
                 ).parquet(str(ms.batch_dir(batch_id, "ids")))
-                ms.commit(
-                    batch_id,
-                    {
-                        "vectors": n,
-                        "id_buckets": id_buckets,
-                        "touched": touched_acc,
-                        "gate_bytes": _dir_bytes(gate_dirs),
-                        "elapsed_s": round(_time.monotonic() - t0, 3),
-                    },
-                )
+                payload = {
+                    "vectors": n,
+                    "id_buckets": id_buckets,
+                    "touched": touched_acc,
+                    "elapsed_s": round(_time.monotonic() - t0, 3),
+                }
+                if _evidence_enabled():
+                    payload["gate_bytes"] = _dir_bytes(gate_dirs)
+                ms.commit(batch_id, payload)
             finally:
                 coded.unpersist()
         finally:

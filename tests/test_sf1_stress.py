@@ -61,6 +61,13 @@ pytestmark = pytest.mark.skipif(
     reason="sf1 stress smoke is opt-in: set DMR_SF1_STRESS=1",
 )
 
+# The ingest-scaling tests assert on the sinks' per-batch gate_bytes
+# manifest stamps, which are opt-in instrumentation (r11 ADVICE — a
+# recursive stat walk the production hot path shouldn't pay): turn
+# them on for this suite. foreachBatch callbacks run driver-side in
+# this process, so the env is visible to the sinks.
+os.environ.setdefault("DMR_SINK_EVIDENCE", "1")
+
 SF01 = "/root/testdata/sf0.1"
 REPLICAS = 10
 
@@ -475,12 +482,18 @@ def _batch_records(store):
 
 
 def _assert_flat(records, budget_total, label):
+    import statistics
+
     els = [p["elapsed_s"] for p in records]
     gbs = [p["gate_bytes"] for p in records]
     total = sum(els)
     # skip the first two batches (session warm-up + index creation);
-    # compare an early window to the final one
-    early_t, late_t = sum(els[2:6]) / 4, sum(els[-4:]) / 4
+    # compare an early window to the final one. MEDIANS for the
+    # wall-clock windows (r11 ADVICE): a single GC pause or IO stall
+    # in one late batch on a noisy host must not fail the flatness
+    # assertion — the claim under test is the trend, not the outlier.
+    # Gate bytes stay means: they are deterministic listing volumes.
+    early_t, late_t = statistics.median(els[2:6]), statistics.median(els[-4:])
     early_g, late_g = sum(gbs[2:6]) / 4, sum(gbs[-4:]) / 4
     print(
         f"\n  [sf1 stress] {label}: {len(els)} batches, total {total:.1f}s; "
@@ -626,8 +639,10 @@ def test_sf1_dedup_ingest_scaling(stress_spark, sf1_dir, tmp_path):
             p for p in recs2 if 0 <= p["batch"] < N_INGEST_BATCHES
         ]
         assert len(new) == 4 and len(gated) == N_INGEST_BATCHES
-        new_t = sum(p["elapsed_s"] for p in new) / len(new)
-        gated_t = sum(p["elapsed_s"] for p in gated) / len(gated)
+        import statistics
+
+        new_t = statistics.median(p["elapsed_s"] for p in new)
+        gated_t = statistics.median(p["elapsed_s"] for p in gated)
         print(
             f"  [sf1 stress] dedup_ingest post-compaction: gated-replay "
             f"{gated_t:.2f} s/batch, new-batch {new_t:.2f} s/batch vs "
@@ -752,7 +767,9 @@ def test_sf1_ann_ingest_scaling(stress_spark, sf1_dir, tmp_path):
     recs2 = _batch_records(store2)
     new = [p for p in recs2 if p.get("vectors", 0) > 0 and p["batch"] >= N_INGEST_BATCHES]
     assert len(new) == 4, recs2
-    new_t = sum(p["elapsed_s"] for p in new) / len(new)
+    import statistics
+
+    new_t = statistics.median(p["elapsed_s"] for p in new)
     print(
         f"  [sf1 stress] ann_ingest post-compaction: new-batch s/batch "
         f"{new_t:.2f} vs pre-compaction early {stats['early_t']:.2f} / "
