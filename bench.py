@@ -26,7 +26,14 @@ bench_shadow_last.json, floors via
 Host drift instrumentation: every pass record carries /proc/pressure
 cpu+io avg10/avg60 and mean CPU MHz before ("host") and after
 ("host_after") the pass, so cross-round total swings can be attributed
-to frequency scaling or CPU/IO steal without re-running.
+to frequency scaling or CPU/IO steal without re-running. Since r12
+every pass is also BRACKETED by fixed-work calibration probes
+("calib"/"calib_after": single-thread spin, fork-per-core spin,
+256 MiB memory reduction) — constant work whose wall time can only
+grow if the host is slower, making the r11 class of probe-invisible
+whole-host slowdown detectable from the artifact alone: a pass whose
+calibration deviates >15% above the floors file's recorded baseline at
+both ends is marked loud (see scripts/quiet_floor.py).
 
 Load-aware passes: before each pass the harness probes EXTERNAL CPU
 pressure (/proc/stat deltas while idle — 1-min loadavg is polluted by
@@ -139,6 +146,122 @@ def _external_busy_cores(sample_s: float = 4.0) -> float:
         return round(ext / dt * _cores(), 2)
     except OSError:
         return round(os.getloadavg()[0], 2)
+
+
+# ── Fixed-work calibration probe (VERDICT r11 #1) ────────────────────
+# Two rounds running, the driver's headline bench number was inflated
+# ~1.3× by a whole-host slow window that read QUIET on every in-band
+# probe (ext_busy ~0, psi ~0, MHz steady) — co-tenant cache/membandwidth
+# pressure or hypervisor steal without guest accounting. Only a judge
+# rerun could prove it. The fix: every pass brackets itself with a
+# probe of CONSTANT work — a single-thread LCG spin (scalar pipeline
+# speed), a fork-per-core spin of larger constant work (whole-machine
+# CPU throughput), and a single-thread 256 MiB reduction (memory
+# bandwidth) — and records the wall times in pass_loads. Constant work
+# cannot run slower without the host being slower, so a uniformly slow
+# window is visible IN THE ARTIFACT: scripts/quiet_floor.py marks a
+# pass loud when a probe metric deviates >15% above the floors file's
+# recorded calibration baseline at BOTH ends of the pass (both ends, so
+# a transient post-pass JVM settle can't false-flag; a sustained slow
+# window inflates both). bench.py applies the same rule at run time so
+# a calibration-loud pass triggers the existing extra-pass machinery.
+_CALIB_SPIN_ITERS = 2_000_000  # ~0.19 s on this host; min-of-3
+_CALIB_NT_ITERS = 8_000_000  # ~1.1 s across 32 forks; single shot
+_CALIB_MEM_DOUBLES = 32 * 1024 * 1024  # 256 MiB (past L3); min-of-3
+_CALIB_RATIO = 1.15  # keep in sync with scripts/quiet_floor.py
+
+
+def _calib_spin(n_iter: int) -> int:
+    x = 1
+    for _ in range(n_iter):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+    return x
+
+
+def _calib_spin_after(event, n_iter: int) -> None:
+    event.wait()
+    _calib_spin(n_iter)
+
+
+def _calibration_probe() -> dict:
+    """Run the fixed-work probes; ~2 s total. Best-effort per metric —
+    a metric that cannot be measured is omitted rather than fatal (the
+    deviation rule only compares metrics present on both sides)."""
+    out: dict = {}
+    out["calib_1t_s"] = round(
+        min(_timed(_calib_spin, _CALIB_SPIN_ITERS) for _ in range(3)), 4
+    )
+    try:
+        import multiprocessing
+
+        # barrier-synced: children fork first and wait on an event, so
+        # the timed window is pure spin — including the sequential
+        # fork stagger made the metric's idle spread ~18%, over the
+        # deviation threshold (measured; synced form is ~8%)
+        ctx = multiprocessing.get_context("fork")
+        ev = ctx.Event()
+        procs = [
+            ctx.Process(target=_calib_spin_after, args=(ev, _CALIB_NT_ITERS))
+            for _ in range(_cores())
+        ]
+        for p in procs:
+            p.start()
+        time.sleep(0.3)  # let every child reach the event wait
+        t0 = time.perf_counter()
+        ev.set()
+        for p in procs:
+            p.join()
+        out["calib_nt_s"] = round(time.perf_counter() - t0, 4)
+    except Exception:  # pragma: no cover - fork unavailable
+        pass
+    try:
+        import numpy as np
+
+        # fill, don't zeros: np.zeros maps every page to the kernel's
+        # shared zero page, so a reduce over it measures L1 cache, not
+        # RAM bandwidth — the fill forces real resident pages
+        arr = np.empty(_CALIB_MEM_DOUBLES, dtype=np.float64)
+        arr.fill(1.0)
+        out["calib_mem_s"] = round(
+            min(_timed(np.add.reduce, arr) for _ in range(3)), 4
+        )
+        del arr
+    except Exception:  # pragma: no cover - numpy unavailable
+        pass
+    return out
+
+
+def _timed(fn, *args) -> float:
+    t0 = time.perf_counter()
+    fn(*args)
+    return time.perf_counter() - t0
+
+
+def _calib_baseline() -> dict:
+    """The floors file's recorded calibration baseline (min over quiet
+    runs, maintained by scripts/quiet_floor.py update). Empty dict
+    until the first quiet run seeds it — the rule is then vacuous."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts", "quiet_floors.json"
+    )
+    try:
+        with open(path) as f:
+            cal = json.load(f).get("_meta", {}).get("calibration", {})
+        return {
+            k: v["s"]
+            for k, v in cal.items()
+            if isinstance(v, dict) and isinstance(v.get("s"), (int, float))
+        }
+    except (OSError, ValueError):
+        return {}
+
+
+def _calib_deviant_keys(probe: dict, baseline: dict) -> set:
+    return {
+        k
+        for k, b in baseline.items()
+        if isinstance(probe.get(k), (int, float)) and probe[k] > _CALIB_RATIO * b
+    }
 
 
 def _host_state() -> dict:
@@ -381,10 +504,20 @@ def main() -> int:
     extra_allowed = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_RUNS", "2")))
     samples: dict[str, list[float]] = {name: [] for name in queries}
     pass_loads: list[dict] = []
+    calib_base = _calib_baseline()
+    last_probe: list = [None]  # back-to-back passes share the boundary probe
 
     def run_pass() -> None:
         rec = _await_quiet(wait_budget, threshold)
         pass_loads.append(rec)
+        # Fixed-work calibration BEFORE the pass (reuse the previous
+        # pass's post-probe when no sleep intervened — the host state
+        # it measured is seconds old and probes aren't free).
+        rec["calib"] = (
+            last_probe[0]
+            if last_probe[0] is not None and rec["waited_s"] == 0
+            else _calibration_probe()
+        )
         for name in sorted(queries):
             t0 = time.perf_counter()
             force(queries[name](spark, sf_dir))
@@ -418,6 +551,25 @@ def main() -> int:
         rec["ext_busy_cores_after"] = _external_busy_cores()
         rec["loud"] = rec["loud"] or rec["ext_busy_cores_after"] > threshold
         rec["host_after"] = _host_state()
+        # Fixed-work calibration AFTER the pass; a pass is calibration-
+        # loud when some metric deviates >15% above the recorded
+        # baseline at BOTH ends (sustained slow window — the class the
+        # ext_busy/psi/MHz probes were blind to in r11).
+        rec["calib_after"] = _calibration_probe()
+        last_probe[0] = rec["calib_after"]
+        if calib_base:
+            dev = sorted(
+                _calib_deviant_keys(rec["calib"], calib_base)
+                & _calib_deviant_keys(rec["calib_after"], calib_base)
+            )
+            rec["calib_loud_metrics"] = dev
+            if dev:
+                print(
+                    f"  (pass calibration-loud: {dev} > "
+                    f"{_CALIB_RATIO}x baseline at both ends)",
+                    file=sys.stderr,
+                )
+                rec["loud"] = True
 
     for _ in range(runs):
         run_pass()
@@ -475,8 +627,8 @@ def main() -> int:
         # and cross-round judges see warm-up trajectories and which
         # pass the min came from, without re-running.
         "samples": {n: [round(s, 3) for s in v] for n, v in sorted(samples.items())},
-        "methodology": "min over cold interleaved passes (clearCache + orphan-RDD unpersist after every query); load-gated passes (ext_busy_cores threshold %.1f)"
-        % threshold,
+        "methodology": "min over cold interleaved passes (clearCache + orphan-RDD unpersist after every query); load-gated passes (ext_busy_cores threshold %.1f); fixed-work calibration probes bracket each pass (loud if >%.2fx floors-file baseline at both ends)"
+        % (threshold, _CALIB_RATIO),
     }
     print(json.dumps(full))
     # The full line above has grown past what the driver's tail-capture

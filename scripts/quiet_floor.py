@@ -8,6 +8,18 @@ that contained at least one QUIET pass. A quiet pass bounds the
 min-of-passes from above, so merging `min(run value)` into the floor
 file never records a load-inflated number.
 
+QUIET means two independently-checked things (VERDICT r11 #1):
+  (a) externally quiet — the pass's `loud` flag from bench.py's
+      ext_busy_cores probes is false; and
+  (b) calibration-quiet — the fixed-work probes bracketing the pass
+      (`calib`/`calib_after`) stay within CALIB_RATIO of the floors
+      file's recorded calibration baseline (`_meta.calibration`, the
+      min over quiet runs, merged here). This catches the r11 failure
+      class: a whole-host slow window (co-tenant cache/bandwidth
+      pressure, unaccounted hypervisor steal) invisible to ext_busy /
+      psi / MHz yet inflating every query ~uniformly. Constant work
+      cannot slow down unless the host did.
+
 Floors live in scripts/quiet_floors.json (committed):
     {"_meta": {...}, "queries": {"<name>": {"floor_s": x, "run": "..."}}}
 
@@ -49,11 +61,58 @@ def _load_run(path: str) -> dict:
     return d
 
 
-def _has_quiet_pass(run: dict) -> bool:
+# ── Calibration rule (VERDICT r11 #1) ────────────────────────────────
+# bench.py brackets every pass with fixed-work probes ("calib" /
+# "calib_after": calib_1t_s, calib_nt_s, calib_mem_s). A pass is
+# calibration-LOUD — regardless of its ext_busy/psi evidence — when
+# some probe metric exceeds CALIB_RATIO × the floors file's recorded
+# baseline at BOTH ends of the pass (both ends so a transient own-JVM
+# settle can't false-flag; the r11 failure mode was a SUSTAINED window
+# that inflated everything ~1.3× while every visibility probe read
+# quiet). The baseline is the min over quiet runs, merged by
+# cmd_update below. Until a baseline exists the rule is vacuous
+# (bootstrap), and artifacts without calib records (pre-r12) keep
+# their recorded loud flags.
+CALIB_KEYS = ("calib_1t_s", "calib_nt_s", "calib_mem_s")
+CALIB_RATIO = 1.15  # keep in sync with bench.py
+
+
+def _calib_baseline(floors: dict) -> dict:
+    cal = floors.get("_meta", {}).get("calibration", {})
+    return {
+        k: v["s"]
+        for k, v in cal.items()
+        if isinstance(v, dict) and isinstance(v.get("s"), (int, float))
+    }
+
+
+def _calib_deviant_keys(probe: dict, baseline: dict) -> set:
+    return {
+        k
+        for k, b in baseline.items()
+        if isinstance(probe.get(k), (int, float)) and probe[k] > CALIB_RATIO * b
+    }
+
+
+def _pass_is_quiet(p: dict, baseline: dict) -> bool:
+    if p.get("loud", True):
+        return False
+    if baseline:
+        dev = _calib_deviant_keys(p.get("calib") or {}, baseline) & _calib_deviant_keys(
+            p.get("calib_after") or {}, baseline
+        )
+        if dev:
+            return False
+    return True
+
+
+def _has_quiet_pass(run: dict, baseline: dict | None = None) -> bool:
     loads = run.get("pass_loads")
     if not loads:
         return False  # pre-r5 artifact: no in-band evidence of quietness
-    return any(not p.get("loud", True) for p in loads)
+    if baseline is None:
+        baseline = _calib_baseline(_load_floors())
+    return any(_pass_is_quiet(p, baseline) for p in loads)
 
 
 def _load_floors() -> dict:
@@ -74,14 +133,16 @@ def _load_floors() -> dict:
 
 def cmd_update(path: str, label: str | None, force: bool) -> int:
     run = _load_run(path)
-    if not _has_quiet_pass(run) and not force:
+    floors = _load_floors()
+    baseline = _calib_baseline(floors)
+    if not _has_quiet_pass(run, baseline) and not force:
         print(
             f"refusing: {path} has no quiet pass "
-            f"(pass_loads={run.get('pass_loads')}); use --force to override"
+            f"(pass_loads={run.get('pass_loads')}; calibration baseline "
+            f"{baseline or 'unset'}); use --force to override"
         )
         return 1
     label = label or os.path.basename(path)
-    floors = _load_floors()
     q = floors["queries"]
     updated = 0
     for name, sec in run["queries"].items():
@@ -90,19 +151,62 @@ def cmd_update(path: str, label: str | None, force: bool) -> int:
             q[name] = {"floor_s": round(sec, 3), "run": label}
             updated += 1
     floors["queries"] = dict(sorted(q.items()))
+    # Merge the calibration baseline: min per probe metric over this
+    # run's QUIET passes (judged against the PRE-merge baseline, so a
+    # slow run cannot both defeat the rule and then raise the bar).
+    # Fixed work can only run slower on a slower host, so the min over
+    # quiet runs converges on the host's true speed — the same
+    # estimator as the per-query floors.
+    cal = floors.setdefault("_meta", {}).setdefault("calibration", {})
+    cal_updated = 0
+    for p in run.get("pass_loads") or []:
+        if not _pass_is_quiet(p, baseline):
+            continue
+        for probe in (p.get("calib"), p.get("calib_after")):
+            for k in CALIB_KEYS:
+                v = (probe or {}).get(k)
+                if isinstance(v, (int, float)) and (
+                    k not in cal or v < cal[k]["s"]
+                ):
+                    cal[k] = {"s": round(v, 4), "run": label}
+                    cal_updated += 1
+    if not cal:
+        del floors["_meta"]["calibration"]
     with open(FLOORS_PATH, "w") as f:
         json.dump(floors, f, indent=1, sort_keys=True)
         f.write("\n")
     total = round(sum(v["floor_s"] for v in q.values()), 1)
     print(f"{updated} floors updated from {label}; {len(q)} queries, "
-          f"floor total {total}s -> {FLOORS_PATH}")
+          f"floor total {total}s -> {FLOORS_PATH}"
+          + (f"; {cal_updated} calibration baselines updated" if cal_updated else ""))
     return 0
 
 
 def cmd_diff(path: str, ratio: float) -> int:
     run = _load_run(path)
-    floors = _load_floors()["queries"]
-    quiet = _has_quiet_pass(run)
+    all_floors = _load_floors()
+    floors = all_floors["queries"]
+    baseline = _calib_baseline(all_floors)
+    quiet = _has_quiet_pass(run, baseline)
+    # surface the calibration verdict per pass so a judge reads host
+    # speed off the artifact before looking at any per-query number
+    if baseline:
+        for i, p in enumerate(run.get("pass_loads") or []):
+            dev = _calib_deviant_keys(p.get("calib") or {}, baseline) & (
+                _calib_deviant_keys(p.get("calib_after") or {}, baseline)
+            )
+            if dev:
+                worst = max(
+                    max(
+                        (p.get("calib") or {}).get(k, 0) / baseline[k],
+                        (p.get("calib_after") or {}).get(k, 0) / baseline[k],
+                    )
+                    for k in dev
+                )
+                print(
+                    f"  pass {i}: CALIBRATION-LOUD {sorted(dev)} "
+                    f"(worst {worst:.2f}x baseline) — host slow window"
+                )
     suspects = []
     for name, sec in sorted(run["queries"].items()):
         f = floors.get(name)

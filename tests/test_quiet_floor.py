@@ -90,3 +90,131 @@ def test_update_accepts_driver_wrapper_shape(tmp_path, floors_path):
         json.dumps({"parsed": {"queries": {"q1": 3.0}, "pass_loads": QUIET}})
     )
     assert qf.cmd_update(str(p), "wrapped", False) == 0
+
+
+# ── Calibration rule (VERDICT r11 #1) ────────────────────────────────
+# bench.py brackets every pass with fixed-work probes; a pass whose
+# calibration deviates > CALIB_RATIO above the recorded baseline at
+# BOTH ends is loud regardless of its ext_busy evidence — the r11
+# failure class (broadband ~1.3x host slowdown reading quiet on every
+# visibility probe) becomes detectable from the artifact alone.
+
+BASE = {"calib_1t_s": 0.19, "calib_nt_s": 1.10, "calib_mem_s": 0.086}
+
+
+def _probe(scale: float) -> dict:
+    return {k: round(v * scale, 4) for k, v in BASE.items()}
+
+
+def _calib_pass(pre_scale, post_scale, loud=False):
+    return [
+        {
+            "load_1m": 2.0,
+            "ext_busy_cores": 0.1,
+            "waited_s": 0,
+            "loud": loud,
+            "calib": _probe(pre_scale),
+            "calib_after": _probe(post_scale),
+        }
+    ]
+
+
+def _seed_baseline(tmp_path, floors_path):
+    """Seed floors + calibration baseline from a quiet calibrated run."""
+    run = _run(tmp_path, "seed.json", {"q1": 2.0}, _calib_pass(1.0, 1.0))
+    assert qf.cmd_update(run, "seed", False) == 0
+    cal = json.loads(floors_path.read_text())["_meta"]["calibration"]
+    assert {k: v["s"] for k, v in cal.items()} == BASE
+    return cal
+
+
+def test_update_seeds_and_min_merges_calibration_baseline(tmp_path, floors_path):
+    _seed_baseline(tmp_path, floors_path)
+    # a faster quiet probe lowers the baseline; a slower one (still
+    # within ratio) does not raise it
+    faster = _run(tmp_path, "f.json", {"q1": 2.1}, _calib_pass(0.9, 1.05))
+    assert qf.cmd_update(faster, "f", False) == 0
+    cal = json.loads(floors_path.read_text())["_meta"]["calibration"]
+    assert cal["calib_1t_s"] == {"s": round(0.19 * 0.9, 4), "run": "f"}
+
+
+def test_synthetically_loaded_run_is_flagged_loud_from_artifact_alone(
+    tmp_path, floors_path, capsys
+):
+    """The r11 scenario: every visibility probe reads quiet (loud=False,
+    ext_busy ~0) but the host ran ~1.3x slow — the calibration probes
+    carry the slowdown in-band, so update refuses and diff labels the
+    excess load-inflated, with no judge rerun needed."""
+    _seed_baseline(tmp_path, floors_path)
+    slow = _run(
+        tmp_path, "slow.json", {"q1": 2.6}, _calib_pass(1.3, 1.28)
+    )  # q1 at 1.3x floor, probes at ~1.3x baseline, loud=False
+    assert qf.cmd_update(slow, "slow", False) == 1  # refused: no quiet pass
+    floors = json.loads(floors_path.read_text())
+    assert floors["queries"]["q1"]["floor_s"] == 2.0  # floor not polluted
+    assert qf.cmd_diff(slow, 1.2) == 0  # excess attributed to load, exit 0
+    out = capsys.readouterr().out
+    assert "CALIBRATION-LOUD" in out and "load-inflated" in out
+
+
+def test_single_ended_calibration_deviation_stays_quiet(tmp_path, floors_path):
+    """A transient settle (own JVM GC right after the pass) inflates
+    only ONE end's probe — that must not flag the pass: the rule needs
+    both ends deviant (a sustained window)."""
+    _seed_baseline(tmp_path, floors_path)
+    run = _run(tmp_path, "t.json", {"q1": 1.9}, _calib_pass(1.0, 1.4))
+    assert qf.cmd_update(run, "t", False) == 0
+    assert json.loads(floors_path.read_text())["queries"]["q1"]["floor_s"] == 1.9
+
+
+def test_deviant_run_cannot_raise_its_own_bar(tmp_path, floors_path):
+    """The quiet judgment uses the PRE-merge baseline: a calibration-
+    loud run must contribute neither floors nor baseline entries, even
+    under --force floor merging."""
+    _seed_baseline(tmp_path, floors_path)
+    slow = _run(tmp_path, "s.json", {"q1": 1.0}, _calib_pass(1.3, 1.3))
+    assert qf.cmd_update(slow, "s", force=True) == 0  # forced floor merge
+    floors = json.loads(floors_path.read_text())
+    assert floors["queries"]["q1"]["floor_s"] == 1.0  # forced, recorded
+    cal = floors["_meta"]["calibration"]
+    assert all(v["run"] == "seed" for v in cal.values())  # baseline untouched
+
+
+def test_bootstrap_without_baseline_ignores_calibration(tmp_path, floors_path):
+    """Until a baseline exists the calibration rule is vacuous — the
+    first quiet run both passes the gate and seeds the baseline."""
+    run = _run(tmp_path, "b.json", {"q1": 2.0}, _calib_pass(1.0, 1.0))
+    assert qf.cmd_update(run, "b", False) == 0
+
+
+def test_pre_r12_artifacts_without_probes_keep_their_loud_flags(
+    tmp_path, floors_path
+):
+    _seed_baseline(tmp_path, floors_path)
+    old_quiet = _run(tmp_path, "oq.json", {"q1": 1.8}, QUIET)  # no calib keys
+    assert qf.cmd_update(old_quiet, "oq", False) == 0
+    assert json.loads(floors_path.read_text())["queries"]["q1"]["floor_s"] == 1.8
+
+
+def test_bench_probe_and_rule_agree_with_quiet_floor():
+    """bench.py duplicates the deviation rule (it must flag passes at
+    run time to trigger extra-pass machinery): the constants and the
+    deviant-key logic must stay in lockstep with quiet_floor.py, and a
+    real probe on this host returns positive wall times for all three
+    metrics."""
+    import importlib.util as ilu
+    import os as _os
+
+    spec = ilu.spec_from_file_location(
+        "bench", _os.path.join(_os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert bench._CALIB_RATIO == qf.CALIB_RATIO
+    probe = bench._calibration_probe()
+    assert set(probe) == set(qf.CALIB_KEYS)
+    assert all(v > 0 for v in probe.values())
+    base = {k: v / 1.3 for k, v in probe.items()}  # pretend host was 1.3x faster
+    assert bench._calib_deviant_keys(probe, base) == set(qf.CALIB_KEYS)
+    assert qf._calib_deviant_keys(probe, base) == set(qf.CALIB_KEYS)
+    assert bench._calib_deviant_keys(probe, {k: v for k, v in probe.items()}) == set()
