@@ -845,6 +845,41 @@ def _batch_exact_topk(
     )
 
 
+def _adc_luts(qvecs: list[list[float]], codebooks: list[list[list[float]]]):
+    """Flattened per-query ADC LUTs, vectorized across the QUERY axis
+    (VERDICT r11 #4): lut[q][j*cb_size + c] = round(dot(qvec_q[j-th
+    subvector], codebooks[j][c]), 12), bit-identical to the original
+    pure-Python triple loop. The i-accumulation ORDER is the exactness
+    contract (it must match pq_adc_topk's literal left-associative
+    chain), and it survives vectorization because only the query/
+    codeword axes are vectorized: `acc = acc + Q[:, col, None] *
+    CW[:, i]` performs, elementwise, the exact same IEEE-double
+    multiply-then-add sequence `0.0 + q0*c0 + q1*c1 + …` the scalar
+    loop did — NumPy float64 ops are C double ops, the same arithmetic
+    CPython floats use. The final round(…, 12) stays CPython's
+    correctly-rounded decimal rounding (np.round is a scale-rint-
+    unscale approximation that can differ in the last bit); it is
+    |Q|·m·cb_size calls instead of the loop's |Q|·m·cb_size·sub body
+    iterations — the measured ~sub× win (SCALE.md)."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cb_size = len(codebooks[0])
+    Q = np.asarray(qvecs, dtype=np.float64)  # |Q| × dim
+    flat = np.empty((len(qvecs), m * cb_size), dtype=np.float64)
+    for j in range(m):
+        CW = np.asarray(codebooks[j], dtype=np.float64)  # cb_size × sub
+        acc = np.zeros((len(qvecs), cb_size), dtype=np.float64)
+        for i in range(sub):
+            acc = acc + Q[:, j * sub + i, None] * CW[:, i]
+        flat[:, j * cb_size : (j + 1) * cb_size] = acc
+    # tolist() (bulk C conversion to CPython floats), then CPython
+    # round — round(np.float64, n) would dispatch to NumPy's own
+    # __round__, which is the scale-rint approximation we must avoid
+    return [[round(v, 12) for v in row] for row in flat.tolist()]
+
+
 def _adc_probe_frame(
     spark,
     queries: DataFrame,
@@ -857,35 +892,28 @@ def _adc_probe_frame(
     """Driver-side half of the batched ADC probe: collect the query
     batch (it is the REQUEST PAYLOAD — the same bounded-by-construction
     collect the single-query pq_adc_topk leans on for its literal LUT)
-    and compute, with byte-identical Python code paths, each query's
-    probe cells (_probe_cells) and flattened LUT row
-    lut[j*cb_size + c] = round(dot(query_j, codeword), 12). Returns
-    (probe_df, sorted distinct cell list): probe_df rows are
+    and compute, bit-identically to the single-query code paths, each
+    query's probe cells (_probe_cells) and flattened LUT row
+    (_adc_luts — accumulation vectorized across queries, r11 #4).
+    Returns (probe_df, sorted distinct cell list): probe_df rows are
     (qid, cell, lut array<double>) — nprobe rows per query, each
     carrying the query's m×cb_size LUT doubles (KBs) for the broadcast
     join. The Spark side casts each looked-up double to
     DECIMAL(22,12), exactly like pq_adc_topk's literal staging, so the
     batched sum is the same exact decimal chain."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
     qid_type = dict(queries.dtypes)[qid_col]  # keep the caller's id type
     rows = queries.select(qid_col, qvec_col).collect()
+    schema = f"{qid_col} {qid_type}, cell int, lut array<double>"
+    if not rows:
+        return spark.createDataFrame([], schema), []
+    qvecs = [[float(x) for x in r[qvec_col]] for r in rows]
+    luts = _adc_luts(qvecs, codebooks)
     probe_rows, cells = [], set()
-    for r in rows:
-        qv = [float(x) for x in r[qvec_col]]
-        lut = []
-        for j in range(m):
-            for cw in codebooks[j]:
-                d = 0.0
-                for i in range(sub):
-                    d = d + float(qv[j * sub + i]) * cw[i]
-                lut.append(round(d, 12))
+    for r, qv, lut in zip(rows, qvecs, luts):
         qcells = _probe_cells(centroids, qv, nprobe)
         cells.update(qcells)
         probe_rows.extend((r[qid_col], c, lut) for c in qcells)
-    probe_df = spark.createDataFrame(
-        probe_rows, f"{qid_col} {qid_type}, cell int, lut array<double>"
-    )
+    probe_df = spark.createDataFrame(probe_rows, schema)
     return probe_df, sorted(cells)
 
 

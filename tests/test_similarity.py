@@ -922,3 +922,53 @@ def test_batched_probe_edge_cases(spark, emb, tmp_path):
         for r in ivf_store_topk(spark, path, cents, qvecs[42], 10).collect()
     ]
     assert got == want
+
+
+def test_adc_lut_build_vectorized_bit_equals_scalar_loop_at_1k_queries():
+    """_adc_luts (VERDICT r11 #4): the NumPy query-axis vectorization
+    must be BIT-identical to the original pure-Python triple loop —
+    the i-accumulation order is preserved (only query/codeword axes
+    vectorize), and the final round stays CPython's correctly-rounded
+    round(…, 12), not np.round's scale-rint approximation. Asserted at
+    a serving-shaped |Q| = 1000 (the r11 verdict's concern was ~10^8
+    driver-Python ops at |Q| = 10k); the measured build-time win is
+    recorded in SCALE.md. Spark-free — this is pure driver code."""
+    import random
+    import time as _time
+
+    from distributed_mapreduce_spark.operators.similarity import _adc_luts
+
+    rng = random.Random(7)
+    n_q, m, cb_size, sub = 1000, 8, 64, 8
+    dim = m * sub
+    codebooks = [
+        [[rng.uniform(-1, 1) for _ in range(sub)] for _ in range(cb_size)]
+        for _ in range(m)
+    ]
+    qvecs = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_q)]
+
+    def scalar_luts():  # the pre-r12 _adc_probe_frame body, verbatim
+        out = []
+        for qv in qvecs:
+            lut = []
+            for j in range(m):
+                for cw in codebooks[j]:
+                    d = 0.0
+                    for i in range(sub):
+                        d = d + float(qv[j * sub + i]) * cw[i]
+                    lut.append(round(d, 12))
+            out.append(lut)
+        return out
+
+    t0 = _time.perf_counter()
+    want = scalar_luts()
+    t_scalar = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    got = _adc_luts(qvecs, codebooks)
+    t_vec = _time.perf_counter() - t0
+    print(
+        f"\n  LUT build |Q|={n_q} m={m} cb={cb_size} sub={sub}: "
+        f"scalar {t_scalar:.2f}s, vectorized {t_vec:.2f}s "
+        f"({t_scalar / max(t_vec, 1e-9):.1f}x)"
+    )
+    assert got == want  # bit-exact: == on floats, not approx
