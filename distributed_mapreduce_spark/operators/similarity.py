@@ -1023,3 +1023,112 @@ def ivfpq_store_topk_batch(
     return _batch_adc_topk(
         cand, probe_df, len(codebooks), len(codebooks[0]), k, qid_col, id_col
     )
+
+
+def knn_join_ivf(
+    emb: DataFrame,
+    centroids: list,
+    k: int,
+    nprobe: int = DEFAULT_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    members: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor SELF-join over the IVF index —
+    the scale tier of the exact grid kNN join (sim_q10; VERDICT r11
+    #2). Every row probes only its ``nprobe`` nearest cells instead of
+    meeting every other row, so the scored-pair volume is
+    Σ_q Σ_{c∈probe(q)} |cell_c| ≈ nprobe·N·avg_cell — LINEAR in N once
+    cells are bounded (at 100 TB num_cells grows with the corpus so
+    avg_cell stays a partition-sized constant), where the exact grid
+    tier is Θ(N²/B) pairs by construction. The price is recall < 1 on
+    neighbors whose cell the query didn't probe (measured vs the exact
+    tier in SCALE.md; nprobe = num_cells degenerates to exact — the
+    recall knob is explicit).
+
+    Plan shape, all engine-native:
+      1. ``assign_probe_cells`` tags every row with its nprobe nearest
+         cells (broadcast centroid table; per-row WindowGroupLimit —
+         nothing collects a vector to the driver);
+      2. the member side is ``assign_cells(emb)`` by default, or a
+         ``members`` frame already carrying ``cell`` — pass
+         ``spark.read.parquet(ivf_store_path)`` to probe a maintained
+         write_ivf_store layout, which saves the member-side centroid
+         scoring entirely (assignment was amortized into ingest; the
+         cell exchange for the equi-join below still happens — dir
+         partitioning is pruning metadata, not a distribution
+         guarantee);
+      3. BOTH sides unit-normalize and unpack into flat scalar columns
+         BEFORE the pair join (the exact grid tier's measured
+         discipline: pair scoring is then ONE dim-term dot on UnsafeRow
+         fields, not three array-walking dots per pair — the first
+         array-cosine form of this operator measured ~4× slower than
+         the grid at fixture scale despite scoring 4× fewer pairs);
+         zero-norm rows drop out (they have no cosine neighbors),
+         matching the exact tier's oracle semantics;
+      4. ONE equi-join on ``cell`` (never a cartesian: each query row
+         meets only its probed cells' members; AQE's skew split covers
+         hot cells), self-pairs dropped, round-6 normalized dot — the
+         sim_q10 scoring contract;
+      5. per-query ``row_number() ≤ k`` — planned as WindowGroupLimit
+         PARTIAL before the exchange + FINAL after (the map-side top-k
+         combine the exact tier certified; plan-asserted in tests), so
+         the only full-volume pair flow is pipelined map-side, never
+         exchanged.
+
+    Returns (id, nb, cos_sim), ≤ k rows per id (a row's probed cells
+    may hold fewer than k other members). Deterministic given the
+    centroid table: ties break (cos_sim desc, nb asc), so the whole
+    pipeline replays in SQL — the shadow query's DuckDB oracle runs
+    it end to end."""
+    import functools
+    import operator
+
+    from pyspark.sql import Window
+
+    from distributed_mapreduce_spark.functions.vectors import norm
+
+    dim = len(centroids[0][1])
+    if members is None:
+        members = assign_cells(emb, centroids, id_col, vec_col)
+
+    def flat(df, idc, vc, out_id, prefix):
+        return (
+            df.withColumn("__n", norm(F.col(vc)))
+            .where(F.col("__n") > 0)
+            .select(
+                F.col(idc).alias(out_id),
+                "cell",
+                *[
+                    (F.col(vc)[i].cast("double") / F.col("__n")).alias(
+                        f"{prefix}{i}"
+                    )
+                    for i in range(dim)
+                ],
+            )
+        )
+
+    qcells = assign_probe_cells(
+        emb.select(F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv")),
+        centroids,
+        nprobe,
+        qid_col="__qid",
+        qvec_col="__qv",
+    )
+    a = flat(qcells, "__qid", "__qv", "__qid", "__a")
+    b = flat(members, id_col, vec_col, "__nb", "__b")
+    dot = functools.reduce(
+        operator.add, [F.col(f"__a{i}") * F.col(f"__b{i}") for i in range(dim)]
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cos_sim"), F.asc("__nb"))
+    return (
+        a.join(b, "cell")
+        .where(F.col("__qid") != F.col("__nb"))
+        .select("__qid", "__nb", F.round(dot, 6).alias("cos_sim"))
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select(
+            F.col("__qid").alias("id"), F.col("__nb").alias("nb"), "cos_sim"
+        )
+        .orderBy("id", F.desc("cos_sim"), F.asc("nb"))
+    )

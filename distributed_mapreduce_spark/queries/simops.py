@@ -767,12 +767,13 @@ def sim_q10_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          exchange on (cell, id) — strictly worse than the free partial
          limit. Lesson: for rank-limit windows, don't hand-stage the
          combine; the optimizer already does.
-    The approximate path at higher thresholds composes from the IVF
-    store instead: cell-local kNN over `write_ivf_store` partitions
-    (sim_q3/q7 machinery), trading recall for the grid's B× row
-    replication. Oracle: quadratic DuckDB replay (every ordered pair,
-    rank per id) — feasible at grading scale, which is exactly why the
-    exact tier is the graded one."""
+    The approximate path is `knn_join_ivf` (r12; shadow twin
+    sim_q11_knn_join_ivf): cell-local kNN over the IVF assignment or a
+    `write_ivf_store` layout — ~nprobe·N·avg_cell scored pairs instead
+    of this tier's Θ(N²/B); measured crossover at N=20k: 0.62× this
+    grid's wall at recall 0.656 (SCALE.md). Oracle: quadratic DuckDB
+    replay (every ordered pair, rank per id) — feasible at grading
+    scale, which is exactly why the exact tier is the graded one."""
     import functools
     import operator
 
@@ -809,6 +810,28 @@ def sim_q10_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rg") <= K_NN)
         .select("id", "nb", "cos_sim")
     )
+
+
+def sim_q11_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-backed APPROXIMATE kNN self-join (VERDICT r11 #2) — the
+    scale tier sim_q10's docstring promised: instead of the grid's
+    Θ(N²/B) exact pair volume, every row probes only its nprobe
+    nearest IVF cells (knn_join_ivf), so scored pairs are
+    ~nprobe·N·avg_cell — linear in N once cells are bounded, which is
+    the only kNN-join shape that survives an all-rows run at 100 TB.
+    Same deterministic centroid build as sim_q3, so the whole pipeline
+    — assignment argmax, per-row probe ranking, candidate join, per-id
+    top-k — replays exactly in the DuckDB oracle; recall vs the exact
+    grid tier is measured in SCALE.md and tested with a floor. Returns
+    (id, nb, cos_sim), ≤ K_NN rows per id."""
+    from distributed_mapreduce_spark.operators.similarity import (
+        knn_join_ivf,
+        train_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = train_centroids(emb)
+    return knn_join_ivf(emb, cents, K_NN)
 
 
 BATCH_QUERY_IDS = (0, 42, 137, 311)
@@ -860,6 +883,7 @@ SHADOW_QUERIES = {
     "sim_q8_ivfpq_store_probe": sim_q8_ivfpq_store_probe,
     "sim_q9_batch_store_probe": sim_q9_batch_store_probe,
     "sim_q10_knn_join": sim_q10_knn_join,
+    "sim_q11_knn_join_ivf": sim_q11_knn_join_ivf,
 }
 
 
@@ -1102,6 +1126,64 @@ SHADOW_ORACLES = {
                    ) AS rn
             FROM scored
         ) WHERE rn <= {K_NN}
+    """,
+    # Full DuckDB replay of the IVF kNN-join pipeline: the sim_q3 CTEs
+    # (deterministic centroids, argmax cell assignment) plus a per-ROW
+    # probe ranking (row_number ≤ nprobe — every row is a query), the
+    # cell-equality candidate join, and the per-id top-K_NN ranking.
+    # Operand order: scores(e, c) serves both assignment and probe
+    # ranking — cosine is bit-commutative (products and the two sqrt
+    # factors commute exactly), so it equals the Spark side's
+    # cosine(cvec, qvec) orientation bit-for-bit. Pair scoring is the
+    # sim_q10 contract verbatim — normalize once (zero-norm rows have
+    # no cosine neighbors and drop out), ONE dot per pair, round 6.
+    "sim_q11_knn_join_ivf": f"""
+        WITH cent AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+                   embedding AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+        ),
+        scores AS (
+            SELECT e.vec_id, c.cell,
+                   {cosine_sql("e.embedding", "c.cvec", DIM)} AS score
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        ranked AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY score DESC, cell ASC
+                   ) AS rn
+            FROM scores
+        ),
+        best AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        probe AS (SELECT vec_id, cell FROM ranked WHERE rn <= 4),
+        cand AS (
+            SELECT p.vec_id AS id, b.vec_id AS nb
+            FROM probe p JOIN best b ON b.cell = p.cell AND b.vec_id != p.vec_id
+        ),
+        n AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) / sqrt({unrolled_dot_sql("embedding", "embedding", DIM)}))
+                   AS ne
+            FROM embeddings
+            WHERE sqrt({unrolled_dot_sql("embedding", "embedding", DIM)}) > 0
+        ),
+        scored AS (
+            SELECT c.id, c.nb,
+                   round({unrolled_dot_sql("n1.ne", "n2.ne", DIM)}, 6) AS cos_sim
+            FROM cand c
+            JOIN n n1 ON n1.vec_id = c.id
+            JOIN n n2 ON n2.vec_id = c.nb
+        )
+        SELECT id, nb, cos_sim FROM (
+            SELECT id, nb, cos_sim,
+                   row_number() OVER (
+                       PARTITION BY id ORDER BY cos_sim DESC, nb ASC
+                   ) AS rn
+            FROM scored
+        ) WHERE rn <= {K_NN}
+        ORDER BY id, cos_sim DESC, nb ASC
     """,
     "sim_q6_kmeans_census": _kmeans_sql(),
     # Transitive closure over the same pair graph as the dedup_q6

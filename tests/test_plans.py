@@ -74,6 +74,11 @@ def test_no_cartesian_in_any_registered_query(spark, sf_dir):
         # the store-side join is a BroadcastHashJoin on cell, guarded
         # separately in test_similarity's plan asserts
         "sim_q9_batch_store_probe",
+        # same assign_probe_cells 16-row-centroid crossJoin (plus
+        # assign_cells' own, also 16 rows); the pair join itself is an
+        # equi-join on cell — asserted hash, never nested-loop, in
+        # test_similarity's knn_join_ivf plan checks
+        "sim_q11_knn_join_ivf",
         "text_q13_dynamic_quality",
     }
     checked = 0

@@ -785,3 +785,55 @@ def test_sf1_ann_ingest_scaling(stress_spark, sf1_dir, tmp_path):
     n2 = back2.count()
     ids2 = back2.select("vec_id").distinct().count()
     assert n2 == ids2 == vecs.num_rows + fresh.num_rows, "replay duplicated vectors"
+
+
+def test_sf1_knn_join_ivf_crossover_vs_exact_grid(stress_spark, sf1_dir):
+    """The IVF kNN-join tier's reason to exist (VERDICT r11 #2): at
+    N = 20k the approximate tier must be FASTER than the exact grid on
+    wall clock while keeping recall above a stated floor — the
+    crossover the fixture scale (N = 2000, where the wide-plan fixed
+    costs dominate and the grid wins) cannot show. Measured r12 on
+    this host: grid 113.6 s, ivf(C=64, nprobe=16) 56.2 s (0.49×) at
+    recall 0.656 over structureless Gaussians — the IVF worst case;
+    clustered real corpora do better at equal nprobe/C. The margin
+    asserted is loose (ivf ≤ 0.8 × grid, recall ≥ 0.55): it fails on a
+    lost asymptotic (a full pair-space join or a broken probe pruning
+    turns the ratio > 1), not host noise."""
+    import time as _time
+
+    from distributed_mapreduce_spark.operators.similarity import (
+        knn_join_ivf,
+        train_centroids,
+    )
+    from distributed_mapreduce_spark.queries.simops import sim_q10_knn_join
+
+    t0 = _time.perf_counter()
+    exact = sim_q10_knn_join(stress_spark, sf1_dir).collect()
+    t_grid = _time.perf_counter() - t0
+    stress_spark.catalog.clearCache()
+    for jr in list(
+        stress_spark.sparkContext._jsc.getPersistentRDDs().values()
+    ):
+        jr.unpersist(False)
+
+    emb = stress_spark.read.parquet(f"{sf1_dir}/embeddings.parquet")
+    t0 = _time.perf_counter()
+    cents = train_centroids(emb, 64)
+    got = knn_join_ivf(emb, cents, 5, nprobe=16).collect()
+    t_ivf = _time.perf_counter() - t0
+
+    e, a = {}, {}
+    for r in exact:
+        e.setdefault(r.id, set()).add(r.nb)
+    for r in got:
+        a.setdefault(r.id, set()).add(r.nb)
+    recall = sum(len(a.get(i, set()) & nbs) / len(nbs) for i, nbs in e.items()) / len(e)
+    print(
+        f"\n  [sf1 stress] knn join N=20k: grid {t_grid:.1f}s, "
+        f"ivf(C=64,nprobe=16) {t_ivf:.1f}s ({t_ivf/t_grid:.2f}x), recall {recall:.3f}"
+    )
+    assert recall >= 0.55, f"recall {recall:.3f} under the stated sf1 floor"
+    assert t_ivf <= 0.8 * t_grid, (
+        f"ivf tier ({t_ivf:.0f}s) did not beat the exact grid ({t_grid:.0f}s) "
+        "at N=20k — the approximate tier lost its asymptotic advantage"
+    )

@@ -972,3 +972,165 @@ def test_adc_lut_build_vectorized_bit_equals_scalar_loop_at_1k_queries():
         f"({t_scalar / max(t_vec, 1e-9):.1f}x)"
     )
     assert got == want  # bit-exact: == on floats, not approx
+
+
+def test_knn_join_ivf_exhaustive_probe_is_exact(spark, emb, sf_dir):
+    """knn_join_ivf with nprobe = num_cells degenerates to the exact
+    kNN self-join (every cell probed ⇒ every pair scored) — asserted
+    bit-for-bit against an independent DuckDB quadratic brute force
+    using the mirrored cosine_sql, so the recall knob's endpoints are
+    pinned: num_cells ⇒ recall 1.0, and the approximate tier below can
+    only lose neighbors to unprobed cells, never to scoring bugs."""
+    import duckdb
+
+    from distributed_mapreduce_spark.functions.vectors import unrolled_dot_sql
+    from distributed_mapreduce_spark.operators.similarity import (
+        knn_join_ivf,
+        train_centroids,
+    )
+
+    cents = train_centroids(emb, 16)
+    got = [
+        (r.id, r.nb, r.cos_sim)
+        for r in knn_join_ivf(emb, cents, 5, nprobe=16).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW e AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = con.execute(
+        f"""
+        WITH n AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) / sqrt({unrolled_dot_sql("embedding", "embedding", 64)}))
+                   AS ne
+            FROM e
+            WHERE sqrt({unrolled_dot_sql("embedding", "embedding", 64)}) > 0
+        ),
+        scored AS (
+            SELECT a.vec_id AS id, b.vec_id AS nb,
+                   round({unrolled_dot_sql("a.ne", "b.ne", 64)}, 6) AS cos_sim
+            FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        )
+        SELECT id, nb, cos_sim FROM (
+            SELECT id, nb, cos_sim,
+                   row_number() OVER (PARTITION BY id ORDER BY cos_sim DESC, nb ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+        ORDER BY id, cos_sim DESC, nb ASC
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_knn_join_ivf_recall_volume_store_and_plan(spark, emb, tmp_path):
+    """The approximate tier's three contracts (VERDICT r11 #2):
+    (a) recall vs the exact result: above a stated floor at the
+        default nprobe (measured on this fixture: det-centroids
+        0.31/0.49/0.74 at nprobe 2/4/8, kmeans 0.42/0.61/0.83 —
+        seeded-Gaussian embeddings are the structureless worst case
+        for IVF, real corpora cluster; floors 0.40 at nprobe=4 and
+        0.65 at nprobe=8), MONOTONE in nprobe, and kmeans centroids
+        ≥ deterministic sampling at equal nprobe (the
+        train_centroids_kmeans docstring's claim);
+    (b) the scored-pair volume BEATS the exact grid tier's N(N-1)
+        window input — the linear-vs-quadratic claim at fixture scale;
+    (c) plan: no cartesian anywhere, and the per-id rank limit plans
+        as WindowGroupLimit Partial + Exchange + Final (the map-side
+        top-k combine);
+    plus the store form: members=<write_ivf_store read-back> returns
+    the identical result (the 100 TB shape probes the maintained
+    cell-partitioned store, not a fresh assignment)."""
+    from distributed_mapreduce_spark import plans
+    from distributed_mapreduce_spark.operators.similarity import (
+        assign_cells,
+        assign_probe_cells,
+        knn_join_ivf,
+        train_centroids,
+        write_ivf_store,
+    )
+
+    from distributed_mapreduce_spark.operators.similarity import (
+        train_centroids_kmeans,
+    )
+
+    cents = train_centroids(emb, 16)
+    approx_df = knn_join_ivf(emb, cents, 5, nprobe=4)
+    approx = approx_df.collect()
+    exact = knn_join_ivf(emb, cents, 5, nprobe=16).collect()
+
+    def by_id(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.id, set()).add(r.nb)
+        return out
+
+    def recall_of(rows, e):
+        a = by_id(rows)
+        return sum(
+            len(a.get(i, set()) & nbs) / len(nbs) for i, nbs in e.items()
+        ) / len(e)
+
+    e = by_id(exact)
+    rec4 = recall_of(approx, e)
+    rec2 = recall_of(knn_join_ivf(emb, cents, 5, nprobe=2).collect(), e)
+    rec8 = recall_of(knn_join_ivf(emb, cents, 5, nprobe=8).collect(), e)
+    kcents = train_centroids_kmeans(emb, 16)
+    ke = by_id(knn_join_ivf(emb, kcents, 5, nprobe=16).collect())
+    krec4 = recall_of(knn_join_ivf(emb, kcents, 5, nprobe=4).collect(), ke)
+    print(
+        f"\n  knn_join_ivf recall@5 /16 cells: det nprobe 2/4/8 = "
+        f"{rec2:.3f}/{rec4:.3f}/{rec8:.3f}; kmeans nprobe=4 = {krec4:.3f}"
+    )
+    assert rec4 >= 0.40, f"recall {rec4:.3f} under the stated floor"
+    assert rec8 >= 0.65, f"recall {rec8:.3f} under the stated floor"
+    assert rec2 < rec4 < rec8, "recall must be monotone in nprobe"
+    assert krec4 >= rec4, "kmeans centroids must not lose to sampling"
+
+    # (b) candidate volume: what the window actually consumes
+    n = emb.count()
+    cand = (
+        assign_probe_cells(
+            emb.selectExpr("vec_id as __qid", "embedding as __qv"),
+            cents,
+            4,
+            qid_col="__qid",
+            qvec_col="__qv",
+        )
+        .join(assign_cells(emb, cents).selectExpr("vec_id as nb", "cell"), "cell")
+        .where("__qid != nb")
+        .count()
+    )
+    grid = n * (n - 1)  # the exact tier windows both orientations of every pair
+    print(f"  knn_join_ivf candidates {cand} vs grid window input {grid} ({cand/grid:.2f}x)")
+    assert cand < grid
+
+    # (c) plan shape
+    plans.assert_no_cartesian(approx_df)
+    plan = plans.physical_plan(approx_df, "simple")
+    # the pair join must be an EQUI-join on cell (SortMerge or hash) —
+    # the only BroadcastNestedLoopJoins allowed are the 16-row centroid
+    # crossJoins (the O(1)-row dim form the registry guard exempts)
+    import re
+
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell", plan), plan
+    lines = plan.splitlines()
+    partial = next(
+        (i for i, l in enumerate(lines) if "WindowGroupLimit" in l and "Partial" in l),
+        None,
+    )
+    final = next(
+        (i for i, l in enumerate(lines) if "WindowGroupLimit" in l and "Final" in l),
+        None,
+    )
+    assert partial is not None and final is not None, plan
+    assert any("Exchange" in l for l in lines[final:partial]), plan
+
+    # store form ≡ in-memory assignment
+    path = str(tmp_path / "knn_store")
+    write_ivf_store(emb, cents, path)
+    via_store = knn_join_ivf(
+        emb, cents, 5, nprobe=4, members=spark.read.parquet(path)
+    ).collect()
+    assert sorted(map(tuple, via_store)) == sorted(map(tuple, approx))
