@@ -129,3 +129,268 @@ def test_query_on_local_cluster(cluster_spark, name):
     assert sql is not None, f"{name} lost its oracle"
     res = check_query(cluster_spark, name, fn, sql, SF)
     assert res.ok, f"{name} under local-cluster: {res.detail}"
+
+
+# ── Ingest sinks under real multi-process execution (VERDICT r11 #3) ──
+# The query suite above exercises reads; the streaming ingest sinks
+# (foreachBatch driver callbacks orchestrating executor-side joins,
+# bucketed band-index writes through the catalog, manifest commits,
+# compactors) had only local[N] coverage — exactly the machinery where
+# r7 found the executor-sys.path bug local[N] can never see. Each test
+# runs the full e2e shape the verdict prescribed: feed → torn-append
+# replay → compact → fresh-checkpoint resume, asserting parity with
+# the one-shot batch policy (deterministic, so equal to the local-mode
+# result by construction). Wall time is printed for SCALE.md.
+
+
+def _write_chunk(src, name, cols: dict, mtime: float) -> None:
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(src / name)
+    pq.write_table(pa.table(cols), p)
+    _os.utime(p, (mtime, mtime))
+
+
+def test_dedup_ingest_pipeline_on_local_cluster(cluster_spark, tmp_path):
+    import pathlib
+    import time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from distributed_mapreduce_spark.operators.dedup import (
+        compact_lsh_band_index,
+        dedup_corpus_greedy,
+    )
+    from distributed_mapreduce_spark.sources import table
+    from distributed_mapreduce_spark.streaming import commitlog
+    from distributed_mapreduce_spark.streaming.sinks import (
+        compact_dedup_ingest_store,
+        foreach_batch_dedup_ingest,
+        read_dedup_accepted,
+    )
+
+    t_start = time.perf_counter()
+    spark = cluster_spark
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    src = tmp_path / "feed"
+    src.mkdir()
+    base = time.time()
+    third = len(rows) // 3
+
+    def chunk_cols(chunk_rows):
+        import pyarrow as pa
+
+        return {
+            "doc_id": pa.array([r.doc_id for r in chunk_rows], pa.int64()),
+            "text": pa.array([r.text for r in chunk_rows], pa.string()),
+        }
+
+    store = str(tmp_path / "store")
+    tbl_name = "lc_dedup_ingest_idx"
+
+    def run(st=store, ckpt=None):
+        q = foreach_batch_dedup_ingest(
+            (
+                spark.readStream.schema("doc_id bigint, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            ),
+            st,
+            ckpt or str(tmp_path / "ckpt"),
+            tbl_name,
+            min_jaccard=0.5,
+            bands=16,
+        )
+        q.awaitTermination()
+
+    real_commit = commitlog.ManifestStore.commit
+    state = {"armed": False, "fired": False}
+
+    def crashing_commit(self, batch_id, payload):
+        if state["armed"] and not state["fired"]:
+            state["fired"] = True
+            raise RuntimeError("injected crash: torn index append")
+        return real_commit(self, batch_id, payload)
+
+    try:
+        _write_chunk(src, "c1.parquet", chunk_cols(rows[:third]), base)
+        run()
+        # torn append: batch 1's index rows land, manifest commit dies
+        _write_chunk(
+            src, "c2.parquet", chunk_cols(rows[third : 2 * third]), base + 5
+        )
+        commitlog.ManifestStore.commit = crashing_commit
+        state["armed"] = True
+        try:
+            run()
+            raise AssertionError("injected crash did not fire")
+        except StreamingQueryException:
+            pass
+        assert state["fired"]
+        commitlog.ManifestStore.commit = real_commit
+        run()  # replay batch 1 against its own torn band rows
+        _write_chunk(src, "c3.parquet", chunk_cols(rows[2 * third :]), base + 10)
+        run()
+
+        got = sorted(r.doc_id for r in read_dedup_accepted(spark, store).collect())
+        want = sorted(
+            r.doc_id
+            for r in dedup_corpus_greedy(docs, 0.5, bands=16)
+            .select("doc_id")
+            .collect()
+        )
+        assert got == want and len(got) == len(set(got))
+
+        # compact both artifacts, then a fresh-checkpoint resume:
+        # full-feed replay converges via the known-id gate, and a
+        # re-crawled chunk (duplicate text, fresh ids) mostly rejects
+        store2 = str(tmp_path / "store2")
+        assert compact_dedup_ingest_store(spark, store, store2) == len(got)
+        compact_lsh_band_index(spark, tbl_name)
+        recrawl = [(r.doc_id + 1_000_000, r.text) for r in rows[:third]]
+        import pyarrow as pa
+
+        _write_chunk(
+            src,
+            "c4.parquet",
+            {
+                "doc_id": pa.array([i for i, _ in recrawl], pa.int64()),
+                "text": pa.array([t for _, t in recrawl], pa.string()),
+            },
+            base + 15,
+        )
+        run(store2, str(tmp_path / "ckpt2"))
+        got2 = sorted(
+            r.doc_id for r in read_dedup_accepted(spark, store2).collect()
+        )
+        assert [i for i in got2 if i < 1_000_000] == want, (
+            "fresh-checkpoint replay changed the accepted set"
+        )
+        accepted_recrawl = sum(1 for i in got2 if i >= 1_000_000)
+        assert accepted_recrawl < len(recrawl) / 2, (
+            f"re-crawled duplicates largely accepted ({accepted_recrawl})"
+        )
+        print(
+            f"\n  [local-cluster] dedup ingest e2e "
+            f"(torn+replay+compact+resume): {time.perf_counter()-t_start:.1f}s"
+        )
+    finally:
+        commitlog.ManifestStore.commit = real_commit
+        spark.sql(f"DROP TABLE IF EXISTS {tbl_name}")
+
+
+def test_ann_ingest_pipeline_on_local_cluster(cluster_spark, tmp_path):
+    import pathlib
+    import time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from distributed_mapreduce_spark.operators.similarity import (
+        ivf_store_topk,
+        train_centroids,
+        write_ivf_store,
+    )
+    from distributed_mapreduce_spark.sources import table
+    from distributed_mapreduce_spark.streaming import commitlog
+    from distributed_mapreduce_spark.streaming.sinks import (
+        ann_ingest_topk,
+        compact_ann_ingest_store,
+        foreach_batch_ann_ingest,
+    )
+
+    t_start = time.perf_counter()
+    spark = cluster_spark
+    emb = table(spark, SF, "embeddings")
+    cents = train_centroids(emb, 16)
+    rows = emb.collect()
+    src = tmp_path / "feed"
+    src.mkdir()
+    base = time.time()
+    third = len(rows) // 3
+
+    def chunk_cols(chunk_rows):
+        import pyarrow as pa
+
+        return {
+            "vec_id": pa.array([r.vec_id for r in chunk_rows], pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r.embedding)) for r in chunk_rows],
+                pa.list_(pa.float32()),
+            ),
+        }
+
+    store = str(tmp_path / "store")
+
+    def run(st=store, ckpt=None):
+        q = foreach_batch_ann_ingest(
+            (
+                spark.readStream.schema("vec_id bigint, embedding array<float>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            ),
+            st,
+            ckpt or str(tmp_path / "ckpt"),
+            cents,
+        )
+        q.awaitTermination()
+
+    real_commit = commitlog.ManifestStore.commit
+    state = {"armed": False, "fired": False}
+
+    def crashing_commit(self, batch_id, payload):
+        if state["armed"] and not state["fired"]:
+            state["fired"] = True
+            raise RuntimeError("injected crash: torn ann append")
+        return real_commit(self, batch_id, payload)
+
+    try:
+        _write_chunk(src, "c1.parquet", chunk_cols(rows[:third]), base)
+        run()
+        _write_chunk(
+            src, "c2.parquet", chunk_cols(rows[third : 2 * third]), base + 5
+        )
+        commitlog.ManifestStore.commit = crashing_commit
+        state["armed"] = True
+        try:
+            run()
+            raise AssertionError("injected crash did not fire")
+        except StreamingQueryException:
+            pass
+        assert state["fired"]
+        commitlog.ManifestStore.commit = real_commit
+        run()  # replay the torn batch
+        _write_chunk(src, "c3.parquet", chunk_cols(rows[2 * third :]), base + 10)
+        run()
+
+        qvec = [float(x) for x in rows[42].embedding]
+        got = ann_ingest_topk(spark, store, cents, qvec, 10, nprobe=4).collect()
+        full = str(tmp_path / "full")
+        write_ivf_store(emb.select("vec_id", "embedding"), cents, full)
+        want = ivf_store_topk(spark, full, cents, qvec, 10, nprobe=4).collect()
+        assert [(r.vec_id, r.cos_sim) for r in got] == [
+            (r.vec_id, r.cos_sim) for r in want
+        ]
+
+        # compact → fresh-checkpoint resume converges, probe unchanged
+        store2 = str(tmp_path / "store2")
+        assert compact_ann_ingest_store(spark, store, store2) == len(rows)
+        run(store2, str(tmp_path / "ckpt2"))
+        back = spark.read.option("basePath", store2).parquet(
+            *[str(p) for p in pathlib.Path(store2).glob("batch=*")]
+        )
+        ids = [r.vec_id for r in back.select("vec_id").collect()]
+        assert len(ids) == len(set(ids)) == len(rows), "replay duplicated vectors"
+        got2 = ann_ingest_topk(spark, store2, cents, qvec, 10, nprobe=4).collect()
+        assert [(r.vec_id, r.cos_sim) for r in got2] == [
+            (r.vec_id, r.cos_sim) for r in want
+        ]
+        print(
+            f"\n  [local-cluster] ann ingest e2e "
+            f"(torn+replay+compact+resume): {time.perf_counter()-t_start:.1f}s"
+        )
+    finally:
+        commitlog.ManifestStore.commit = real_commit
