@@ -169,6 +169,12 @@ _CALIB_SPIN_ITERS = 2_000_000  # ~0.19 s on this host; min-of-3
 _CALIB_NT_ITERS = 8_000_000  # ~1.1 s across 32 forks; single shot
 _CALIB_MEM_DOUBLES = 32 * 1024 * 1024  # 256 MiB (past L3); min-of-3
 _CALIB_RATIO = 1.15  # keep in sync with scripts/quiet_floor.py
+# Only the CPU spins drive loudness; calib_mem_s is a recorded
+# diagnostic — it drifts monotonically within a run with the bench's
+# own JVM memory state (measured +22%/+48% in the first two calibrated
+# runs), so it cannot distinguish external slowness from a warm JVM.
+# Keep in sync with quiet_floor.CALIB_LOUD_KEYS.
+_CALIB_LOUD_KEYS = ("calib_1t_s", "calib_nt_s")
 
 
 def _calib_spin(n_iter: int) -> int:
@@ -260,7 +266,9 @@ def _calib_deviant_keys(probe: dict, baseline: dict) -> set:
     return {
         k
         for k, b in baseline.items()
-        if isinstance(probe.get(k), (int, float)) and probe[k] > _CALIB_RATIO * b
+        if k in _CALIB_LOUD_KEYS
+        and isinstance(probe.get(k), (int, float))
+        and probe[k] > _CALIB_RATIO * b
     }
 
 

@@ -74,6 +74,18 @@ def _load_run(path: str) -> dict:
 # (bootstrap), and artifacts without calib records (pre-r12) keep
 # their recorded loud flags.
 CALIB_KEYS = ("calib_1t_s", "calib_nt_s", "calib_mem_s")
+# Only the CPU spins drive the LOUD rule. calib_mem_s is recorded as a
+# diagnostic but EXCLUDED from loudness: measured on this host (r12,
+# the first two real calibrated bench runs) it drifts monotonically
+# WITHIN a run — registered 0.0217→0.0264 (+22%), shadow 0.0230→0.0341
+# (+48%) — while the register-resident spins stay flat. The drift
+# tracks the bench's own JVM memory state (heap growth / page-cache
+# pressure shaping each fresh 256 MiB allocation), so "constant work
+# slowed ⇒ host slower" does not hold for it; a 15% rule over a
+# cross-run min baseline would flag our own warm JVM every run. The
+# r11 failure class (CPU co-tenancy) is covered by the spins: 25%
+# synthetic tenancy flags calib_nt_s at 1.32×.
+CALIB_LOUD_KEYS = ("calib_1t_s", "calib_nt_s")
 CALIB_RATIO = 1.15  # keep in sync with bench.py
 
 
@@ -90,7 +102,9 @@ def _calib_deviant_keys(probe: dict, baseline: dict) -> set:
     return {
         k
         for k, b in baseline.items()
-        if isinstance(probe.get(k), (int, float)) and probe[k] > CALIB_RATIO * b
+        if k in CALIB_LOUD_KEYS
+        and isinstance(probe.get(k), (int, float))
+        and probe[k] > CALIB_RATIO * b
     }
 
 
