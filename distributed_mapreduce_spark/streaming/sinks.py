@@ -1324,6 +1324,27 @@ def foreach_batch_ann_ingest(
     )
 
 
+def ann_ingest_members(spark, store_path: str) -> DataFrame:
+    """The committed rows of a foreach_batch_ann_ingest store as a
+    cell-carrying frame — manifest-gated batch dirs only (a torn batch
+    write is invisible), read with basePath so the `cell` partition
+    column materializes. This is the `members=` input for
+    `knn_join_ivf` (the all-rows kNN join over the MAINTAINED index —
+    assignment amortized into ingest, ✓tested equal to a fresh
+    assignment) and the shared scan of the single/batched probes."""
+    import pathlib
+
+    store = pathlib.Path(store_path)
+    dirs = [
+        str(store / f"batch={b}")
+        for b in _dedup_committed_batches(store)
+        if (store / f"batch={b}").exists()
+    ]
+    if not dirs:
+        raise ValueError(f"no committed batches under {store_path}")
+    return spark.read.option("basePath", str(store)).parquet(*dirs)
+
+
 def ann_ingest_topk(
     spark,
     store_path: str,
@@ -1344,28 +1365,14 @@ def ann_ingest_topk(
     write_ivf_store/write_ivfpq_store build over the same vectors
     (✓tested): frozen metadata makes the layout a pure re-bucketing of
     the same rows."""
-    import pathlib
-
     from distributed_mapreduce_spark.operators.similarity import (
         _probe_cells,
         pq_adc_topk,
         topk_cosine_literal,
     )
 
-    store = pathlib.Path(store_path)
-    dirs = [
-        str(store / f"batch={b}")
-        for b in _dedup_committed_batches(store)
-        if (store / f"batch={b}").exists()
-    ]
-    if not dirs:
-        raise ValueError(f"no committed batches under {store_path}")
     probe = _probe_cells(centroids, query_vec, nprobe)
-    cand = (
-        spark.read.option("basePath", str(store))
-        .parquet(*dirs)
-        .where(F.col("cell").isin(probe))
-    )
+    cand = ann_ingest_members(spark, store_path).where(F.col("cell").isin(probe))
     if codebooks is not None:
         return pq_adc_topk(cand, codebooks, query_vec, k, id_col)
     return topk_cosine_literal(cand, query_vec, k, id_col, vec_col)
@@ -1402,26 +1409,18 @@ def ann_ingest_topk_batch(
         assign_probe_cells,
     )
 
-    store = pathlib.Path(store_path)
-    dirs = [
-        str(store / f"batch={b}")
-        for b in _dedup_committed_batches(store)
-        if (store / f"batch={b}").exists()
-    ]
-    if not dirs:
-        raise ValueError(f"no committed batches under {store_path}")
-    reader = spark.read.option("basePath", str(store))
+    members = ann_ingest_members(spark, store_path)
     if codebooks is not None:
         probe_df, cells = _adc_probe_frame(
             spark, queries, centroids, codebooks, nprobe, qid_col, qvec_col
         )
-        cand = reader.parquet(*dirs).where(F.col("cell").isin(cells))
+        cand = members.where(F.col("cell").isin(cells))
         return _batch_adc_topk(
             cand, probe_df, len(codebooks), len(codebooks[0]), k, qid_col, id_col
         )
     qcells = assign_probe_cells(queries, centroids, nprobe, qid_col, qvec_col)
     cells = sorted(r["cell"] for r in qcells.select("cell").distinct().collect())
-    cand = reader.parquet(*dirs).where(F.col("cell").isin(cells))
+    cand = members.where(F.col("cell").isin(cells))
     return _batch_exact_topk(
         cand, qcells, len(centroids[0][1]), k, qid_col, qvec_col, id_col, vec_col
     )
