@@ -206,18 +206,30 @@ def _calibration_probe() -> dict:
         # deviation threshold (measured; synced form is ~8%)
         ctx = multiprocessing.get_context("fork")
         ev = ctx.Event()
-        procs = [
-            ctx.Process(target=_calib_spin_after, args=(ev, _CALIB_NT_ITERS))
-            for _ in range(_cores())
-        ]
-        for p in procs:
-            p.start()
-        time.sleep(0.3)  # let every child reach the event wait
-        t0 = time.perf_counter()
-        ev.set()
-        for p in procs:
-            p.join()
-        out["calib_nt_s"] = round(time.perf_counter() - t0, 4)
+        procs: list = []
+        try:
+            for _ in range(_cores()):
+                p = ctx.Process(target=_calib_spin_after, args=(ev, _CALIB_NT_ITERS))
+                p.start()
+                procs.append(p)
+            time.sleep(0.3)  # let every child reach the event wait
+            t0 = time.perf_counter()
+            ev.set()
+            for p in procs:
+                p.join()
+            out["calib_nt_s"] = round(time.perf_counter() - t0, 4)
+        finally:
+            # a start() that fails mid-list (ENOMEM under exactly the
+            # pressure this probe exists to detect) must not leave
+            # earlier children parked on an event nobody sets — the
+            # non-daemon children would hang interpreter shutdown
+            ev.set()
+            for p in procs:
+                if p.is_alive():
+                    p.join(timeout=10)
+                if p.is_alive():  # pragma: no cover - stuck child
+                    p.terminate()
+                    p.join(timeout=5)
     except Exception:  # pragma: no cover - fork unavailable
         pass
     try:
@@ -243,12 +255,19 @@ def _timed(fn, *args) -> float:
     return time.perf_counter() - t0
 
 
-def _calib_baseline() -> dict:
-    """The floors file's recorded calibration baseline (min over quiet
-    runs, maintained by scripts/quiet_floor.py update). Empty dict
-    until the first quiet run seeds it — the rule is then vacuous."""
+def _calib_baseline(tier: str = "registered") -> dict:
+    """The recorded calibration baseline (min over quiet runs,
+    maintained by scripts/quiet_floor.py update) from the floors file
+    MATCHING the tier being benched — registered and shadow runs are
+    judged by quiet_floor.py against their own files' baselines, so
+    the runtime check must read the same one or the two enforcement
+    points can disagree on the same pass. Empty dict until the first
+    quiet run seeds it — the rule is then vacuous."""
+    fname = (
+        "quiet_floors.json" if tier == "registered" else "quiet_floors_shadow.json"
+    )
     path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "scripts", "quiet_floors.json"
+        os.path.dirname(os.path.abspath(__file__)), "scripts", fname
     )
     try:
         with open(path) as f:
@@ -512,7 +531,7 @@ def main() -> int:
     extra_allowed = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_RUNS", "2")))
     samples: dict[str, list[float]] = {name: [] for name in queries}
     pass_loads: list[dict] = []
-    calib_base = _calib_baseline()
+    calib_base = _calib_baseline(tier)
     last_probe: list = [None]  # back-to-back passes share the boundary probe
 
     def run_pass() -> None:

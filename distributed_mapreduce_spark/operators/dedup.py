@@ -415,19 +415,24 @@ def compact_lsh_band_index(spark, table_name: str, n_buckets: int = 32) -> int:
             return spark.table(table_name).count()
         # Neither catalog entry survives — e.g. a real process crash
         # under the default in-memory catalog (entries die with the
-        # session even though the data dirs survive). Point at a
-        # marker-verified on-disk staging copy if one exists rather
-        # than claiming nothing is recoverable.
+        # session even though the data dirs survive). Point at
+        # whichever marker-verified on-disk copy exists rather than
+        # claiming nothing is recoverable: the ORIGINAL's dir (the
+        # common shape — any crash outside the DROP↔RENAME window) is
+        # authoritative when both survive, the staging dir otherwise.
+        loc_orig = os.path.join(wh, table_name.lower())
         loc_tmp_orphan = os.path.join(wh, tmp.lower())
-        if os.path.exists(os.path.join(loc_tmp_orphan, _LSH_INDEX_MARKER)):
-            raise ValueError(
-                f"compact_lsh_band_index: table {table_name!r} does not "
-                f"exist in the catalog, but a complete compacted copy "
-                f"survives on disk at {loc_tmp_orphan!r} (marker-verified) "
-                "— the catalog entries were lost (in-memory catalog + "
-                "process crash?); move that directory to the table's "
-                "location and re-register it, or rebuild from source"
-            )
+        for loc, what in ((loc_orig, "the index's own data"), (
+            loc_tmp_orphan, "a complete compacted copy")):
+            if os.path.exists(os.path.join(loc, _LSH_INDEX_MARKER)):
+                raise ValueError(
+                    f"compact_lsh_band_index: table {table_name!r} does not "
+                    f"exist in the catalog, but {what} survives on disk at "
+                    f"{loc!r} (marker-verified) — the catalog entries were "
+                    "lost (in-memory catalog + process crash?); re-register "
+                    "that directory as the bucketed table (or move it to "
+                    "the table's location first), or rebuild from source"
+                )
         raise ValueError(
             f"compact_lsh_band_index: table {table_name!r} does not exist "
             f"(and no {tmp!r} staging copy to recover)"

@@ -1091,6 +1091,7 @@ def knn_join_ivf(
         norm,
     )
 
+    nprobe = max(int(nprobe), 1)  # both paths: a row always probes its own cell
     dim = len(centroids[0][1])
 
     def flat(df, idc, vc, out_id, prefix):
@@ -1136,7 +1137,7 @@ def knn_join_ivf(
                 cosine_unrolled(F.col("cvec"), F.col("__v"), dim).alias("__score"),
             )
             .withColumn("__rk", F.row_number().over(wr))
-            .where(F.col("__rk") <= max(nprobe, 1))
+            .where(F.col("__rk") <= nprobe)
             .persist()
         )
         a = flat(ranked, "__id", "__v", "__qid", "__a")

@@ -114,15 +114,13 @@ def check_declared_counts(coverage_path=None) -> tuple[int, int]:
     # tier of 59 further queries" while the header said 62): reject any
     # other count-carrying tier phrasing so the number lives in exactly
     # one machine-checked place.
-    stray = [
-        s
-        for s in re.findall(
-            r"\d+\s+(?:further|shadow|registered)\s+queries|"
-            r"(?:shadow|registered)\s+tier\s+of\s+\d+",
-            text,
-        )
-        if "registered +" not in s
-    ]
+    # (the header itself cannot match either alternative — its tier
+    # words are followed by "+"/")" rather than "queries")
+    stray = re.findall(
+        r"\d+\s+(?:further|shadow|registered)\s+queries|"
+        r"(?:shadow|registered)\s+tier\s+of\s+\d+",
+        text,
+    )
     if stray:
         raise ValueError(
             f"{cov} carries tier counts outside the header sentence: {stray} — "

@@ -1400,8 +1400,6 @@ def ann_ingest_topk_batch(
     exact cosine, or ADC when `codebooks` is given). Cell pruning
     survives the query join because the query side is broadcast — the
     store rows are never exchanged (plan-asserted)."""
-    import pathlib
-
     from distributed_mapreduce_spark.operators.similarity import (
         _adc_probe_frame,
         _batch_adc_topk,

@@ -66,7 +66,7 @@ pytestmark = pytest.mark.skipif(
 # recursive stat walk the production hot path shouldn't pay): turn
 # them on for this suite. foreachBatch callbacks run driver-side in
 # this process, so the env is visible to the sinks.
-os.environ.setdefault("DMR_SINK_EVIDENCE", "1")
+os.environ["DMR_SINK_EVIDENCE"] = "1"
 
 SF01 = "/root/testdata/sf0.1"
 REPLICAS = 10

@@ -1134,3 +1134,14 @@ def test_knn_join_ivf_recall_volume_store_and_plan(spark, emb, tmp_path):
         emb, cents, 5, nprobe=4, members=spark.read.parquet(path)
     ).collect()
     assert sorted(map(tuple, via_store)) == sorted(map(tuple, approx))
+
+    # degenerate nprobe clamps to 1 identically on BOTH paths (a row
+    # always probes at least its own cell — the paths must agree)
+    self0 = knn_join_ivf(emb, cents, 5, nprobe=0).collect()
+    store0 = knn_join_ivf(
+        emb, cents, 5, nprobe=0, members=spark.read.parquet(path)
+    ).collect()
+    self1 = knn_join_ivf(emb, cents, 5, nprobe=1).collect()
+    assert sorted(map(tuple, self0)) == sorted(map(tuple, store0)) == sorted(
+        map(tuple, self1)
+    )
