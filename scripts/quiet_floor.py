@@ -137,8 +137,10 @@ def _load_floors() -> dict:
         "_meta": {
             "definition": (
                 "min per-query seconds over all committed bench runs that "
-                "contained at least one quiet pass (pass_loads entry with "
-                "loud=false); sf0.1, cold interleaved passes"
+                "contained at least one quiet pass — quiet = loud=false "
+                "from the ext_busy probes AND (since r12) fixed-work "
+                "calibration within 1.15x of _meta.calibration at both "
+                "pass ends (CPU spins only); sf0.1, cold interleaved passes"
             )
         },
         "queries": {},
