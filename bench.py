@@ -215,9 +215,20 @@ def _calibration_probe() -> dict:
             time.sleep(0.3)  # let every child reach the event wait
             t0 = time.perf_counter()
             ev.set()
+            # bounded joins (r12 ADVICE): a child wedged under exactly
+            # the host pressure this probe exists to detect must not
+            # hang the whole bench — if any child misses the (very
+            # generous) deadline, omit the metric instead (best-effort,
+            # as documented) and let the finally reap it
+            deadline = t0 + 120.0
+            finished = True
             for p in procs:
-                p.join()
-            out["calib_nt_s"] = round(time.perf_counter() - t0, 4)
+                p.join(timeout=max(0.0, deadline - time.perf_counter()))
+                if p.is_alive():  # pragma: no cover - wedged child
+                    finished = False
+                    break
+            if finished:
+                out["calib_nt_s"] = round(time.perf_counter() - t0, 4)
         finally:
             # a start() that fails mid-list (ENOMEM under exactly the
             # pressure this probe exists to detect) must not leave

@@ -64,9 +64,21 @@ pytestmark = pytest.mark.skipif(
 # The ingest-scaling tests assert on the sinks' per-batch gate_bytes
 # manifest stamps, which are opt-in instrumentation (r11 ADVICE — a
 # recursive stat walk the production hot path shouldn't pay): turn
-# them on for this suite. foreachBatch callbacks run driver-side in
-# this process, so the env is visible to the sinks.
-os.environ["DMR_SINK_EVIDENCE"] = "1"
+# them on for this suite only. foreachBatch callbacks run driver-side
+# in this process, so the env is visible to the sinks. Scoped to an
+# autouse fixture (r12 ADVICE) — a module-level set would execute at
+# pytest collection even when the suite is skipped, re-enabling the
+# gate_bytes stat walk process-wide for later-collected suites and
+# leaving the production-default no-gate_bytes path never exercised.
+@pytest.fixture(scope="module", autouse=True)
+def _sink_evidence_env():
+    prev = os.environ.get("DMR_SINK_EVIDENCE")
+    os.environ["DMR_SINK_EVIDENCE"] = "1"
+    yield
+    if prev is None:
+        os.environ.pop("DMR_SINK_EVIDENCE", None)
+    else:
+        os.environ["DMR_SINK_EVIDENCE"] = prev
 
 SF01 = "/root/testdata/sf0.1"
 REPLICAS = 10
