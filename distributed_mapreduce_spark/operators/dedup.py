@@ -803,6 +803,86 @@ def dup_span_coverage(
     )
 
 
+def span_scrub(
+    docs: DataFrame,
+    span_n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REWRITE step of suffix-array training-data dedup (Lee et
+    al. 2022 strip every substring repeated verbatim anywhere in the
+    corpus, keeping one occurrence) — dup_span_coverage flags, this
+    rewrites. Single deterministic pass: for every word-`span_n`-gram
+    that occurs ≥ 2 times corpus-wide, the lexicographically-first
+    occurrence (min (doc, start)) is canonical; every token covered by
+    a NON-canonical occurrence is dropped, and each document's
+    surviving tokens are re-joined in order. Returns
+    (id, n_tokens, n_kept, kept_frac, scrubbed). One-pass semantics:
+    removals can create fresh juxtapositions that a second pass would
+    also strip — the standard fixed-point-free approximation the
+    published pipeline runs.
+
+    Scale shape — the groupBy/window re-expression of the
+    suffix-array pass, no all-pairs stage anywhere:
+      1. positional grams exploded once; per-gram count + canonical
+         occurrence in ONE keyed agg (map-side partial min/count,
+         shuffle ∝ distinct grams);
+      2. non-canonical occurrences of duplicated grams joined back
+         (∝ duplicate occurrences, a small fraction of the corpus);
+      3. coverage is a per-document window max over the drop flags
+         (`rows between span_n-1 preceding and current`) — the
+         sequential scan runs per document inside one partition, so a
+         100 TB corpus parallelizes across documents with no
+         cross-document ordering requirement;
+      4. reassembly groups on the same document key the window just
+         partitioned by — no second exchange.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("ts")
+    ).persist()  # two subtrees (positions, spans) read the tokenize pass
+    pos = toks.select("id", F.posexplode("ts").alias("p", "tok"))
+    sp = toks.select(
+        "id", F.posexplode(shingles(F.col("ts"), span_n)).alias("s", "gram")
+    )
+    occ = sp.groupBy("gram").agg(
+        F.count("*").alias("tot"),
+        F.min(F.struct(F.col("id").alias("kid"), F.col("s").alias("ks"))).alias(
+            "keep"
+        ),
+    )
+    drops = (
+        sp.join(occ.where(F.col("tot") >= 2), "gram")
+        .where(
+            ~((F.col("id") == F.col("keep.kid")) & (F.col("s") == F.col("keep.ks")))
+        )
+        .select("id", F.col("s").alias("p"), F.lit(1).alias("d"))
+    )
+    w = Window.partitionBy("id").orderBy("p").rowsBetween(-(span_n - 1), 0)
+    flagged = pos.join(drops, ["id", "p"], "left").withColumn(
+        "cov", F.max(F.coalesce(F.col("d"), F.lit(0))).over(w)
+    )
+    kept_tok = F.when(F.col("cov") == 0, F.struct(F.col("p"), F.col("tok")))
+    out = flagged.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("cov") == 0, 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_tok)), lambda x: x["tok"]
+            ),
+            " ",
+        ).alias("scrubbed"),
+    )
+    return out.select(
+        "id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.round(F.col("n_kept") / F.col("n_tokens"), 6).alias("kept_frac"),
+        "scrubbed",
+    )
+
+
 # --- greedy keep-first resolution (the ingest dedup policy) ----------------
 
 

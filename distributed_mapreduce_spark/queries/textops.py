@@ -36,6 +36,7 @@ from distributed_mapreduce_spark.operators.dedup import (
     jaccard_pairs,
     minhash_near_dup_pairs,
     simhash_near_dup_pairs,
+    span_scrub,
     token_set_signature,
 )
 from distributed_mapreduce_spark.queries.relational import money
@@ -1217,6 +1218,24 @@ def dedup_q16_maintained_lsh_store(spark: SparkSession, sf_dir: str) -> DataFram
     return verify_jaccard_pairs(sh.select("id", "shingle"), cands, NEAR_DUP_JACCARD)
 
 
+def dedup_q17_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus REWRITE that dedup_q9's signal exists to drive: strip
+    every word-8-gram span repeated verbatim anywhere in the corpus,
+    keeping the lexicographically-first occurrence, and return each
+    document's surviving text (suffix-array dedup's removal pass, Lee
+    et al. 2022 — dedup_q9 measures coverage, this one emits the
+    deduplicated corpus). Graded value-by-value on the rewritten text.
+
+    Scale shape: see operators/dedup.span_scrub — one keyed gram agg,
+    a duplicate-occurrence join-back, one per-document window, and a
+    reassembly groupBy on the window's own partitioning key."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    out = span_scrub(docs, span_n=SPAN_N)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_kept", "kept_frac", "scrubbed"
+    )
+
+
 SHADOW_QUERIES = {
     "text_q7_repetition": text_q7_repetition,
     "text_q8_tfidf": text_q8_tfidf,
@@ -1233,6 +1252,7 @@ SHADOW_QUERIES = {
     "dedup_q15_incremental_lsh": dedup_q15_incremental_lsh,
     "text_q14_bm25": text_q14_bm25,
     "dedup_q16_maintained_lsh_store": dedup_q16_maintained_lsh_store,
+    "dedup_q17_span_scrub": dedup_q17_span_scrub,
 }
 
 # SPAN_N-gram concat expression for the dedup_q9 oracle (i is the
@@ -1346,6 +1366,54 @@ SHADOW_ORACLES = {
                CAST(round(coalesce(n_dup, 0) / n_spans, 6) >= {DUP_SPAN_FLAG} AS INT)
                    AS flagged
         FROM stats LEFT JOIN hits ON stats.doc_id = hits.doc_id
+    """,
+    # Mirrors dedup_q17_span_scrub / operators/dedup.span_scrub stage
+    # by stage: positional grams (1-based here, 0-based in Spark —
+    # both engines only compare positions internally), canonical
+    # occurrence = min (doc_id, start) via the duplicate-partition
+    # row_number, coverage via the identical windowed max over drop
+    # flags, reassembly via order-pinned string_agg (NULL tokens — the
+    # covered ones — are skipped, exactly as collect_list skips the
+    # un-kept NULL structs).
+    "dedup_q17_span_scrub": f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+        pos AS (
+            SELECT doc_id, CAST(r.p AS INT) AS p, ts[CAST(r.p AS INT)] AS tok
+            FROM t, LATERAL unnest(range(1, len(ts) + 1)) AS r(p)
+        ),
+        sp AS (
+            SELECT doc_id, CAST(r.i AS INT) AS s, {_SPAN_GRAM_SQL} AS gram
+            FROM t,
+                 LATERAL unnest(range(1, greatest(len(ts) - {SPAN_N - 2}, 1)))
+                     AS r(i)
+        ),
+        ranked AS (
+            SELECT doc_id, s,
+                   row_number() OVER (
+                       PARTITION BY gram ORDER BY doc_id, s
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY gram) AS tot
+            FROM sp
+        ),
+        drops AS (SELECT doc_id, s FROM ranked WHERE tot >= 2 AND rn >= 2),
+        cov AS (
+            SELECT pos.doc_id, pos.p, pos.tok,
+                   max(CASE WHEN drops.s IS NULL THEN 0 ELSE 1 END) OVER (
+                       PARTITION BY pos.doc_id ORDER BY pos.p
+                       ROWS BETWEEN {SPAN_N - 1} PRECEDING AND CURRENT ROW
+                   ) AS covered
+            FROM pos LEFT JOIN drops
+                ON pos.doc_id = drops.doc_id AND pos.p = drops.s
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN covered = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               round(sum(CASE WHEN covered = 0 THEN 1 ELSE 0 END) / count(*), 6)
+                   AS kept_frac,
+               coalesce(string_agg(CASE WHEN covered = 0 THEN tok END,
+                                   ' ' ORDER BY p), '') AS scrubbed
+        FROM cov GROUP BY doc_id
     """,
     # Mirrors text_q11_pmi: identical probability expression shape and
     # 6-dec round; corpus totals inlined as subquery scalars (DuckDB

@@ -524,3 +524,59 @@ def test_compact_lsh_band_index_crash_exactness(spark, docs, monkeypatch):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__compact")
+
+
+def test_span_scrub_keeps_canonical_drops_later(spark):
+    """The rewrite pass: the lexicographically-first occurrence of a
+    duplicated span survives verbatim; every token covered by a later
+    occurrence is stripped; unique text and sub-span_n documents pass
+    through untouched."""
+    from distributed_mapreduce_spark.operators.dedup import span_scrub
+
+    rows = [
+        (1, "a b c d e"),  # canonical "a b c" at (1, 0) — untouched
+        (2, "x a b c y"),  # duplicate "a b c" covers tokens 1-3 → "x y"
+        (3, "p q r"),  # unique gram — untouched
+        (4, "s t"),  # shorter than span_n: no spans — untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in span_scrub(df, span_n=3).collect()}
+    assert out[1].scrubbed == "a b c d e" and out[1].n_kept == 5
+    assert out[2].scrubbed == "x y" and out[2].n_kept == 2
+    assert out[2].n_tokens == 5 and out[2].kept_frac == 0.4
+    assert out[3].scrubbed == "p q r"
+    assert out[4].scrubbed == "s t" and out[4].n_kept == 2
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_span_scrub_within_document_repeat(spark):
+    """Self-repetition collapses: the duplicated gram's first in-doc
+    occurrence is canonical, later ones are stripped — including the
+    overlap-window tokens between them."""
+    from distributed_mapreduce_spark.operators.dedup import span_scrub
+
+    df = spark.createDataFrame(
+        [(7, "m n o m n o")], "doc_id long, text string"
+    )
+    out = span_scrub(df, span_n=3).collect()[0]
+    # grams: "m n o"(0) canonical, "n o m"(1), "o m n"(2), "m n o"(3)
+    # dropped — coverage = positions 3..5
+    assert out.scrubbed == "m n o"
+    assert out.n_tokens == 6 and out.n_kept == 3
+
+
+def test_span_scrub_overlapping_drops_merge_coverage(spark):
+    """Two overlapping non-canonical spans cover the union of their
+    token windows, not double-count it; a fully-duplicated document
+    scrubs to the empty string but still returns its row."""
+    from distributed_mapreduce_spark.operators.dedup import span_scrub
+
+    rows = [
+        (1, "a b c d"),  # canonical "a b c"(0) and "b c d"(1)
+        (2, "a b c d"),  # both grams duplicated → every token covered
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in span_scrub(df, span_n=3).collect()}
+    assert out[1].scrubbed == "a b c d"
+    assert out[2].scrubbed == "" and out[2].n_kept == 0
+    assert out[2].kept_frac == 0.0
