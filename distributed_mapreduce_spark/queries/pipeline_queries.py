@@ -108,6 +108,87 @@ def mix_q5_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("lang", "doc_id", "n_chars", "rk")
 
 
+# Budget-constrained temperature mixing (mix_q6): total sampled budget
+# as a fraction of the corpus, split across languages by sqrt-flattened
+# share (temperature α = 0.5 — the multilingual-mixing standard that
+# upweights low-resource strata relative to proportional sampling).
+MIX_BUDGET_FRAC = 0.5
+
+
+def mix_q6_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained mixture sampling — the data-mixing op a
+    training run executes when the deliverable is a TOKEN BUDGET, not
+    a row count (mix_q5's k-per-stratum cousin): each language gets
+    budget_l = floor(FRAC · T · sqrt(tot_l) / Σ sqrt(tot_m)) characters
+    (sqrt = temperature-0.5 flattening of the corpus share), then docs
+    are admitted in deterministic content-addressed order (the mix_q3
+    hash order) while the running character total fits the budget.
+    Graded on the exact admitted row set.
+
+    Engine-parity notes: sqrt is IEEE-correctly-rounded in both
+    engines; the per-language weights stage through DECIMAL
+    (round-6 → DECIMAL(28,6), exact order-free sum) and the budget is
+    ONE fixed-order double expression floor'd to bigint; the running
+    total is an exact integer window sum over a unique (hash, doc_id)
+    order — no float comparison anywhere in the admission predicate.
+
+    Scale shape: one map-side-partial groupBy for per-language totals,
+    a 5-row broadcast of the budget table, and one per-language window
+    (rank + running sum in the same sort) — the same single-shuffle
+    shape as mix_q3; at 100 TB the stratum count stays tiny while the
+    window parallelizes per language partition, and a skewed stratum
+    splits by pre-ranking on the hash prefix."""
+    from pyspark.sql import Window
+
+    from distributed_mapreduce_spark.operators.sampling import hash_bucket
+
+    docs = widen(table(spark, sf_dir, "documents"))
+    tot = docs.groupBy("lang").agg(F.sum("n_chars").alias("tot"))
+    s = tot.select(
+        "lang",
+        "tot",
+        F.round(F.sqrt(F.col("tot").cast("double")), 6)
+        .cast("decimal(28,6)")
+        .alias("s"),
+    )
+    denom = s.agg(
+        F.sum("s").alias("denom"), F.sum("tot").alias("t_chars")
+    )
+    budgets = s.crossJoin(F.broadcast(denom)).select(
+        "lang",
+        F.floor(
+            F.lit(MIX_BUDGET_FRAC)
+            * F.col("t_chars").cast("double")
+            * F.col("s").cast("double")
+            / F.col("denom").cast("double")
+        )
+        .cast("bigint")
+        .alias("budget_chars"),
+    )
+    order = [hash_bucket("doc_id", 2**31).asc(), F.col("doc_id").asc()]
+    w = Window.partitionBy("lang").orderBy(*order)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n_chars").over(wsum).alias("cum_chars"),
+    )
+    return (
+        ranked.join(F.broadcast(budgets), "lang")
+        .where(F.col("cum_chars") <= F.col("budget_chars"))
+        .select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            F.col("rk").cast("bigint").alias("rk"),
+            F.col("cum_chars").cast("bigint").alias("cum_chars"),
+            "budget_chars",
+        )
+    )
+
+
 def contam_q1_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: for every document of the
     `BENCH_SOURCE` corpus, the fraction of its word-3-gram shingles that
@@ -579,10 +660,63 @@ SHADOW_QUERIES = {
     "ml_q2_svm_quality": ml_q2_svm_quality,
     "mix_q2_train_holdout": mix_q2_train_holdout,
     "mix_q5_weighted_sample": mix_q5_weighted_sample,
+    "mix_q6_token_budget_mix": mix_q6_token_budget_mix,
     "pipe_q1_training_manifest": pipe_q1_training_manifest,
 }
 
 SHADOW_ORACLES = {
+    # Mirrors mix_q6_token_budget_mix stage by stage: per-language
+    # char totals, sqrt weight staged through round-6 DECIMAL(28,6)
+    # (exact order-free sum — DuckDB's sum(n_chars) is HUGEINT, cast
+    # back), the identical fixed-order double budget expression
+    # floor'd to BIGINT, and the same unique (hash, doc_id)-ordered
+    # rank + exact running integer sum.
+    "mix_q6_token_budget_mix": f"""
+        WITH tot AS (
+            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS tot
+            FROM documents GROUP BY 1
+        ),
+        s AS (
+            SELECT lang, tot,
+                   CAST(round(sqrt(CAST(tot AS DOUBLE)), 6)
+                        AS DECIMAL(28,6)) AS s
+            FROM tot
+        ),
+        d AS (
+            SELECT sum(s) AS denom, CAST(sum(tot) AS BIGINT) AS t_chars
+            FROM s
+        ),
+        b AS (
+            SELECT lang,
+                   CAST(floor({MIX_BUDGET_FRAC}
+                              * CAST(t_chars AS DOUBLE)
+                              * CAST(s AS DOUBLE)
+                              / CAST(denom AS DOUBLE)) AS BIGINT)
+                       AS budget_chars
+            FROM s CROSS JOIN d
+        ),
+        ranked AS (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {hash_bucket_sql("doc_id", 2**31)} ASC,
+                                doc_id ASC
+                   ) AS rk,
+                   sum(n_chars) OVER (
+                       PARTITION BY lang
+                       ORDER BY {hash_bucket_sql("doc_id", 2**31)} ASC,
+                                doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_chars
+            FROM documents
+        )
+        SELECT lang, doc_id, n_chars,
+               CAST(rk AS BIGINT) AS rk,
+               CAST(cum_chars AS BIGINT) AS cum_chars,
+               budget_chars
+        FROM ranked JOIN b USING (lang)
+        WHERE cum_chars <= budget_chars
+    """,
     # Exact cross-corpus jaccard — the fuzzy-decontamination ground
     # truth (quadratic, feasible at grading scale): same tokenization,
     # same combined-corpus MAX_SHINGLE_DF guard (HAVING form), same

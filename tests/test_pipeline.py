@@ -532,3 +532,51 @@ def test_global_shuffle_index_blocks_have_release_path(spark):
     )
     # post-release the plan recomputes from lineage, same permutation
     assert {r.k: r.pos for r in out.collect()} == first
+
+
+def test_token_budget_mix_invariants(spark, sf_dir):
+    """mix_q6 invariants on the real fixture: (a) every admitted
+    prefix is rank-contiguous from 1 (admission is a prefix of the
+    deterministic hash order, never a subset with holes); (b) each
+    stratum's budget equals the sqrt-flattened formula exactly and the
+    running total never exceeds it (maximality of the admitted prefix
+    is covered by the oracle's exact row-set comparison); (c) sqrt
+    flattening strictly upweights the smallest stratum's budget share
+    over its corpus share and downweights the largest's (the
+    temperature-mixing contract)."""
+    import math
+
+    from distributed_mapreduce_spark.queries.pipeline_queries import (
+        MIX_BUDGET_FRAC,
+        mix_q6_token_budget_mix,
+    )
+    from distributed_mapreduce_spark.sources import table
+
+    out = mix_q6_token_budget_mix(spark, sf_dir).collect()
+    assert out, "budget fill admitted nothing"
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    docs = table(spark, sf_dir, "documents")
+    tots = {
+        r.lang: r.tot
+        for r in docs.groupBy("lang").agg(F.sum("n_chars").alias("tot")).collect()
+    }
+    t_all = sum(tots.values())
+    denom = sum(round(math.sqrt(float(t)), 6) for t in tots.values())
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rows] == list(range(1, len(rows) + 1)), lang
+        budget = rows[0].budget_chars
+        expected = math.floor(
+            MIX_BUDGET_FRAC * float(t_all) * round(math.sqrt(float(tots[lang])), 6) / denom
+        )
+        assert budget == expected, (lang, budget, expected)
+        assert rows[-1].cum_chars <= budget, lang
+    # flattening: smallest stratum's budget share > its corpus share
+    budgets = {lang: rows[0].budget_chars for lang, rows in by_lang.items()}
+    b_all = sum(budgets.values())
+    lo = min(tots, key=tots.get)
+    hi = max(tots, key=tots.get)
+    assert budgets[lo] / b_all > tots[lo] / t_all
+    assert budgets[hi] / b_all < tots[hi] / t_all

@@ -80,6 +80,11 @@ def test_no_cartesian_in_any_registered_query(spark, sf_dir):
         # test_similarity's knn_join_ivf plan checks
         "sim_q11_knn_join_ivf",
         "text_q13_dynamic_quality",
+        # crossJoins THE 1-row (denom, t_chars) aggregate into the
+        # 5-row per-language weight table to derive budgets — the
+        # text_q13 scalar-broadcast form; the admission join itself is
+        # a BroadcastHashJoin on lang
+        "mix_q6_token_budget_mix",
     }
     checked = 0
     for name, fn in {**all_queries(), **shadow_queries()}.items():
