@@ -808,6 +808,7 @@ def span_scrub(
     span_n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """The REWRITE step of suffix-array training-data dedup (Lee et
     al. 2022 strip every substring repeated verbatim anywhere in the
@@ -836,6 +837,13 @@ def span_scrub(
          cross-document ordering requirement;
       4. reassembly groups on the same document key the window just
          partitioned by — no second exchange.
+
+    hash_grams=True is the 100 TB form (same contract as
+    dup_span_coverage): the gram key becomes xxhash64(gram) before any
+    shuffle, cutting the agg/join shuffle bytes ~6× (8-byte key vs the
+    ~50-byte span string) at a vanishing collision probability (n²/2⁶⁵
+    — a collision merges two spans' duplicate sets). The default
+    string form keeps the DuckDB oracle hash-free.
     """
     from pyspark.sql import Window
 
@@ -846,6 +854,8 @@ def span_scrub(
     sp = toks.select(
         "id", F.posexplode(shingles(F.col("ts"), span_n)).alias("s", "gram")
     )
+    if hash_grams:
+        sp = sp.select("id", "s", F.xxhash64("gram").alias("gram"))
     occ = sp.groupBy("gram").agg(
         F.count("*").alias("tot"),
         F.min(F.struct(F.col("id").alias("kid"), F.col("s").alias("ks"))).alias(

@@ -108,6 +108,41 @@ def mix_q5_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("lang", "doc_id", "n_chars", "rk")
 
 
+def pipe_q3_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus interchange-format certification: the documents table
+    flows through a JSON-lines sink (sources/files.write_jsonl — the
+    format LLM corpora actually ship in) and a schema-provided
+    JSON-lines scan, and must survive byte-exact — the oracle compares
+    the ROUNDTRIPPED rows, column by column, against the parquet
+    originals, so this certifies the sink encoder + scan decoder pair,
+    not an in-memory plan (the mr_q4 discipline applied to the generic
+    multi-column typed format).
+
+    Scale notes: the JSONL write is one committer-atomic pass; the
+    read back is schema-provided (no inference job) and line-splittable
+    — at 100 TB both sides stream at scan speed with no shuffle."""
+    import shutil
+    import tempfile
+
+    from distributed_mapreduce_spark.sources.files import read_jsonl, write_jsonl
+
+    docs = widen(table(spark, sf_dir, "documents"))
+    tmp = tempfile.mkdtemp(prefix="pipe_q3_jsonl_")
+    try:
+        write_jsonl(docs, f"{tmp}/docs")
+        back = read_jsonl(
+            spark,
+            f"{tmp}/docs",
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        # Materialize before the temp dir vanishes (mr_q4 convention).
+        return back.select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Budget-constrained temperature mixing (mix_q6): total sampled budget
 # as a fraction of the corpus, split across languages by sqrt-flattened
 # share (temperature α = 0.5 — the multilingual-mixing standard that
@@ -662,9 +697,16 @@ SHADOW_QUERIES = {
     "mix_q5_weighted_sample": mix_q5_weighted_sample,
     "mix_q6_token_budget_mix": mix_q6_token_budget_mix,
     "pipe_q1_training_manifest": pipe_q1_training_manifest,
+    "pipe_q3_jsonl_roundtrip": pipe_q3_jsonl_roundtrip,
 }
 
 SHADOW_ORACLES = {
+    # The roundtrip is an identity transport: the oracle is the parquet
+    # original itself, so ANY encoder/decoder divergence (quoting,
+    # escaping, integer widths, null handling) fails value-by-value.
+    "pipe_q3_jsonl_roundtrip": """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
     # Mirrors mix_q6_token_budget_mix stage by stage: per-language
     # char totals, sqrt weight staged through round-6 DECIMAL(28,6)
     # (exact order-free sum — DuckDB's sum(n_chars) is HUGEINT, cast

@@ -62,6 +62,21 @@ def read_jsonl_kv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """Generic JSON-lines sink (one JSON object per row) — the
+    interchange format LLM corpora ship in. Atomic via Spark's output
+    committer, splittable on read (line-oriented), schema carried by
+    the reader (`read_jsonl`), not inferred."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Schema-provided JSON-lines scan: no inference job (inference is
+    a full extra pass over the data at scale), byte-range input
+    splitting exactly like a text scan."""
+    return spark.read.schema(schema).json(path)
+
+
 def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", header).csv(path)
 

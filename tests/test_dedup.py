@@ -580,3 +580,17 @@ def test_span_scrub_overlapping_drops_merge_coverage(spark):
     assert out[1].scrubbed == "a b c d"
     assert out[2].scrubbed == "" and out[2].n_kept == 0
     assert out[2].kept_frac == 0.0
+
+
+def test_span_scrub_hash_grams_equivalent(spark, docs):
+    """span_scrub's hash_grams=True scale form (8-byte xxhash64 gram
+    keys in the agg/join shuffle) rewrites the fixture corpus
+    identically to the string form — gram collisions are the only way
+    the two can diverge."""
+    from distributed_mapreduce_spark.operators.dedup import span_scrub
+
+    plain = {tuple(r) for r in span_scrub(docs, span_n=8).collect()}
+    hashed = {
+        tuple(r) for r in span_scrub(docs, span_n=8, hash_grams=True).collect()
+    }
+    assert plain == hashed and plain

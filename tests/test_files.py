@@ -371,3 +371,24 @@ def test_compact_partitioned_refuses_root_level_files(spark, tmp_path):
     with pytest.raises(ValueError, match="dataset root"):
         compact_partitioned(spark, str(base), ["part"], target_file_bytes=1)
     assert sorted(p.name for p in base.rglob("*.parquet")) == before
+
+
+def test_jsonl_roundtrip_generic(spark, sf_dir, tmp_path):
+    """Generic JSONL sink/scan roundtrip (the corpus interchange
+    format): typed columns survive exactly, nulls included, and the
+    schema-provided read performs no inference pass (schema equality
+    asserted, not sampled)."""
+    from distributed_mapreduce_spark.sources.files import read_jsonl, write_jsonl
+
+    rows = [
+        (1, "plain text", "en", 10),
+        (2, 'quotes " and \\ backslash', "de", 24),
+        (3, None, "fr", 0),  # null text must roundtrip as null
+    ]
+    schema = "doc_id long, text string, lang string, n_chars long"
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "jsonl")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out, schema)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
