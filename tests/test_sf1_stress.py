@@ -103,6 +103,10 @@ BUDGET_Q13_S = 150
 BUDGET_SIMQ6_S = 100
 BUDGET_PACK_S = 60
 BUDGET_Q15_S = 300  # measured r7: 31.0 s (~5-6x for 10x docs, linear)
+# r13: span_scrub (dedup_q17) measured 2.1 s at sf0.1 — the keyed gram
+# agg + join-back + per-doc window are all ∝ corpus tokens, so sf1
+# should land ~10-25 s; budget ~10× that upper read.
+BUDGET_Q17_S = 240
 
 
 @pytest.fixture(scope="module")
@@ -193,6 +197,19 @@ def test_sf1_dedup_q6_embedding_cosine(stress_spark, sf1_dir):
     assert dt < BUDGET_Q6_S, (
         f"dedup_q6 took {dt:.0f}s at sf1 (budget {BUDGET_Q6_S}s) — "
         "check the upper-triangle grid still scores each pair exactly once"
+    )
+
+
+def test_sf1_dedup_q17_span_scrub(stress_spark, sf1_dir):
+    from distributed_mapreduce_spark.queries.textops import dedup_q17_span_scrub
+
+    dt = _timed(
+        "dedup_q17_span_scrub", lambda: dedup_q17_span_scrub(stress_spark, sf1_dir)
+    )
+    assert dt < BUDGET_Q17_S, (
+        f"dedup_q17 took {dt:.0f}s at sf1 (budget {BUDGET_Q17_S}s) — "
+        "check the gram agg/join-back stayed keyed (no all-pairs) and "
+        "the coverage window still partitions per document"
     )
 
 
