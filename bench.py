@@ -191,8 +191,11 @@ def _calib_spin_after(event, n_iter: int) -> None:
 
 def _calibration_probe() -> dict:
     """Run the fixed-work probes; ~2 s total. Best-effort per metric —
-    a metric that cannot be measured is omitted rather than fatal (the
-    deviation rule only compares metrics present on both sides)."""
+    a metric whose machinery is unavailable (no fork, no numpy) is
+    omitted rather than fatal (the deviation rule only compares
+    metrics present on both sides). A metric that IS measurable but
+    deadline-hit records its elapsed lower bound instead — omission
+    under load would fail open (see the nt deadline note below)."""
     out: dict = {}
     out["calib_1t_s"] = round(
         min(_timed(_calib_spin, _CALIB_SPIN_ITERS) for _ in range(3)), 4
@@ -217,18 +220,20 @@ def _calibration_probe() -> dict:
             ev.set()
             # bounded joins (r12 ADVICE): a child wedged under exactly
             # the host pressure this probe exists to detect must not
-            # hang the whole bench — if any child misses the (very
-            # generous) deadline, omit the metric instead (best-effort,
-            # as documented) and let the finally reap it
+            # hang the whole bench. If any child misses the (very
+            # generous) deadline, record the elapsed time anyway — a
+            # LOWER bound on the true spin (~100x the quiet baseline),
+            # so the pass reads calibration-LOUD. Omitting the metric
+            # would fail OPEN: quiet_floor's deviation rule only
+            # compares metrics present on both sides, so the loudest
+            # possible host state would read as quiet and could seed a
+            # polluted first floor.
             deadline = t0 + 120.0
-            finished = True
             for p in procs:
                 p.join(timeout=max(0.0, deadline - time.perf_counter()))
                 if p.is_alive():  # pragma: no cover - wedged child
-                    finished = False
                     break
-            if finished:
-                out["calib_nt_s"] = round(time.perf_counter() - t0, 4)
+            out["calib_nt_s"] = round(time.perf_counter() - t0, 4)
         finally:
             # a start() that fails mid-list (ENOMEM under exactly the
             # pressure this probe exists to detect) must not leave

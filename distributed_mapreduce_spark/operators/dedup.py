@@ -818,7 +818,10 @@ def span_scrub(
     occurrence (min (doc, start)) is canonical; every token covered by
     a NON-canonical occurrence is dropped, and each document's
     surviving tokens are re-joined in order. Returns
-    (id, n_tokens, n_kept, kept_frac, scrubbed). One-pass semantics:
+    (id, n_tokens, n_kept, kept_frac, scrubbed) — one row per input
+    document, ALWAYS (a rewrite pass preserves corpus membership;
+    zero-token documents come back untouched with kept_frac 1.0, and
+    sub-span_n documents have no spans to strip). One-pass semantics:
     removals can create fresh juxtapositions that a second pass would
     also strip — the standard fixed-point-free approximation the
     published pipeline runs.
@@ -874,7 +877,7 @@ def span_scrub(
         "cov", F.max(F.coalesce(F.col("d"), F.lit(0))).over(w)
     )
     kept_tok = F.when(F.col("cov") == 0, F.struct(F.col("p"), F.col("tok")))
-    out = flagged.groupBy("id").agg(
+    agg = flagged.groupBy("id").agg(
         F.count("*").alias("n_tokens"),
         F.sum(F.when(F.col("cov") == 0, 1).otherwise(0)).alias("n_kept"),
         F.array_join(
@@ -884,12 +887,24 @@ def span_scrub(
             " ",
         ).alias("scrubbed"),
     )
+    # LEFT join back onto the corpus base: a rewrite pass must preserve
+    # corpus MEMBERSHIP — a document with zero letter-run tokens (all
+    # digits/punctuation) has no pos rows and would otherwise silently
+    # vanish from the rewritten corpus (r13 review finding). Such docs
+    # keep their row: nothing to remove, kept_frac vacuously 1.0.
+    base = toks.select("id", F.size("ts").alias("n_base"))
+    out = base.join(agg, "id", "left")
     return out.select(
         "id",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.col("n_kept").cast("bigint").alias("n_kept"),
-        F.round(F.col("n_kept") / F.col("n_tokens"), 6).alias("kept_frac"),
-        "scrubbed",
+        F.col("n_base").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.when(
+            F.col("n_base") > 0,
+            F.round(F.coalesce(F.col("n_kept"), F.lit(0)) / F.col("n_base"), 6),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("kept_frac"),
+        F.coalesce(F.col("scrubbed"), F.lit("")).alias("scrubbed"),
     )
 
 

@@ -1374,7 +1374,8 @@ SHADOW_ORACLES = {
     # row_number, coverage via the identical windowed max over drop
     # flags, reassembly via order-pinned string_agg (NULL tokens — the
     # covered ones — are skipped, exactly as collect_list skips the
-    # un-kept NULL structs).
+    # un-kept NULL structs), and the same membership LEFT join from
+    # the tokenized base so zero-token documents keep their row.
     "dedup_q17_span_scrub": f"""
         WITH t AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
         pos AS (
@@ -1404,16 +1405,22 @@ SHADOW_ORACLES = {
                    ) AS covered
             FROM pos LEFT JOIN drops
                 ON pos.doc_id = drops.doc_id AND pos.p = drops.s
+        ),
+        cov_agg AS (
+            SELECT doc_id,
+                   sum(CASE WHEN covered = 0 THEN 1 ELSE 0 END) AS n_kept,
+                   string_agg(CASE WHEN covered = 0 THEN tok END,
+                              ' ' ORDER BY p) AS scrubbed
+            FROM cov GROUP BY doc_id
         )
-        SELECT doc_id,
-               CAST(count(*) AS BIGINT) AS n_tokens,
-               CAST(sum(CASE WHEN covered = 0 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_kept,
-               round(sum(CASE WHEN covered = 0 THEN 1 ELSE 0 END) / count(*), 6)
-                   AS kept_frac,
-               coalesce(string_agg(CASE WHEN covered = 0 THEN tok END,
-                                   ' ' ORDER BY p), '') AS scrubbed
-        FROM cov GROUP BY doc_id
+        SELECT t.doc_id,
+               CAST(len(ts) AS BIGINT) AS n_tokens,
+               CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+               CASE WHEN len(ts) > 0
+                    THEN round(coalesce(n_kept, 0) / len(ts), 6)
+                    ELSE 1.0 END AS kept_frac,
+               coalesce(scrubbed, '') AS scrubbed
+        FROM t LEFT JOIN cov_agg ON t.doc_id = cov_agg.doc_id
     """,
     # Mirrors text_q11_pmi: identical probability expression shape and
     # 6-dec round; corpus totals inlined as subquery scalars (DuckDB

@@ -574,12 +574,18 @@ def test_span_scrub_overlapping_drops_merge_coverage(spark):
     rows = [
         (1, "a b c d"),  # canonical "a b c"(0) and "b c d"(1)
         (2, "a b c d"),  # both grams duplicated → every token covered
+        (3, "1234 5678 ..."),  # zero letter-run tokens: membership kept
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.id: r for r in span_scrub(df, span_n=3).collect()}
     assert out[1].scrubbed == "a b c d"
     assert out[2].scrubbed == "" and out[2].n_kept == 0
     assert out[2].kept_frac == 0.0
+    # a rewrite pass preserves corpus membership: the token-free doc
+    # keeps its row, untouched (r13 review finding)
+    assert set(out) == {1, 2, 3}
+    assert out[3].n_tokens == 0 and out[3].n_kept == 0
+    assert out[3].kept_frac == 1.0 and out[3].scrubbed == ""
 
 
 def test_span_scrub_hash_grams_equivalent(spark, docs):

@@ -373,7 +373,7 @@ def test_compact_partitioned_refuses_root_level_files(spark, tmp_path):
     assert sorted(p.name for p in base.rglob("*.parquet")) == before
 
 
-def test_jsonl_roundtrip_generic(spark, sf_dir, tmp_path):
+def test_jsonl_roundtrip_generic(spark, tmp_path):
     """Generic JSONL sink/scan roundtrip (the corpus interchange
     format): typed columns survive exactly, nulls included, and the
     schema-provided read performs no inference pass (schema equality

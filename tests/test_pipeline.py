@@ -545,6 +545,7 @@ def test_token_budget_mix_invariants(spark, sf_dir):
     over its corpus share and downweights the largest's (the
     temperature-mixing contract)."""
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     from distributed_mapreduce_spark.queries.pipeline_queries import (
         MIX_BUDGET_FRAC,
@@ -563,13 +564,23 @@ def test_token_budget_mix_invariants(spark, sf_dir):
         for r in docs.groupBy("lang").agg(F.sum("n_chars").alias("tot")).collect()
     }
     t_all = sum(tots.values())
-    denom = sum(round(math.sqrt(float(t)), 6) for t in tots.values())
+    # Re-derive the budgets along the ENGINE's exact arithmetic path —
+    # HALF_UP quantize of the binary-exact sqrt (Spark F.round's
+    # rounding mode, not Python's half-even round()), an exact DECIMAL
+    # sum, one cast to double — so the comparison cannot flip on a
+    # float-summation ulp after a fixture regen.
+    q6 = Decimal("0.000001")
+    s_dec = {
+        lang: Decimal(math.sqrt(float(t))).quantize(q6, ROUND_HALF_UP)
+        for lang, t in tots.items()
+    }
+    denom = float(sum(s_dec.values()))
     for lang, rows in by_lang.items():
         rows.sort(key=lambda r: r.rk)
         assert [r.rk for r in rows] == list(range(1, len(rows) + 1)), lang
         budget = rows[0].budget_chars
         expected = math.floor(
-            MIX_BUDGET_FRAC * float(t_all) * round(math.sqrt(float(tots[lang])), 6) / denom
+            MIX_BUDGET_FRAC * float(t_all) * float(s_dec[lang]) / denom
         )
         assert budget == expected, (lang, budget, expected)
         assert rows[-1].cum_chars <= budget, lang
