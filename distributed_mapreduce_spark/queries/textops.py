@@ -1236,6 +1236,67 @@ def dedup_q17_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_q18_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted dedup-group representative selection — the
+    keep-BEST policy a production pipeline runs where pipe_q1 keeps
+    the min-id member: every near-dup cluster (dedup_q3/q7's pair
+    graph + components, same MAX_SHINGLE_DF guard) keeps its
+    highest-quality member, ranked on (rounded stopword ratio DESC,
+    token count DESC, doc_id ASC — the text_q8 rounded-rank
+    discipline, so engine fp ties cannot flip the winner); documents
+    with no near-dup edge are singleton clusters and keep themselves.
+    Returns one row per surviving representative with its cluster
+    size. Graded on the exact surviving row set.
+
+    Scale shape: quality scoring is a scan-speed map; the pair graph
+    and CC are the audited dedup_q7 machinery (O(#near-dups) edges);
+    the component label join is ∝ pair-graph nodes (tiny vs corpus,
+    AQE broadcasts); rank + cluster size share ONE per-component
+    window sort."""
+    from pyspark.sql import Window
+
+    from distributed_mapreduce_spark.functions.text import (
+        stopword_ratio,
+        token_count,
+    )
+    from distributed_mapreduce_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = widen(table(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs(doc_shingles(docs, max_df=MAX_SHINGLE_DF), NEAR_DUP_JACCARD)
+    comp = connected_components(pairs)
+    scored = docs.select(
+        "doc_id",
+        F.round(stopword_ratio(tokens("text"), "en"), 6).alias("sw_q"),
+        token_count("text").alias("n_tok"),
+    )
+    labeled = scored.join(comp, scored.doc_id == comp.id, "left").select(
+        "doc_id",
+        "sw_q",
+        "n_tok",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("sw_q"), F.desc("n_tok"), F.asc("doc_id")
+    )
+    ranked = labeled.select(
+        "component",
+        "doc_id",
+        "sw_q",
+        "n_tok",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("component")).alias("n_members"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "component",
+        "doc_id",
+        "sw_q",
+        "n_tok",
+        F.col("n_members").cast("bigint").alias("n_members"),
+    )
+
+
 SHADOW_QUERIES = {
     "text_q7_repetition": text_q7_repetition,
     "text_q8_tfidf": text_q8_tfidf,
@@ -1253,6 +1314,7 @@ SHADOW_QUERIES = {
     "text_q14_bm25": text_q14_bm25,
     "dedup_q16_maintained_lsh_store": dedup_q16_maintained_lsh_store,
     "dedup_q17_span_scrub": dedup_q17_span_scrub,
+    "dedup_q18_keep_best": dedup_q18_keep_best,
 }
 
 # SPAN_N-gram concat expression for the dedup_q9 oracle (i is the
@@ -1366,6 +1428,54 @@ SHADOW_ORACLES = {
                CAST(round(coalesce(n_dup, 0) / n_spans, 6) >= {DUP_SPAN_FLAG} AS INT)
                    AS flagged
         FROM stats LEFT JOIN hits ON stats.doc_id = hits.doc_id
+    """,
+    # Mirrors dedup_q18_keep_best stage by stage: the dedup_q7
+    # recursive-closure component labels (same _Q3_PAIRS_SQL), the
+    # text_q2-shape stopword ratio rounded to 6 for ranking, the same
+    # (sw DESC, n_tok DESC, doc_id ASC) total order, singleton
+    # self-components via the coalesce'd LEFT join.
+    "dedup_q18_keep_best": f"""
+        WITH RECURSIVE pairs AS ({_Q3_PAIRS_SQL}),
+        edges AS (
+            SELECT id_i AS a, id_j AS b FROM pairs
+            UNION
+            SELECT id_j AS a, id_i AS b FROM pairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (
+            SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+        ),
+        scored AS (
+            SELECT doc_id,
+                   round(CASE WHEN len(ts) > 0
+                              THEN len(list_filter(ts,
+                                       x -> list_contains([{_SW_EN}], x)))
+                                   / len(ts)
+                              ELSE 0.0 END, 6) AS sw_q,
+                   CAST(len(ts) AS BIGINT) AS n_tok
+            FROM (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents)
+        ),
+        labeled AS (
+            SELECT s.doc_id, s.sw_q, s.n_tok,
+                   coalesce(c.component, s.doc_id) AS component
+            FROM scored s LEFT JOIN comp c ON s.doc_id = c.id
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY component
+                       ORDER BY sw_q DESC, n_tok DESC, doc_id ASC
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY component) AS n_members
+            FROM labeled
+        )
+        SELECT component, doc_id, sw_q, n_tok,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rn = 1
     """,
     # Mirrors dedup_q17_span_scrub / operators/dedup.span_scrub stage
     # by stage: positional grams (1-based here, 0-based in Spark —

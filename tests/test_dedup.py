@@ -600,3 +600,93 @@ def test_span_scrub_hash_grams_equivalent(spark, docs):
         tuple(r) for r in span_scrub(docs, span_n=8, hash_grams=True).collect()
     }
     assert plain == hashed and plain
+
+
+def test_keep_best_picks_quality_argmax_not_min_id(spark, sf_dir):
+    """dedup_q18's policy on a hand corpus: within a near-dup cluster
+    the HIGHEST-stopword-ratio member wins even when it has the
+    largest doc_id (keep-best ≠ keep-first); singletons keep
+    themselves; cluster sizes are exact."""
+    import duckdb
+
+    from distributed_mapreduce_spark.queries.textops import (
+        SHADOW_ORACLES,
+        dedup_q18_keep_best,
+    )
+
+    out = {r.doc_id: r for r in dedup_q18_keep_best(spark, sf_dir).collect()}
+    assert out, "no representatives"
+    # cross-check totals: representatives partition the corpus
+    from distributed_mapreduce_spark.sources import table
+
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_members for r in out.values()) == n_docs
+    # at least one multi-member cluster exists in the fixture and its
+    # winner is the quality argmax under the declared total order
+    multi = [r for r in out.values() if r.n_members > 1]
+    assert multi, "fixture has planted near-dups; expected clusters"
+    # independent DuckDB replay of the winner rule (the oracle) agrees
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    oracle = {
+        row[1]: row
+        for row in con.sql(SHADOW_ORACLES["dedup_q18_keep_best"]).fetchall()
+    }
+    assert set(oracle) == set(out)
+
+
+def test_keep_best_synthetic_winner_by_stopword_ratio(spark):
+    """Synthetic cluster: docs 1 and 9 are near-dups; doc 9 has the
+    higher stopword ratio and must win despite the larger id. Doc 5 is
+    a singleton and keeps itself."""
+    from distributed_mapreduce_spark.functions.text import tokens as _tok
+    from distributed_mapreduce_spark.operators.components import (
+        connected_components,
+    )
+    from distributed_mapreduce_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),  # sw ratio 0
+        (9, f"the {base}"),  # near-dup of 1 (high jaccard), sw ratio > 0
+        (5, "completely different words live here entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = jaccard_pairs(doc_shingles(df), 0.5)
+    got = {(r.id_i, r.id_j) for r in pairs.collect()}
+    assert got == {(1, 9)}, got
+    # replicate the query's ranking inline over the tiny frame
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.functions.text import (
+        stopword_ratio,
+        token_count,
+    )
+
+    comp = connected_components(pairs)
+    scored = df.select(
+        "doc_id",
+        F.round(stopword_ratio(_tok("text"), "en"), 6).alias("sw_q"),
+        token_count("text").alias("n_tok"),
+    )
+    labeled = scored.join(comp, scored.doc_id == comp.id, "left").select(
+        "doc_id", "sw_q", "n_tok",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("sw_q"), F.desc("n_tok"), F.asc("doc_id")
+    )
+    kept = {
+        r.doc_id
+        for r in labeled.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    assert kept == {9, 5}, kept
