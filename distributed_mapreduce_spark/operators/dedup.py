@@ -803,6 +803,67 @@ def dup_span_coverage(
     )
 
 
+def keep_best_by_quality(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-weighted dedup-group representative selection — the
+    keep-BEST resolution policy over a near-dup pair graph: label
+    clusters with connected components, rank every member on (rounded
+    stopword ratio DESC, token count DESC, id ASC — a rounded-rank
+    total order, so engine fp ties cannot flip winners), and keep rank
+    1 per cluster; documents with no near-dup edge are singleton
+    clusters and keep themselves. Returns one row per surviving
+    representative: (component, doc_id, sw_q, n_tok, n_members).
+
+    Scale shape: quality scoring is a scan-speed map; the
+    component-label join side is pair-graph-sized (O(#near-dups), AQE
+    broadcasts); rank and cluster size share ONE per-component window
+    sort."""
+    from pyspark.sql import Window
+
+    from distributed_mapreduce_spark.functions.text import (
+        stopword_ratio,
+        token_count,
+    )
+    from distributed_mapreduce_spark.operators.components import (
+        connected_components,
+    )
+
+    comp = connected_components(pairs)
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(stopword_ratio(tokens(text_col), "en"), 6).alias("sw_q"),
+        token_count(text_col).alias("n_tok"),
+    )
+    labeled = scored.join(comp, scored.doc_id == comp.id, "left").select(
+        "doc_id",
+        "sw_q",
+        "n_tok",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("sw_q"), F.desc("n_tok"), F.asc("doc_id")
+    )
+    ranked = labeled.select(
+        "component",
+        "doc_id",
+        "sw_q",
+        "n_tok",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("component")).alias("n_members"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "component",
+        "doc_id",
+        "sw_q",
+        "n_tok",
+        F.col("n_members").cast("bigint").alias("n_members"),
+    )
+
+
 def span_scrub(
     docs: DataFrame,
     span_n: int = 8,

@@ -338,6 +338,26 @@ _Q3_PAIRS_SQL = f"""
         WHERE round(c / (sa.sz + sb.sz - c), 6) >= {NEAR_DUP_JACCARD}
 """
 
+# The ONE oracle-side connected-components closure over the q3 pair
+# graph (min-reachable-id labels == operators/components.py) — shared
+# verbatim by the dedup_q7 and dedup_q18 oracles so the two mirrors of
+# the CC operator can never silently drift apart (the _SHINGLES_CTE
+# discipline). Callers prepend WITH RECURSIVE and read from `comp`.
+_CC_CLOSURE_SQL = f"""pairs AS ({_Q3_PAIRS_SQL}),
+        edges AS (
+            SELECT id_i AS a, id_j AS b FROM pairs
+            UNION
+            SELECT id_j AS a, id_i AS b FROM pairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (
+            SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+        )"""
+
 _BPE_SQL_PAT = BPE_ISH_PATTERN.replace("'", "''")
 _BPE_SQL = (
     f"list_filter(regexp_extract_all(lower(text), '{_BPE_SQL_PAT}'), "
@@ -539,20 +559,7 @@ ORACLES = {
     # transitive closure over the same pair graph (recursive CTE);
     # component label = min reachable doc id, the Spark side's fixpoint
     "dedup_q7_clusters": f"""
-        WITH RECURSIVE pairs AS ({_Q3_PAIRS_SQL}),
-        edges AS (
-            SELECT id_i AS a, id_j AS b FROM pairs
-            UNION
-            SELECT id_j AS a, id_i AS b FROM pairs
-        ),
-        reach AS (
-            SELECT a, b FROM edges
-            UNION
-            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        ),
-        comp AS (
-            SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
-        )
+        WITH RECURSIVE {_CC_CLOSURE_SQL}
         SELECT component, count(*) AS n_docs FROM comp GROUP BY component
     """,
 }
@@ -1248,53 +1255,15 @@ def dedup_q18_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns one row per surviving representative with its cluster
     size. Graded on the exact surviving row set.
 
-    Scale shape: quality scoring is a scan-speed map; the pair graph
-    and CC are the audited dedup_q7 machinery (O(#near-dups) edges);
-    the component label join is ∝ pair-graph nodes (tiny vs corpus,
-    AQE broadcasts); rank + cluster size share ONE per-component
-    window sort."""
-    from pyspark.sql import Window
-
-    from distributed_mapreduce_spark.functions.text import (
-        stopword_ratio,
-        token_count,
-    )
-    from distributed_mapreduce_spark.operators.components import (
-        connected_components,
-    )
+    Scale shape: see operators/dedup.keep_best_by_quality (the policy
+    operator this query applies to the dedup_q3/q7 pair graph); the
+    pair graph and CC are the audited dedup_q7 machinery
+    (O(#near-dups) edges)."""
+    from distributed_mapreduce_spark.operators.dedup import keep_best_by_quality
 
     docs = widen(table(spark, sf_dir, "documents"))
     pairs = jaccard_pairs(doc_shingles(docs, max_df=MAX_SHINGLE_DF), NEAR_DUP_JACCARD)
-    comp = connected_components(pairs)
-    scored = docs.select(
-        "doc_id",
-        F.round(stopword_ratio(tokens("text"), "en"), 6).alias("sw_q"),
-        token_count("text").alias("n_tok"),
-    )
-    labeled = scored.join(comp, scored.doc_id == comp.id, "left").select(
-        "doc_id",
-        "sw_q",
-        "n_tok",
-        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
-    )
-    w = Window.partitionBy("component").orderBy(
-        F.desc("sw_q"), F.desc("n_tok"), F.asc("doc_id")
-    )
-    ranked = labeled.select(
-        "component",
-        "doc_id",
-        "sw_q",
-        "n_tok",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("component")).alias("n_members"),
-    )
-    return ranked.where(F.col("rn") == 1).select(
-        "component",
-        "doc_id",
-        "sw_q",
-        "n_tok",
-        F.col("n_members").cast("bigint").alias("n_members"),
-    )
+    return keep_best_by_quality(docs, pairs)
 
 
 SHADOW_QUERIES = {
@@ -1435,20 +1404,7 @@ SHADOW_ORACLES = {
     # (sw DESC, n_tok DESC, doc_id ASC) total order, singleton
     # self-components via the coalesce'd LEFT join.
     "dedup_q18_keep_best": f"""
-        WITH RECURSIVE pairs AS ({_Q3_PAIRS_SQL}),
-        edges AS (
-            SELECT id_i AS a, id_j AS b FROM pairs
-            UNION
-            SELECT id_j AS a, id_i AS b FROM pairs
-        ),
-        reach AS (
-            SELECT a, b FROM edges
-            UNION
-            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        ),
-        comp AS (
-            SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
-        ),
+        WITH RECURSIVE {_CC_CLOSURE_SQL},
         scored AS (
             SELECT doc_id,
                    round(CASE WHEN len(ts) > 0

@@ -639,16 +639,15 @@ def test_keep_best_picks_quality_argmax_not_min_id(spark, sf_dir):
 
 
 def test_keep_best_synthetic_winner_by_stopword_ratio(spark):
-    """Synthetic cluster: docs 1 and 9 are near-dups; doc 9 has the
-    higher stopword ratio and must win despite the larger id. Doc 5 is
-    a singleton and keeps itself."""
-    from distributed_mapreduce_spark.functions.text import tokens as _tok
-    from distributed_mapreduce_spark.operators.components import (
-        connected_components,
-    )
+    """Synthetic cluster THROUGH THE REAL OPERATOR
+    (operators/dedup.keep_best_by_quality — the same code path
+    dedup_q18 runs): docs 1 and 9 are near-dups; doc 9 has the higher
+    stopword ratio and must win despite the larger id. Doc 5 is a
+    singleton and keeps itself."""
     from distributed_mapreduce_spark.operators.dedup import (
         doc_shingles,
         jaccard_pairs,
+        keep_best_by_quality,
     )
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
@@ -661,32 +660,7 @@ def test_keep_best_synthetic_winner_by_stopword_ratio(spark):
     pairs = jaccard_pairs(doc_shingles(df), 0.5)
     got = {(r.id_i, r.id_j) for r in pairs.collect()}
     assert got == {(1, 9)}, got
-    # replicate the query's ranking inline over the tiny frame
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from distributed_mapreduce_spark.functions.text import (
-        stopword_ratio,
-        token_count,
-    )
-
-    comp = connected_components(pairs)
-    scored = df.select(
-        "doc_id",
-        F.round(stopword_ratio(_tok("text"), "en"), 6).alias("sw_q"),
-        token_count("text").alias("n_tok"),
-    )
-    labeled = scored.join(comp, scored.doc_id == comp.id, "left").select(
-        "doc_id", "sw_q", "n_tok",
-        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
-    )
-    w = Window.partitionBy("component").orderBy(
-        F.desc("sw_q"), F.desc("n_tok"), F.asc("doc_id")
-    )
-    kept = {
-        r.doc_id
-        for r in labeled.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .collect()
-    }
-    assert kept == {9, 5}, kept
+    kept = {r.doc_id: r for r in keep_best_by_quality(df, pairs).collect()}
+    assert set(kept) == {9, 5}, kept
+    assert kept[9].n_members == 2 and kept[9].component == 1
+    assert kept[5].n_members == 1 and kept[5].component == 5
