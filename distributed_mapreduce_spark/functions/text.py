@@ -191,3 +191,39 @@ def unigram_entropy(
             F.round(F.col("ent"), 6).cast("double").alias("entropy"),
         )
     )
+
+# PII redaction rules, applied in list order (email first: its local
+# part may contain digits/dots that the later numeric patterns would
+# otherwise bite into). Patterns use only syntax with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): character classes,
+# bounded/unbounded greedy repetition, and ASCII \b word boundaries —
+# no lookaround, no backreferences (RE2 has neither). Each rule is
+# (kind, pattern, replacement token).
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Redact every PII_RULES occurrence, in rule order — the
+    PII-scrub pass every published LLM training pipeline runs before
+    tokenization (emails / IPv4 addresses / NANP-style phone numbers
+    to typed placeholder tokens). Pure per-row JVM regexp_replace
+    chain: streams at scan speed, no shuffle, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in PII_RULES:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """One aliased count column per PII_RULES kind (`n_<kind>s`),
+    counted on the UNredacted text so the kinds are independent of
+    rule application order."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.regexp_count(c, F.lit(pat)).cast("bigint").alias(f"n_{kind}s")
+        for kind, pat, _ in PII_RULES
+    ]

@@ -1266,6 +1266,70 @@ def dedup_q18_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best_by_quality(docs, pairs)
 
 
+def _spliced_pii_text() -> "F.Column":
+    """Deterministic PII splice: the synthetic fixture corpus carries
+    no natural PII (lowercase word soup — no digits, no '@'), so the
+    graded scrub plants doc_id-derived PII spans mid-document in BOTH
+    engines (the kv-query op-log-synthesis pattern): every doc gets an
+    email, docs ≡0 mod 5 a second +tag address, ≡0 mod 3 a NANP phone,
+    ≡0 mod 2 an IPv4 host — so the per-kind counts VARY per row and a
+    redactor that over- or under-matches any kind fails value-by-value,
+    not just on a constant."""
+    d = F.col("doc_id")
+    email = F.concat(F.lit("user"), d.cast("string"), F.lit("@example.com"))
+    email2 = F.concat(F.lit("alt."), d.cast("string"), F.lit("+tag@mail.example.org"))
+    phone = F.concat(
+        (d % 900 + 100).cast("string"),
+        F.lit("-555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit("10."),
+        (d % 256).cast("string"),
+        F.lit("."),
+        (F.expr("doc_id div 256") % 256).cast("string"),
+        F.lit("."),
+        (d % 254 + 1).cast("string"),
+    )
+    return F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" reach me at "),
+        email,
+        F.when(d % 5 == 0, F.concat(F.lit(" or "), email2)).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.concat(F.lit(" call "), phone)).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.concat(F.lit(" from host "), ip)).otherwise(F.lit("")),
+        F.lit(" "),
+        F.expr("substring(text, 41)"),
+    )
+
+
+def text_q15_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction scrub (functions/text.redact_pii) — the
+    pre-tokenization privacy pass every published LLM pipeline runs:
+    emails / IPv4 / phone numbers to typed placeholder tokens, plus a
+    per-kind occurrence count (counted on the unredacted text, so the
+    kinds are independent of rule order). Graded on the full redacted
+    text of every document plus all three counts.
+
+    Engine parity by construction: PII_RULES restricts itself to
+    regex syntax with identical semantics in Java regex and RE2
+    (verified pattern class in functions/text.py), and the splice is
+    pure integer/string arithmetic — no floats anywhere.
+
+    Scale shape: pure per-row map expressions (regexp over the text
+    column) — a 100 TB corpus scrub streams at scan speed with ZERO
+    shuffle; the regex set extends by appending to PII_RULES."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    from distributed_mapreduce_spark.functions.text import pii_counts, redact_pii
+
+    dirty = docs.select("doc_id", _spliced_pii_text().alias("dirty"))
+    return dirty.select(
+        "doc_id",
+        *pii_counts("dirty"),
+        redact_pii("dirty").alias("redacted"),
+    )
+
+
 SHADOW_QUERIES = {
     "text_q7_repetition": text_q7_repetition,
     "text_q8_tfidf": text_q8_tfidf,
@@ -1284,7 +1348,50 @@ SHADOW_QUERIES = {
     "dedup_q16_maintained_lsh_store": dedup_q16_maintained_lsh_store,
     "dedup_q17_span_scrub": dedup_q17_span_scrub,
     "dedup_q18_keep_best": dedup_q18_keep_best,
+    "text_q15_pii_redact": text_q15_pii_redact,
 }
+
+
+def _pii_redact_sql() -> str:
+    """DuckDB mirror of text_q15_pii_redact, generated FROM PII_RULES
+    so the two engines can never apply different patterns: the same
+    doc_id-derived splice, len(regexp_extract_all) per kind on the
+    unredacted text, and the identical replace chain ('g' = Java
+    regexp_replace's replace-all default)."""
+    from distributed_mapreduce_spark.functions.text import PII_RULES
+
+    counts = ",\n               ".join(
+        f"len(regexp_extract_all(dirty, '{pat}')) AS n_{kind}s"
+        for kind, pat, _ in PII_RULES
+    )
+    red = "dirty"
+    for _, pat, token in PII_RULES:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""
+        WITH dirty AS (
+            SELECT doc_id,
+                   substring(text, 1, 40) || ' reach me at '
+                   || 'user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   || CASE WHEN doc_id % 5 = 0
+                      THEN ' or alt.' || CAST(doc_id AS VARCHAR) || '+tag@mail.example.org'
+                      ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0
+                      THEN ' call ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                           || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END
+                   || CASE WHEN doc_id % 2 = 0
+                      THEN ' from host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                           || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+                           || '.' || CAST(doc_id % 254 + 1 AS VARCHAR)
+                      ELSE '' END
+                   || ' ' || substring(text, 41) AS dirty
+            FROM documents
+        )
+        SELECT doc_id,
+               {counts},
+               {red} AS redacted
+        FROM dirty
+    """
 
 # SPAN_N-gram concat expression for the dedup_q9 oracle (i is the
 # 1-based start index of the span inside the token list ts).
@@ -1717,4 +1824,5 @@ SHADOW_ORACLES = {
                    AS repetitive
         FROM tok_stats JOIN big_stats USING (doc_id)
     """,
+    "text_q15_pii_redact": _pii_redact_sql(),
 }

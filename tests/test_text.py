@@ -86,3 +86,46 @@ def test_rolling_hash(spark):
     assert _one(spark, " A  b ", rolling_hash("text")) == _one(
         spark, "a b", rolling_hash("text")
     )
+
+
+def test_redact_pii_all_kinds_and_multiplicity(spark):
+    from distributed_mapreduce_spark.functions.text import pii_counts, redact_pii
+
+    txt = (
+        "mail a.b+c@x.co and other@y.org, host 192.168.0.1 "
+        "call 415-555-0142 or 212-555-9999."
+    )
+    df = spark.createDataFrame([(txt,)], "text string")
+    row = df.select(redact_pii("text").alias("r"), *pii_counts("text")).collect()[0]
+    assert row.r == (
+        "mail <EMAIL> and <EMAIL>, host <IP> call <PHONE> or <PHONE>."
+    )
+    assert (row.n_emails, row.n_ipv4s, row.n_phones) == (2, 1, 2)
+
+
+def test_redact_pii_boundaries_and_negatives(spark):
+    from distributed_mapreduce_spark.functions.text import pii_counts, redact_pii
+
+    cases = {
+        # PII at string start and end (the \b-at-edge cases)
+        "9.9.9.9": "<IP>",
+        "a@b.co": "<EMAIL>",
+        # version-like strings with an over-wide last octet must NOT
+        # match the ipv4 rule (\b forbids a trailing word character)
+        "ver 1.2.3.4000 ok": "ver 1.2.3.4000 ok",
+        # digits glued to a phone shape are not a phone
+        "id 1234-555-0142 x": "id 1234-555-0142 x",
+        # clean text passes through untouched
+        "no pii here": "no pii here",
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    got = {
+        r.text: (r.r, r.n_emails + r.n_ipv4s + r.n_phones)
+        for r in df.select(
+            "text", redact_pii("text").alias("r"), *pii_counts("text")
+        ).collect()
+    }
+    for src, want in cases.items():
+        redacted, n = got[src]
+        assert redacted == want, src
+        assert (n > 0) == (want != src), src
