@@ -29,6 +29,7 @@ from distributed_mapreduce_spark.operators.similarity import (
     topk_cosine_literal,
 )
 from distributed_mapreduce_spark.queries.relational import money
+from distributed_mapreduce_spark.queries.textops import cc_closure_sql
 from distributed_mapreduce_spark.sources import table
 
 DIM = 64
@@ -177,12 +178,16 @@ def sim_q6_kmeans_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql() -> str:
+def _kmeans_assign_ctes() -> tuple[str, str]:
     """DuckDB replay of kmeans_lloyd (same k/iters/dim constants):
     generated CTE chain c0 → a1 → c1 → a2 → c2 → a3, with identical
     float-op order everywhere — left-associative squared-L2 chains,
     round-to-12 DECIMAL(22,12) coordinate sums, double division,
-    coalesce-to-previous for empty cells."""
+    coalesce-to-previous for empty cells. Returns the comma-joined
+    CTE chain (no WITH keyword) and the name of the final-assignment
+    CTE holding (vec_id, cell) — shared by the sim_q6 census oracle
+    and the dedup_q19 semantic-dedup oracle, so the two replays of
+    the iterative loop cannot drift apart."""
     from distributed_mapreduce_spark.operators.similarity import KM_ITERS, KM_K
 
     d = DIM
@@ -195,7 +200,7 @@ def _kmeans_sql() -> str:
         for i in range(d)
     )
     parts = [
-        f"WITH flat AS (SELECT vec_id, {xs} FROM embeddings)",
+        f"flat AS (SELECT vec_id, {xs} FROM embeddings)",
         f"""c0 AS (
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
                    {ms0}
@@ -242,14 +247,17 @@ def _kmeans_sql() -> str:
             ) WHERE rn = 1
         )"""
     )
-    return (
-        ",\n".join(parts)
-        + f"""
+    return ",\n".join(parts), f"a{final}"
+
+
+def _kmeans_sql() -> str:
+    """sim_q6's census over the shared kmeans assignment replay."""
+    ctes, assign = _kmeans_assign_ctes()
+    return f"""WITH {ctes}
         SELECT cell, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS sum_id
-        FROM a{final}
+        FROM {assign}
         GROUP BY cell
     """
-    )
 
 
 EMB_DUP_THRESHOLD = 0.4
@@ -273,15 +281,17 @@ def _normalized(emb: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
     )
 
 
-def _flat_normalized(emb: DataFrame, id_alias: str, prefix: str) -> DataFrame:
-    """Unit-normalize, then unpack the vector into DIM scalar columns.
+def _flat_normalized(
+    emb: DataFrame, id_alias: str, prefix: str, dim: int = DIM
+) -> DataFrame:
+    """Unit-normalize, then unpack the vector into `dim` scalar columns.
     Downstream pair scoring is then plain column arithmetic on
     UnsafeRow fields — measured ~4× faster than element_at() on the
     array inside the N² projection (array access carries per-term
     null/bounds handling the flat columns don't)."""
     n = _normalized(emb, id_alias, "__v")
     return n.select(
-        id_alias, *[F.col("__v")[i].alias(f"{prefix}{i}") for i in range(DIM)]
+        id_alias, *[F.col("__v")[i].alias(f"{prefix}{i}") for i in range(dim)]
     )
 
 
@@ -407,6 +417,101 @@ def dedup_q11_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_q6_embedding_cosine(spark, sf_dir)
     comp = connected_components(pairs)
     return comp.groupBy("component").agg(F.count("*").alias("n_vecs"))
+
+
+# SemDeDup similarity threshold — the same operating point as the
+# exact tier (dedup_q6), so the two tiers answer the same question and
+# their disagreement is exactly the cross-cluster recall loss.
+SEMDEDUP_TAU = EMB_DUP_THRESHOLD
+
+
+def semdedup_representatives(
+    emb: DataFrame,
+    dim: int = DIM,
+    k: int | None = None,
+    iters: int | None = None,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup with the pair
+    space bounded by k-means cells instead of dedup_q6's exact N²/B
+    grid — cluster the embeddings (the audited engine-deterministic
+    kmeans_lloyd), generate candidate pairs ONLY within a cell
+    (one cell-keyed equi-join), connect components, keep the min-id
+    representative per group (singletons keep themselves). Returns one
+    row per surviving representative: (rep_id, cell, n_members).
+
+    The published trade this encodes: only within-cell pairs are
+    considered, so a near-dup pair split across cells is missed —
+    recall vs the exact tier is measured in tests (and dedup_q6/q11
+    remain the exact-tier answer). In exchange the pair volume drops
+    from Θ(N²/B) to Σ_cells |cell|² ≈ N·(N/k): at 100 TB k scales with
+    N (SemDeDup ran k=50k on LAION), holding the average cell bounded
+    — linear total work, and a fat cell can fall back to the
+    _grid_self_pair_join scaffolding cell-locally.
+
+    Plan shape: the candidate join is a hash-partitioned equi-join on
+    cell (never a broadcast of the table, never a cartesian); the
+    normalize+flatten projection is computed once and persisted (the
+    dedup_q6 rationale); component labels come from the audited CC
+    operator; the final keep-min-id is one groupBy over components."""
+    import functools
+    import operator
+
+    from distributed_mapreduce_spark.operators.components import connected_components
+    from distributed_mapreduce_spark.operators.similarity import (
+        KM_ITERS,
+        KM_K,
+        kmeans_lloyd,
+    )
+    from distributed_mapreduce_spark.sources import widen
+
+    k = KM_K if k is None else k
+    iters = KM_ITERS if iters is None else iters
+    assign = kmeans_lloyd(emb, dim, k, iters)  # (vec_id, cell)
+    flat = widen(_flat_normalized(emb, "vec_id", "__v", dim))
+    j = flat.join(assign, "vec_id").persist()
+    dot = functools.reduce(
+        operator.add,
+        [F.col(f"a.__v{i}") * F.col(f"b.__v{i}") for i in range(dim)],
+    )
+    a, b = j.alias("a"), j.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(F.round(dot, 6) >= tau)
+        .select(
+            F.col("a.vec_id").alias("id_i"),
+            F.col("b.vec_id").alias("id_j"),
+        )
+    )
+    comp = connected_components(pairs)
+    members = assign.join(comp, assign["vec_id"] == comp["id"], "left").select(
+        "cell",
+        F.coalesce("component", F.col("vec_id")).alias("component"),
+    )
+    return (
+        members.groupBy("component")
+        .agg(
+            F.min("cell").cast("int").alias("cell"),
+            F.count("*").alias("n_members"),
+        )
+        .select(F.col("component").alias("rep_id"), "cell", "n_members")
+    )
+
+
+def dedup_q19_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded SemDeDup over the embeddings fixture — see
+    semdedup_representatives (the operator this query applies; the
+    synthetic planted-duplicate tests exercise the same code path).
+
+    Oracle: the shared _kmeans_assign_ctes replay (bit-identical
+    centroids and assignment), the same normalized left-assoc dot,
+    the shared cc_closure_sql transitive closure, and the identical
+    coalesce-singleton + min-id group step."""
+    return semdedup_representatives(_emb(spark, sf_dir))
 
 
 def emb_q1_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -884,7 +989,44 @@ SHADOW_QUERIES = {
     "sim_q9_batch_store_probe": sim_q9_batch_store_probe,
     "sim_q10_knn_join": sim_q10_knn_join,
     "sim_q11_knn_join_ivf": sim_q11_knn_join_ivf,
+    "dedup_q19_semdedup": dedup_q19_semdedup,
 }
+
+
+def _semdedup_sql() -> str:
+    """DuckDB mirror of dedup_q19_semdedup stage by stage: the shared
+    kmeans assignment replay (_kmeans_assign_ctes — bit-identical
+    centroids/cells), the dedup_q6-form normalize + left-assoc dot on
+    cell-equal id-ordered pairs, the shared cc_closure_sql transitive
+    closure, and the identical coalesce-singleton + min-id keep."""
+    ctes, assign = _kmeans_assign_ctes()
+    norm = unrolled_dot_sql("embedding", "embedding", DIM)
+    pairs_sql = f"""
+            SELECT a.vec_id AS id_i, b.vec_id AS id_j
+            FROM j a JOIN j b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round({unrolled_dot_sql("a.ne", "b.ne", DIM)}, 6) >= {SEMDEDUP_TAU}
+    """
+    return f"""
+        WITH RECURSIVE {ctes},
+        n AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) / sqrt({norm})) AS ne
+            FROM embeddings
+            WHERE sqrt({norm}) > 0
+        ),
+        j AS (SELECT n.vec_id, s.cell, n.ne FROM n JOIN {assign} s USING (vec_id)),
+        {cc_closure_sql(pairs_sql)},
+        members AS (
+            SELECT s.cell, coalesce(c.component, s.vec_id) AS component
+            FROM {assign} s LEFT JOIN comp c ON s.vec_id = c.id
+        )
+        SELECT component AS rep_id,
+               CAST(min(cell) AS INTEGER) AS cell,
+               count(*) AS n_members
+        FROM members
+        GROUP BY component
+    """
 
 
 def _ivfpq_sql() -> str:
@@ -1187,23 +1329,11 @@ SHADOW_ORACLES = {
     """,
     "sim_q6_kmeans_census": _kmeans_sql(),
     # Transitive closure over the same pair graph as the dedup_q6
-    # oracle (recursive CTE); component label = min reachable vec id —
-    # the Spark side's min-label fixpoint (same shape as dedup_q7's).
+    # oracle (the shared cc_closure_sql chain); component label = min
+    # reachable vec id — the Spark side's min-label fixpoint (same
+    # shape as dedup_q7's).
     "dedup_q11_embedding_clusters": f"""
-        WITH RECURSIVE pairs AS ({_Q6_PAIRS_SQL}),
-        edges AS (
-            SELECT id_i AS a, id_j AS b FROM pairs
-            UNION
-            SELECT id_j AS a, id_i AS b FROM pairs
-        ),
-        reach AS (
-            SELECT a, b FROM edges
-            UNION
-            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        ),
-        comp AS (
-            SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
-        )
+        WITH RECURSIVE {cc_closure_sql(_Q6_PAIRS_SQL)}
         SELECT component, count(*) AS n_vecs FROM comp GROUP BY component
     """,
     "sim_q2_top_pairs": f"""
@@ -1218,4 +1348,5 @@ SHADOW_ORACLES = {
         ORDER BY cos_sim DESC, id_i ASC, id_j ASC
         LIMIT {TOP_PAIRS}
     """,
+    "dedup_q19_semdedup": _semdedup_sql(),
 }

@@ -338,12 +338,18 @@ _Q3_PAIRS_SQL = f"""
         WHERE round(c / (sa.sz + sb.sz - c), 6) >= {NEAR_DUP_JACCARD}
 """
 
-# The ONE oracle-side connected-components closure over the q3 pair
-# graph (min-reachable-id labels == operators/components.py) — shared
-# verbatim by the dedup_q7 and dedup_q18 oracles so the two mirrors of
-# the CC operator can never silently drift apart (the _SHINGLES_CTE
-# discipline). Callers prepend WITH RECURSIVE and read from `comp`.
-_CC_CLOSURE_SQL = f"""pairs AS ({_Q3_PAIRS_SQL}),
+# The ONE oracle-side connected-components closure (min-reachable-id
+# labels == operators/components.py), parameterized by the pair CTE it
+# closes over — shared by every CC oracle mirror (dedup_q7/q18 on the
+# jaccard graph here, dedup_q11/q19 on embedding graphs in simops) so
+# the SQL mirrors of the CC operator can never silently drift apart
+# (the _SHINGLES_CTE discipline). Callers prepend WITH RECURSIVE and
+# read (id, component) from `comp`; `pairs_sql` must project
+# (id_i, id_j).
+
+
+def cc_closure_sql(pairs_sql: str) -> str:
+    return f"""pairs AS ({pairs_sql}),
         edges AS (
             SELECT id_i AS a, id_j AS b FROM pairs
             UNION
@@ -357,6 +363,9 @@ _CC_CLOSURE_SQL = f"""pairs AS ({_Q3_PAIRS_SQL}),
         comp AS (
             SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
         )"""
+
+
+_CC_CLOSURE_SQL = cc_closure_sql(_Q3_PAIRS_SQL)
 
 _BPE_SQL_PAT = BPE_ISH_PATTERN.replace("'", "''")
 _BPE_SQL = (

@@ -1145,3 +1145,70 @@ def test_knn_join_ivf_recall_volume_store_and_plan(spark, emb, tmp_path):
     assert sorted(map(tuple, self0)) == sorted(map(tuple, store0)) == sorted(
         map(tuple, self1)
     )
+
+
+def test_semdedup_planted_duplicates(spark):
+    """Planted duplicate groups through the REAL operator: group A
+    (ids 10/12/14, near-identical vectors) and group B (ids 11/13)
+    collapse to their min-id representative; the far-apart singles
+    survive. ids are arranged so the deterministic k=2 init (two
+    lowest ids) seeds one centroid per region, making cell assignment
+    unambiguous."""
+    from distributed_mapreduce_spark.queries.simops import semdedup_representatives
+
+    rows = [
+        (10, [1.0, 0.02, 0.0, 0.0]),
+        (12, [1.0, 0.01, 0.0, 0.0]),
+        (14, [0.99, 0.02, 0.01, 0.0]),
+        (11, [0.0, 0.0, 1.0, 0.03]),
+        (13, [0.0, 0.01, 1.0, 0.02]),
+        (30, [0.7, 0.0, 0.7, 0.0]),
+        (31, [-0.7, 0.0, 0.7, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    reps = {
+        r.rep_id: r.n_members
+        for r in semdedup_representatives(emb, dim=4, k=2, iters=1, tau=0.9).collect()
+    }
+    assert reps == {10: 3, 11: 2, 30: 1, 31: 1}
+
+
+def test_semdedup_partitions_fixture_and_recall_vs_exact_tier(spark, sf_dir):
+    """On the fixture: representatives partition the corpus (sizes sum
+    to the row count, labels unique), every dropped row is one the
+    EXACT tier also pairs (within-cell pairs at the same tau are a
+    subset of dedup_q6's — no false drops), and the cell-bounded tier
+    recovers a stated floor of the exact tier's dropped rows. The
+    fixture is the published hard case — random-uniform embeddings at
+    the weakly-similar tau=0.4 operating point give clusters little
+    signal (true near-dups at cos→1 co-locate with probability →1);
+    the measured fixture recall lives in SCALE.md."""
+    from distributed_mapreduce_spark.operators.components import connected_components
+    from distributed_mapreduce_spark.queries.simops import (
+        dedup_q6_embedding_cosine,
+        dedup_q19_semdedup,
+    )
+
+    reps = dedup_q19_semdedup(spark, str(sf_dir)).collect()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_members for r in reps) == n
+    rep_ids = [r.rep_id for r in reps]
+    assert len(set(rep_ids)) == len(rep_ids)
+
+    exact_pairs = dedup_q6_embedding_cosine(spark, str(sf_dir))
+    paired = {
+        i
+        for r in exact_pairs.collect()
+        for i in (r.id_i, r.id_j)
+    }
+    dropped = {r for r in range(n)} - set(rep_ids)
+    assert dropped <= paired, "semdedup dropped a row the exact tier never pairs"
+
+    exact_dropped = {
+        r.id
+        for r in connected_components(exact_pairs).collect()
+        if r.id != r.component
+    }
+    assert exact_dropped, "fixture lost its planted near-dup signal"
+    recall = len(dropped) / len(exact_dropped)
+    assert recall >= 0.2, f"semdedup recall collapsed: {recall:.2f}"
