@@ -23,6 +23,7 @@ from distributed_mapreduce_spark.queries.textops import (
 from distributed_mapreduce_spark.operators.packing import pack_greedy
 from distributed_mapreduce_spark.operators.sampling import (
     hash_bucket_sql,
+    hash_uniform,
     hash_uniform_sql,
     split_train_holdout,
     stratified_sample,
@@ -222,6 +223,57 @@ def mix_q6_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "budget_chars",
         )
     )
+
+
+# Per-language epoch targets for upsampling: how many times each
+# stratum is repeated in the training mixture (fractional epochs are
+# the published practice — GPT-3's Table 2.2 and the LLaMA data recipe
+# both repeat high-quality sources 1-4 epochs, fractionally).
+MIX_EPOCHS = {"en": 1.0, "de": 2.5, "fr": 3.25, "es": 0.5, "zh": 4.0}
+
+
+def mix_q7_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch domain upsampling — the mixing op that REPEATS
+    strata instead of downsampling them (mix_q1's inverse direction):
+    every document of language l appears floor(e_l) times, plus one
+    extra copy for the deterministic hash-selected frac(e_l) share of
+    the stratum (the content-addressed uniform, so the extra-copy set
+    is reproducible across runs, layouts, and cluster widths — the
+    stratified_sample contract). Emits one manifest row per COPY with
+    its copy index; strata at e < 1 keep only the selected share.
+    Graded on the exact expanded row set.
+
+    Engine parity by construction: the copy count is integer CASE
+    arithmetic over the md5-prefix uniform (hash_uniform ≡
+    hash_uniform_sql, bit-identical), and the expansion is
+    sequence/generate_series over exact integers.
+
+    Scale shape: one per-row map + explode (a generator projection —
+    no shuffle, no join); at 100 TB ship the (doc_id, n_copies)
+    manifest and expand at read time inside the data loader — same
+    query minus the explode."""
+    import math
+
+    docs = widen(table(spark, sf_dir, "documents"))
+    expr = None
+    for lang, e in MIX_EPOCHS.items():
+        base, frac = int(math.floor(e)), round(e - math.floor(e), 6)
+        copies = F.lit(base)
+        if frac > 0:
+            copies = copies + F.when(
+                hash_uniform("doc_id") < F.lit(frac), 1
+            ).otherwise(0)
+        branch = (F.col("lang") == lang, copies)
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    n_copies = expr.otherwise(F.lit(0)).cast("int")
+    base = docs.select("doc_id", "lang", n_copies.alias("n_copies")).where(
+        F.col("n_copies") >= 1
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("__ci"),
+    ).select("doc_id", "lang", F.col("__ci").cast("bigint").alias("copy_idx"))
 
 
 def contam_q1_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,9 +748,39 @@ SHADOW_QUERIES = {
     "mix_q2_train_holdout": mix_q2_train_holdout,
     "mix_q5_weighted_sample": mix_q5_weighted_sample,
     "mix_q6_token_budget_mix": mix_q6_token_budget_mix,
+    "mix_q7_epoch_upsample": mix_q7_epoch_upsample,
     "pipe_q1_training_manifest": pipe_q1_training_manifest,
     "pipe_q3_jsonl_roundtrip": pipe_q3_jsonl_roundtrip,
 }
+
+
+def _epoch_upsample_sql() -> str:
+    """DuckDB mirror of mix_q7_epoch_upsample, generated FROM the same
+    MIX_EPOCHS dict (single source — the _pii_redact_sql discipline):
+    the identical integer CASE over the md5-prefix uniform, then
+    generate_series expansion (empty below 1, matching the Spark
+    side's n_copies >= 1 guard on sequence())."""
+    import math
+
+    u = hash_uniform_sql("doc_id")
+    branches = []
+    for lang, e in MIX_EPOCHS.items():
+        base, frac = int(math.floor(e)), round(e - math.floor(e), 6)
+        expr = str(base)
+        if frac > 0:
+            expr = f"{base} + CASE WHEN {u} < {frac!r} THEN 1 ELSE 0 END"
+        branches.append(f"WHEN '{lang}' THEN {expr}")
+    case = "CASE lang " + " ".join(branches) + " ELSE 0 END"
+    return f"""
+        WITH base AS (
+            SELECT doc_id, lang, CAST({case} AS INTEGER) AS n_copies
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+        FROM base
+        WHERE n_copies >= 1
+    """
 
 SHADOW_ORACLES = {
     # The roundtrip is an identity transport: the oracle is the parquet
@@ -707,6 +789,7 @@ SHADOW_ORACLES = {
     "pipe_q3_jsonl_roundtrip": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
     """,
+    "mix_q7_epoch_upsample": _epoch_upsample_sql(),
     # Mirrors mix_q6_token_budget_mix stage by stage: per-language
     # char totals, sqrt weight staged through round-6 DECIMAL(28,6)
     # (exact order-free sum — DuckDB's sum(n_chars) is HUGEINT, cast

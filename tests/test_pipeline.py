@@ -591,3 +591,43 @@ def test_token_budget_mix_invariants(spark, sf_dir):
     hi = max(tots, key=tots.get)
     assert budgets[lo] / b_all > tots[lo] / t_all
     assert budgets[hi] / b_all < tots[hi] / t_all
+
+
+def test_epoch_upsample_copy_contracts(spark, sf_dir):
+    """Fractional-epoch upsampling through the real graded query:
+    copy indices are contiguous 1..n per document, every document of a
+    stratum at epoch e appears floor(e) or ceil(e) times, integer-
+    epoch strata appear EXACTLY e times, and truly fractional strata
+    realize BOTH copy counts (the hash-selected extra-copy share is
+    neither empty nor total)."""
+    import math
+    from collections import Counter
+
+    from distributed_mapreduce_spark.queries.pipeline_queries import (
+        MIX_EPOCHS,
+        mix_q7_epoch_upsample,
+    )
+
+    rows = mix_q7_epoch_upsample(spark, str(sf_dir)).collect()
+    per_doc: dict[int, list[int]] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.copy_idx)
+    for d, idxs in per_doc.items():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1)), d
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    ).collect()
+    for lang, e in MIX_EPOCHS.items():
+        base = math.floor(e)
+        counts = Counter(
+            len(per_doc.get(r.doc_id, ())) for r in docs if r.lang == lang
+        )
+        stratum_n = sum(counts.values())
+        assert stratum_n > 0, f"fixture lost stratum {lang}"
+        if e == base:
+            assert set(counts) == {base}, (lang, counts)
+        else:
+            assert set(counts) <= {base, base + 1}, (lang, counts)
+            if stratum_n >= 20:
+                assert len(counts) == 2, (lang, counts)
