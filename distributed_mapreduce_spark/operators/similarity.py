@@ -535,6 +535,155 @@ def kmeans_lloyd(
 
 
 
+PCA_ITERS = 3
+
+
+def power_iteration(
+    emb: DataFrame,
+    dim: int,
+    iters: int = PCA_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component by MATRIX-FREE power iteration, every
+    stage engine-deterministic so a DuckDB oracle replays the full
+    loop bit-for-bit (the kmeans_lloyd / linreg_gd grading pattern,
+    here for the embedding-whitening / top-direction-projection step
+    of a vector pipeline).
+
+    The d×d covariance never materializes: each iteration computes
+    s = Σ_rows (x−m)·((x−m)ᵀ v) in ONE scan — a per-row left-assoc
+    dot followed by a posexplode + per-coordinate keyed agg (the
+    kmeans means-stage shape), so a 100 TB corpus costs iters+2 scans
+    and shuffles only dim-sized partials. Determinism staging: the
+    mean and every s coordinate are round-12 DECIMAL(22,12) sums
+    (order-independent) divided/rounded engine-side; v normalizes in a
+    1-row ENGINE select (never Python round — half-even vs HALF_UP,
+    the mix_q6 lesson); init v₀ = e₀.
+
+    Returns one row per vector: (id, proj) with proj = the centered
+    projection onto the final component, rounded to 6 — the score a
+    pipeline thresholds for outlier removal or uses as the SemDeDup
+    cell-splitting direction."""
+    import functools
+    import operator
+
+    def dec12(c):
+        return F.round(c, 12).cast("decimal(22,12)")
+
+    spark = emb.sparkSession
+    flat = emb.select(
+        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")
+    ).persist()
+    mrows = (
+        flat.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(F.sum(dec12(F.col("x"))).cast("double") / F.count("*"), 12).alias("m"))
+        .collect()
+    )
+    m = [0.0] * dim
+    for r in mrows:
+        m[r["pos"]] = float(r["m"])
+    v = [1.0] + [0.0] * (dim - 1)
+
+    def centered_dot(vec: list[float]):
+        return functools.reduce(
+            operator.add,
+            [(F.col("v")[i] - F.lit(m[i])) * F.lit(vec[i]) for i in range(dim)],
+        )
+
+    marr = F.array(*[F.lit(x) for x in m])
+    for _ in range(iters):
+        srows = (
+            flat.select(centered_dot(v).alias("d"), F.posexplode("v").alias("pos", "x"))
+            .select(
+                "pos",
+                dec12((F.col("x") - F.element_at(marr, F.col("pos") + 1)) * F.col("d")).alias("c"),
+            )
+            .groupBy("pos")
+            .agg(F.round(F.sum("c").cast("double"), 12).alias("s"))
+            .collect()
+        )
+        s = [0.0] * dim
+        for r in srows:
+            s[r["pos"]] = float(r["s"])
+        # Normalize ENGINE-side (1-row select): the same left-assoc
+        # norm chain and HALF_UP rounds the oracle's v-CTE computes.
+        sq = functools.reduce(
+            operator.add, [F.lit(x) * F.lit(x) for x in s]
+        )
+        nrm = F.round(F.sqrt(sq), 12)
+        vrow = spark.range(1).select(
+            *[F.round(F.lit(s[i]) / nrm, 12).alias(f"v{i}") for i in range(dim)]
+        ).collect()[0]
+        v = [float(vrow[f"v{i}"]) for i in range(dim)]
+    return flat.select(
+        id_col, F.round(centered_dot(v), 6).alias("proj")
+    )
+
+
+def power_iteration_sql(
+    dim: int, iters: int = PCA_ITERS, table: str = "embeddings"
+) -> str:
+    """DuckDB replay of power_iteration: generated CTE chain
+    m → d1 → s1 → v1 → … → dT → sT → vT → projection, with identical
+    float-op order everywhere (left-assoc dot chains, round-12
+    DECIMAL(22,12) coordinate sums, engine division/round/sqrt)."""
+    d = dim
+    xs = ", ".join(f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(d))
+    mean_cols = ", ".join(
+        f"round(CAST(sum(CAST(round(x{i}, 12) AS DECIMAL(22,12))) AS DOUBLE)"
+        f" / count(*), 12) AS m{i}"
+        for i in range(d)
+    )
+    parts = [
+        f"flat AS (SELECT vec_id, {xs} FROM {table})",
+        f"m AS (SELECT {mean_cols} FROM flat)",
+    ]
+    # v0 = e0 as literal terms inside d1's chain
+    prev_v = None  # None => unit-vector literals
+    for it in range(1, iters + 1):
+        if prev_v is None:
+            terms = [
+                f"(f.x{i} - m.m{i}) * {'1.0' if i == 0 else '0.0'}" for i in range(d)
+            ]
+            vjoin = ""
+        else:
+            terms = [f"(f.x{i} - m.m{i}) * {prev_v}.v{i}" for i in range(d)]
+            vjoin = f" CROSS JOIN {prev_v}"
+        dot = " + ".join(terms)
+        parts.append(
+            f"""d{it} AS (
+            SELECT f.vec_id, {dot} AS d
+            FROM flat f CROSS JOIN m{vjoin}
+        )"""
+        )
+        s_cols = ", ".join(
+            f"round(CAST(sum(CAST(round((f.x{i} - m.m{i}) * t.d, 12)"
+            f" AS DECIMAL(22,12))) AS DOUBLE), 12) AS s{i}"
+            for i in range(d)
+        )
+        parts.append(
+            f"""s{it} AS (
+            SELECT {s_cols}
+            FROM flat f JOIN d{it} t USING (vec_id) CROSS JOIN m
+        )"""
+        )
+        sq = " + ".join(f"s{i} * s{i}" for i in range(d))
+        v_cols = ", ".join(
+            f"round(s{i} / round(sqrt({sq}), 12), 12) AS v{i}" for i in range(d)
+        )
+        parts.append(f"v{it} AS (SELECT {v_cols} FROM s{it})")
+        prev_v = f"v{it}"
+    proj = " + ".join(f"(f.x{i} - m.m{i}) * {prev_v}.v{i}" for i in range(d))
+    ctes = ",\n".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT f.vec_id, round({proj}, 6) AS proj
+        FROM flat f CROSS JOIN m CROSS JOIN {prev_v}
+    """
+
+
 def _probe_cells(centroids: list, query_vec: list[float], nprobe: int) -> list[int]:
     """Driver-side centroid ranking shared by every IVF probe tier:
     the nprobe cells whose centroids are nearest the query by cosine,

@@ -26,6 +26,7 @@ from distributed_mapreduce_spark.operators.multimodal import (
 )
 from distributed_mapreduce_spark.operators.similarity import (
     ivf_topk,
+    power_iteration_sql,
     topk_cosine_literal,
 )
 from distributed_mapreduce_spark.queries.relational import money
@@ -500,6 +501,21 @@ def semdedup_representatives(
         )
         .select(F.col("component").alias("rep_id"), "cell", "n_members")
     )
+
+
+def ml_q3_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded distributed PCA: top principal component of the
+    embedding table by 3 matrix-free power-iteration steps
+    (operators/similarity.power_iteration), reported as each vector's
+    centered projection onto the component — the embedding-whitening /
+    outlier-scoring step of a vector pipeline, and the fourth
+    engine-deterministic iterative loop next to sim_q6 (k-means),
+    ml_q1 (GD) and dedup_q13 (PageRank). The oracle replays the whole
+    loop — mean, every s-accumulation, every normalize — bit-for-bit;
+    all 2000 per-vector projections match exactly."""
+    from distributed_mapreduce_spark.operators.similarity import power_iteration
+
+    return power_iteration(_emb(spark, sf_dir), DIM)
 
 
 def dedup_q19_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -990,6 +1006,7 @@ SHADOW_QUERIES = {
     "sim_q10_knn_join": sim_q10_knn_join,
     "sim_q11_knn_join_ivf": sim_q11_knn_join_ivf,
     "dedup_q19_semdedup": dedup_q19_semdedup,
+    "ml_q3_pca_power": ml_q3_pca_power,
 }
 
 
@@ -1349,4 +1366,5 @@ SHADOW_ORACLES = {
         LIMIT {TOP_PAIRS}
     """,
     "dedup_q19_semdedup": _semdedup_sql(),
+    "ml_q3_pca_power": power_iteration_sql(DIM),
 }

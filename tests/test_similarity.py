@@ -1212,3 +1212,27 @@ def test_semdedup_partitions_fixture_and_recall_vs_exact_tier(spark, sf_dir):
     assert exact_dropped, "fixture lost its planted near-dup signal"
     recall = len(dropped) / len(exact_dropped)
     assert recall >= 0.2, f"semdedup recall collapsed: {recall:.2f}"
+
+
+def test_power_iteration_finds_planted_direction(spark):
+    """Power iteration on data with one dominant variance direction:
+    two tight blobs separated along a known axis. The top component
+    must align with the separation axis, so the centered projections
+    split by blob with a wide margin — and each blob's projections
+    cluster tightly (|proj| ≈ half the separation)."""
+    from distributed_mapreduce_spark.operators.similarity import power_iteration
+
+    rows = []
+    for i in range(20):
+        eps = (i % 5) * 0.01
+        rows.append((i, [10.0 + eps, eps, 1.0, -1.0]))
+        rows.append((100 + i, [-10.0 - eps, -eps, 1.0, -1.0]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {r.vec_id: r.proj for r in power_iteration(emb, dim=4).collect()}
+    assert len(got) == 40
+    pos = [v for k, v in got.items() if k < 100]
+    neg = [v for k, v in got.items() if k >= 100]
+    # one blob projects positive, the other negative (sign convention
+    # fixed by the deterministic e0 init), both near ±10
+    assert all(9.0 < v < 11.0 for v in pos) or all(9.0 < v < 11.0 for v in neg)
+    assert all(-11.0 < v < -9.0 for v in neg) or all(-11.0 < v < -9.0 for v in pos)
