@@ -553,13 +553,22 @@ def power_iteration(
 
     The d×d covariance never materializes: each iteration computes
     s = Σ_rows (x−m)·((x−m)ᵀ v) in ONE scan — a per-row left-assoc
-    dot followed by a posexplode + per-coordinate keyed agg (the
-    kmeans means-stage shape), so a 100 TB corpus costs iters+2 scans
-    and shuffles only dim-sized partials. Determinism staging: the
-    mean and every s coordinate are round-12 DECIMAL(22,12) sums
-    (order-independent) divided/rounded engine-side; v normalizes in a
-    1-row ENGINE select (never Python round — half-even vs HALF_UP,
-    the mix_q6 lesson); init v₀ = e₀.
+    dot followed by dim per-coordinate decimal aggregates evaluated
+    IN PLACE (one wide agg, no explode), so a 100 TB corpus costs
+    iters+2 scans and shuffles only dim-sized partials. The
+    kmeans-style posexplode + keyed-agg alternative was measured and
+    rejected: at N=20k it costs 17.8 s/iteration vs 7.1 s cold /
+    4.3 s warm for the wide agg — Generate materializes dim× rows
+    (with their per-row decimal rounding) BEFORE partial aggregation,
+    while the wide form reduces them where they stand; the wide
+    plan's constant Catalyst cost (64 agg exprs, ~1-2 s driver) is
+    the right trade at dim=64 (the kmeans narrow-plan lesson applied
+    in reverse — there the wide form was k×dim=512 columns).
+    Determinism staging: the mean and every s coordinate are round-12
+    DECIMAL(22,12) sums (order-independent, so the explode and wide
+    forms are bit-identical — tested equal) divided/rounded
+    engine-side; v normalizes in a 1-row ENGINE select (never Python
+    round — half-even vs HALF_UP, the mix_q6 lesson); init v₀ = e₀.
 
     Returns one row per vector: (id, proj) with proj = the centered
     projection onto the final component, rounded to 6 — the score a
@@ -575,15 +584,15 @@ def power_iteration(
     flat = emb.select(
         id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")
     ).persist()
-    mrows = (
-        flat.select(F.posexplode("v").alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.round(F.sum(dec12(F.col("x"))).cast("double") / F.count("*"), 12).alias("m"))
-        .collect()
-    )
-    m = [0.0] * dim
-    for r in mrows:
-        m[r["pos"]] = float(r["m"])
+    mrow = flat.agg(
+        *[
+            F.round(F.sum(dec12(F.col("v")[i])).cast("double") / F.count("*"), 12).alias(
+                f"m{i}"
+            )
+            for i in range(dim)
+        ]
+    ).collect()[0]
+    m = [float(mrow[f"m{i}"]) for i in range(dim)]
     v = [1.0] + [0.0] * (dim - 1)
 
     def centered_dot(vec: list[float]):
@@ -592,21 +601,23 @@ def power_iteration(
             [(F.col("v")[i] - F.lit(m[i])) * F.lit(vec[i]) for i in range(dim)],
         )
 
-    marr = F.array(*[F.lit(x) for x in m])
     for _ in range(iters):
-        srows = (
-            flat.select(centered_dot(v).alias("d"), F.posexplode("v").alias("pos", "x"))
-            .select(
-                "pos",
-                dec12((F.col("x") - F.element_at(marr, F.col("pos") + 1)) * F.col("d")).alias("c"),
+        srow = (
+            flat.select("v", centered_dot(v).alias("d"))
+            .agg(
+                *[
+                    F.round(
+                        F.sum(dec12((F.col("v")[i] - F.lit(m[i])) * F.col("d"))).cast(
+                            "double"
+                        ),
+                        12,
+                    ).alias(f"s{i}")
+                    for i in range(dim)
+                ]
             )
-            .groupBy("pos")
-            .agg(F.round(F.sum("c").cast("double"), 12).alias("s"))
-            .collect()
+            .collect()[0]
         )
-        s = [0.0] * dim
-        for r in srows:
-            s[r["pos"]] = float(r["s"])
+        s = [float(srow[f"s{i}"]) for i in range(dim)]
         # Normalize ENGINE-side (1-row select): the same left-assoc
         # norm chain and HALF_UP rounds the oracle's v-CTE computes.
         sq = functools.reduce(

@@ -107,6 +107,15 @@ BUDGET_Q15_S = 300  # measured r7: 31.0 s (~5-6x for 10x docs, linear)
 # agg + join-back + per-doc window are all ∝ corpus tokens, so sf1
 # should land ~10-25 s; budget ~10× that upper read.
 BUDGET_Q17_S = 240
+# r13: semdedup (dedup_q19) = kmeans (~sim_q6's cost) + a cell-keyed
+# pair join of Σ|cell|² ≈ N²/k pairs (at N=20k, k=8: ~25M flat-column
+# dots ≈ 1/8 of dedup_q6's grid volume) + CC on the surviving pairs.
+# Expect tens of seconds; budget ~10× the expected read.
+BUDGET_Q19_S = 400
+# r13: PCA power iteration (ml_q3) = iters+2 scans with dim-sized
+# decimal partials — the narrow-plan iterative shape; expect seconds
+# at N=20k.
+BUDGET_MLQ3_S = 120
 
 
 @pytest.fixture(scope="module")
@@ -210,6 +219,28 @@ def test_sf1_dedup_q17_span_scrub(stress_spark, sf1_dir):
         f"dedup_q17 took {dt:.0f}s at sf1 (budget {BUDGET_Q17_S}s) — "
         "check the gram agg/join-back stayed keyed (no all-pairs) and "
         "the coverage window still partitions per document"
+    )
+
+
+def test_sf1_dedup_q19_semdedup(stress_spark, sf1_dir):
+    from distributed_mapreduce_spark.queries.simops import dedup_q19_semdedup
+
+    dt = _timed("dedup_q19_semdedup", lambda: dedup_q19_semdedup(stress_spark, sf1_dir))
+    assert dt < BUDGET_Q19_S, (
+        f"dedup_q19 took {dt:.0f}s at sf1 (budget {BUDGET_Q19_S}s) — "
+        "check the pair join is still keyed on cell (Σ|cell|² pairs, "
+        "never the full N² cross)"
+    )
+
+
+def test_sf1_ml_q3_pca_power(stress_spark, sf1_dir):
+    from distributed_mapreduce_spark.queries.simops import ml_q3_pca_power
+
+    dt = _timed("ml_q3_pca_power", lambda: ml_q3_pca_power(stress_spark, sf1_dir))
+    assert dt < BUDGET_MLQ3_S, (
+        f"ml_q3 took {dt:.0f}s at sf1 (budget {BUDGET_MLQ3_S}s) — "
+        "check each iteration is ONE scan with dim-sized decimal "
+        "partials (training set persisted, plans narrow)"
     )
 
 
