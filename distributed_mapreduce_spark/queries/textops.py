@@ -1339,6 +1339,64 @@ def text_q15_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Combining marks for the NFC splice (grave/acute/circumflex/tilde/
+# diaeresis) — chosen so EVERY mark has a precomposed form with both
+# 'e' and 'o' (è–ë / ò–ö), making the decomposed class deterministic-
+# ally composable, inside the latin-diacritic class where DuckDB's
+# utf8proc and Python's unicodedata provably agree (functions/text.
+# normalize_nfc). One Python constant feeds BOTH engines' literals.
+NFC_MARKS = [0x300, 0x301, 0x302, 0x303, 0x308]
+
+
+def text_q16_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (functions/text.normalize_nfc —
+    the Arrow-batched pandas-UDF lane, since the JVM has no NFC
+    builtin): decomposed base+combining-mark sequences collapse to
+    their precomposed forms so downstream tokenize/fingerprint/dedup
+    treat visually-identical text as identical. Graded on the full
+    normalized text + a changed flag + before/after codepoint lengths.
+
+    The ASCII fixture corpus is NFC-invariant, so the query plants
+    doc_id-derived spans (the text_q15 splice pattern) in three
+    per-row classes: ≡0 mod 3 gets a DECOMPOSED pair (mark chosen per
+    doc — must change and shorten), ≡1 mod 3 gets the PRECOMPOSED
+    'é ö' (already NFC — must pass through unchanged), ≡2 mod 3 stays
+    ASCII. A normalizer that over- or under-applies fails
+    value-by-value on whichever class it breaks.
+
+    Scale shape: per-row Arrow-batched map, no shuffle; the lengths
+    stay JVM-side. All spliced codepoints are BMP, where Spark's
+    UTF-16 length equals DuckDB's codepoint length."""
+    from distributed_mapreduce_spark.functions.text import normalize_nfc
+
+    docs = widen(table(spark, sf_dir, "documents"))
+    d = F.col("doc_id")
+    marks = F.array(*[F.lit(chr(m)) for m in NFC_MARKS])
+    m1 = F.element_at(marks, (d % 5 + 1).cast("int"))
+    m2 = F.element_at(marks, ((F.expr("doc_id div 5")) % 5 + 1).cast("int"))
+    decomposed = F.concat(F.lit(" e"), m1, F.lit("o"), m2, F.lit(" "))
+    precomposed = F.lit(" é ö ")
+    insert = (
+        F.when(d % 3 == 0, decomposed)
+        .when(d % 3 == 1, precomposed)
+        .otherwise(F.lit(" "))
+    )
+    dirty = F.concat(F.substring("text", 1, 20), insert, F.expr("substring(text, 21)"))
+    base = docs.select("doc_id", dirty.alias("dirty"))
+    out = base.select(
+        "doc_id",
+        "dirty",
+        normalize_nfc("dirty").alias("normalized"),
+    )
+    return out.select(
+        "doc_id",
+        (F.col("normalized") != F.col("dirty")).cast("int").alias("changed"),
+        F.length("dirty").cast("bigint").alias("len_before"),
+        F.length("normalized").cast("bigint").alias("len_after"),
+        "normalized",
+    )
+
+
 SHADOW_QUERIES = {
     "text_q7_repetition": text_q7_repetition,
     "text_q8_tfidf": text_q8_tfidf,
@@ -1358,7 +1416,36 @@ SHADOW_QUERIES = {
     "dedup_q17_span_scrub": dedup_q17_span_scrub,
     "dedup_q18_keep_best": dedup_q18_keep_best,
     "text_q15_pii_redact": text_q15_pii_redact,
+    "text_q16_unicode_nfc": text_q16_unicode_nfc,
 }
+
+
+def _unicode_nfc_sql() -> str:
+    """DuckDB mirror of text_q16_unicode_nfc: the same NFC_MARKS-driven
+    splice (one Python constant emits both engines' literals) and
+    nfc_normalize in place of the pandas UDF."""
+    mark_list = ", ".join(f"'{chr(m)}'" for m in NFC_MARKS)
+    return f"""
+        WITH marks AS (SELECT [{mark_list}] AS ml),
+        dirty AS (
+            SELECT doc_id,
+                   substring(text, 1, 20)
+                   || CASE
+                      WHEN doc_id % 3 = 0 THEN
+                           ' e' || ml[CAST(doc_id % 5 + 1 AS INT)]
+                           || 'o' || ml[CAST((doc_id // 5) % 5 + 1 AS INT)] || ' '
+                      WHEN doc_id % 3 = 1 THEN ' é ö '
+                      ELSE ' ' END
+                   || substring(text, 21) AS dirty
+            FROM documents CROSS JOIN marks
+        )
+        SELECT doc_id,
+               CAST(nfc_normalize(dirty) <> dirty AS INT) AS changed,
+               CAST(length(dirty) AS BIGINT) AS len_before,
+               CAST(length(nfc_normalize(dirty)) AS BIGINT) AS len_after,
+               nfc_normalize(dirty) AS normalized
+        FROM dirty
+    """
 
 
 def _pii_redact_sql() -> str:
@@ -1834,4 +1921,5 @@ SHADOW_ORACLES = {
         FROM tok_stats JOIN big_stats USING (doc_id)
     """,
     "text_q15_pii_redact": _pii_redact_sql(),
+    "text_q16_unicode_nfc": _unicode_nfc_sql(),
 }

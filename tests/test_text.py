@@ -129,3 +129,27 @@ def test_redact_pii_boundaries_and_negatives(spark):
         redacted, n = got[src]
         assert redacted == want, src
         assert (n > 0) == (want != src), src
+
+
+def test_normalize_nfc_semantics(spark):
+    from distributed_mapreduce_spark.functions.text import normalize_nfc
+
+    cases = {
+        # decomposed base+mark collapses to the precomposed codepoint
+        "café": "café",
+        # already-NFC text passes through untouched
+        "café ö": "café ö",
+        # plain ASCII is NFC-invariant
+        "plain ascii": "plain ascii",
+        # marks with no precomposed partner stay decomposed (o + ring)
+        "o̊": "o̊",
+        "": "",
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    got = {r.text: r.n for r in df.select("text", normalize_nfc("text").alias("n")).collect()}
+    for src, want in cases.items():
+        assert got[src] == want, repr(src)
+    # idempotence: normalizing the normalized output changes nothing
+    df2 = spark.createDataFrame([(v,) for v in cases.values()], "text string")
+    got2 = {r.text: r.n for r in df2.select("text", normalize_nfc("text").alias("n")).collect()}
+    assert all(got2[v] == v for v in cases.values())
