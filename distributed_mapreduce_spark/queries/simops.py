@@ -564,6 +564,125 @@ def emb_q1_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_centroid_profile(
+    emb: DataFrame, dim: int = DIM, label_col: str = "label"
+) -> DataFrame:
+    """Per-group embedding centroid profile — the domain-embedding
+    summary a curation pipeline maintains per source/cluster/label
+    (SemDeDup's cluster statistics, drift monitoring, domain-balance
+    dashboards): for every label, the per-dimension mean vector plus
+    the cohesion of the group around it (mean / min / max rounded
+    cosine of members to their centroid). Returns one row per label:
+    (label, n_vecs, centroid_norm, mean_cos, min_cos, max_cos).
+
+    The grouped dense-vector mean applies the ml_q3 measured lesson:
+    dim per-coordinate decimal aggregates evaluated IN PLACE (one wide
+    agg keyed by label — never a posexplode that materializes dim×
+    rows before partial aggregation). The centroid table is
+    labels×dim, broadcast back for the cohesion pass — two scans
+    total at any corpus size, shuffle bounded by labels×dim decimal
+    partials.
+
+    Determinism staging: per-dim means are round-12 decimal sums
+    (order-independent); member cosine is the left-assoc flat-column
+    chain rounded to 6 (the dedup_q6 discipline); the cohesion mean
+    stages the rounded cosines through DECIMAL again."""
+    import functools
+    import operator
+
+    def dec12(c):
+        return F.round(c, 12).cast("decimal(22,12)")
+
+    d = dim
+    flat = emb.select(
+        F.col(label_col).alias("label"),
+        *[F.col("embedding")[i].cast("double").alias(f"x{i}") for i in range(d)],
+    ).persist()
+    cents = flat.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        *[
+            F.round(
+                F.sum(dec12(F.col(f"x{i}"))).cast("double") / F.count("*"), 12
+            ).alias(f"m{i}")
+            for i in range(d)
+        ],
+    )
+    add = operator.add
+    dotxm = functools.reduce(
+        add, [F.col(f"x{i}") * F.col(f"m{i}") for i in range(d)]
+    )
+    nx = F.sqrt(
+        functools.reduce(add, [F.col(f"x{i}") * F.col(f"x{i}") for i in range(d)])
+    )
+    nm = F.sqrt(
+        functools.reduce(add, [F.col(f"m{i}") * F.col(f"m{i}") for i in range(d)])
+    )
+    cos = F.round(
+        F.when(nx * nm > 0, dotxm / (nx * nm)).otherwise(F.lit(0.0)), 6
+    )
+    scored = flat.join(F.broadcast(cents), "label").select(
+        "label",
+        "n_vecs",
+        F.round(nm, 6).alias("centroid_norm"),
+        cos.alias("cos"),
+    )
+    return scored.groupBy("label", "n_vecs", "centroid_norm").agg(
+        F.round(F.sum(dec12(F.col("cos"))).cast("double") / F.count("*"), 6).alias(
+            "mean_cos"
+        ),
+        F.min("cos").alias("min_cos"),
+        F.max("cos").alias("max_cos"),
+    )
+
+
+def emb_q2_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded per-label centroid profile over the embeddings fixture —
+    see label_centroid_profile (the operator this query applies; the
+    planted-cohesion test exercises the same code path). Graded on all
+    six columns per label."""
+    from distributed_mapreduce_spark.sources import widen
+
+    return label_centroid_profile(widen(_emb(spark, sf_dir)), DIM)
+
+
+def _label_centroids_sql() -> str:
+    """DuckDB mirror of emb_q2_label_centroids stage by stage: the
+    same flat projection, round-12 decimal per-dim means, left-assoc
+    cosine chains rounded to 6, and the decimal-staged cohesion mean."""
+    d = DIM
+    xs = ", ".join(f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(d))
+    means = ", ".join(
+        f"round(CAST(sum(CAST(round(x{i}, 12) AS DECIMAL(22,12))) AS DOUBLE)"
+        f" / count(*), 12) AS m{i}"
+        for i in range(d)
+    )
+    dotxm = " + ".join(f"f.x{i} * c.m{i}" for i in range(d))
+    nx = "sqrt(" + " + ".join(f"f.x{i} * f.x{i}" for i in range(d)) + ")"
+    nm = "sqrt(" + " + ".join(f"c.m{i} * c.m{i}" for i in range(d)) + ")"
+    return f"""
+        WITH flat AS (SELECT label, {xs} FROM embeddings),
+        cents AS (
+            SELECT label, count(*) AS n_vecs, {means}
+            FROM flat GROUP BY label
+        ),
+        scored AS (
+            SELECT f.label, c.n_vecs,
+                   round({nm}, 6) AS centroid_norm,
+                   round(CASE WHEN {nx} * {nm} > 0
+                         THEN ({dotxm}) / ({nx} * {nm})
+                         ELSE 0.0 END, 6) AS cos
+            FROM flat f JOIN cents c USING (label)
+        )
+        SELECT label, n_vecs, centroid_norm,
+               round(CAST(sum(CAST(round(cos, 12) AS DECIMAL(22,12))) AS DOUBLE)
+                     / count(*), 6) AS mean_cos,
+               min(cos) AS min_cos,
+               max(cos) AS max_cos
+        FROM scored
+        GROUP BY 1, 2, 3
+    """
+
+
 def mm_q1_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata aggregation over the binary payload column."""
     mm = multimodal_table(spark, sf_dir)
@@ -1007,6 +1126,7 @@ SHADOW_QUERIES = {
     "sim_q11_knn_join_ivf": sim_q11_knn_join_ivf,
     "dedup_q19_semdedup": dedup_q19_semdedup,
     "ml_q3_pca_power": ml_q3_pca_power,
+    "emb_q2_label_centroids": emb_q2_label_centroids,
 }
 
 
@@ -1367,4 +1487,5 @@ SHADOW_ORACLES = {
     """,
     "dedup_q19_semdedup": _semdedup_sql(),
     "ml_q3_pca_power": power_iteration_sql(DIM),
+    "emb_q2_label_centroids": _label_centroids_sql(),
 }

@@ -1236,3 +1236,23 @@ def test_power_iteration_finds_planted_direction(spark):
     # fixed by the deterministic e0 init), both near ±10
     assert all(9.0 < v < 11.0 for v in pos) or all(9.0 < v < 11.0 for v in neg)
     assert all(-11.0 < v < -9.0 for v in neg) or all(-11.0 < v < -9.0 for v in pos)
+
+
+def test_label_centroid_profile_planted_cohesion(spark):
+    """Planted groups through the real operator: a perfectly-cohesive
+    label (identical vectors → every member cosine exactly 1.0 to the
+    centroid) and a dispersed label (two orthogonal directions →
+    members sit at cos ≈ 0.707 to the mean, with exact min=max by
+    symmetry)."""
+    from distributed_mapreduce_spark.queries.simops import label_centroid_profile
+
+    rows = [(i, [3.0, 0.0, 0.0, 4.0], 1) for i in range(5)]
+    rows += [(10, [1.0, 0.0, 0.0, 0.0], 2), (11, [0.0, 1.0, 0.0, 0.0], 2)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {r.label: r for r in label_centroid_profile(emb, dim=4).collect()}
+    assert got[1].n_vecs == 5 and got[1].centroid_norm == 5.0
+    assert got[1].mean_cos == 1.0 == got[1].min_cos == got[1].max_cos
+    assert got[2].n_vecs == 2
+    assert got[2].min_cos == got[2].max_cos == pytest.approx(0.707107, abs=1e-6)
