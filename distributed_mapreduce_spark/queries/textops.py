@@ -1397,6 +1397,55 @@ def text_q16_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_q17_per_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-STRATUM dynamic quality filter — text_q13's adaptive cutoff
+    applied the way production pipelines actually run it: each
+    language drops its OWN bottom-quartile entropy documents, because
+    entropy distributions differ structurally across languages and a
+    corpus-global threshold over-drops whichever stratum runs low.
+    Graded on the exact surviving row set with each doc's entropy and
+    its stratum's realized threshold (the smallest kept entropy).
+
+    Determinism — the RANK quantile, not the interpolated one
+    (measured lesson, this round): the first form used text_q13's
+    round-6 interpolated percentile per group, and the fr stratum at
+    sf0.01 landed within one ulp of a .5×10⁻⁶ boundary — Spark's
+    percentile and DuckDB's quantile_cont interpolate with different
+    expression shapes, so the 6th decimal of the threshold flipped
+    (2.962848 vs 2.962849; row set identical). Each per-group
+    percentile is an independent boundary lottery, so the grouped form
+    multiplies the exposure. The rank form has NO float interpolation
+    anywhere: keep rank > floor(n·p) over the exact (entropy, doc_id)
+    order, with p = 0.25 a power of two so n·p is exact — every
+    compared value is either an integer or an already-rounded data
+    value both engines hold bit-identically.
+
+    Scale shape: the entropy pass dominates (explode → keyed aggs);
+    the rank is one per-stratum window (same sort serves rank, count,
+    and the realized-threshold min) — at 100 TB swap the exact rank
+    for the KLL sketch (operators/sketches.py), same query shape."""
+    from pyspark.sql import Window
+
+    docs = widen(table(spark, sf_dir, "documents"))
+    ent = unigram_entropy(docs).select(F.col("id").alias("doc_id"), "entropy")
+    ent = ent.join(docs.select("doc_id", "lang"), "doc_id")
+    byl = Window.partitionBy("lang")
+    w = byl.orderBy(F.col("entropy").asc(), F.col("doc_id").asc())
+    kept = (
+        ent.select(
+            "doc_id",
+            "lang",
+            "entropy",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(byl).alias("n"),
+        )
+        .where(F.col("rk") > F.floor(F.col("n") * F.lit(DYN_QUALITY_P)))
+    )
+    return kept.select(
+        "doc_id", "lang", "entropy", F.min("entropy").over(byl).alias("t")
+    )
+
+
 SHADOW_QUERIES = {
     "text_q7_repetition": text_q7_repetition,
     "text_q8_tfidf": text_q8_tfidf,
@@ -1417,6 +1466,7 @@ SHADOW_QUERIES = {
     "dedup_q18_keep_best": dedup_q18_keep_best,
     "text_q15_pii_redact": text_q15_pii_redact,
     "text_q16_unicode_nfc": text_q16_unicode_nfc,
+    "text_q17_per_lang_quality": text_q17_per_lang_quality,
 }
 
 
@@ -1839,6 +1889,49 @@ SHADOW_ORACLES = {
         SELECT doc_id, entropy, t
         FROM ent CROSS JOIN thr
         WHERE entropy >= t
+    """,
+    # Mirrors text_q17: the same entropy chain, then the RANK quantile
+    # per language — row_number over the exact (entropy, doc_id)
+    # order, keep rank > floor(n·0.25) (0.25 a power of two ⇒ n·p
+    # exact), realized threshold = min kept entropy. No interpolation
+    # (see the query docstring for the measured fr-stratum ulp flip
+    # the interpolated form suffered).
+    "text_q17_per_lang_quality": f"""
+        WITH per AS (
+            SELECT doc_id, n_tokens, tok, count(*) AS c
+            FROM (SELECT doc_id, len(ts) AS n_tokens, unnest(ts) AS tok
+                  FROM (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents))
+            GROUP BY 1, 2, 3
+        ),
+        e AS (
+            SELECT doc_id, n_tokens,
+                   CAST(round(-(c / CAST(n_tokens AS DOUBLE))
+                              * ln(c / CAST(n_tokens AS DOUBLE)), 12)
+                        AS DECIMAL(22,12)) AS te
+            FROM per
+        ),
+        ent AS (
+            SELECT doc_id, CAST(round(sum(te), 6) AS DOUBLE) AS entropy
+            FROM e GROUP BY doc_id, n_tokens
+        ),
+        lent AS (
+            SELECT d.lang, ent.doc_id, ent.entropy
+            FROM ent JOIN documents d USING (doc_id)
+        ),
+        ranked AS (
+            SELECT lang, doc_id, entropy,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY entropy ASC, doc_id ASC
+                   ) AS rk,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM lent
+        ),
+        kept AS (
+            SELECT * FROM ranked WHERE rk > floor(n * {DYN_QUALITY_P})
+        )
+        SELECT doc_id, lang, entropy,
+               min(entropy) OVER (PARTITION BY lang) AS t
+        FROM kept
     """,
     # Mirrors text_q9_entropy: identical per-term double math, 12-dec
     # round into DECIMAL before the (exact, order-independent) sum.
