@@ -449,12 +449,26 @@ def foreach_batch_cdc_merge_partitioned(
 
 
 def read_current_partitioned(
-    spark, store_path: str, live_only: bool = False, delete_col: str = "is_delete"
+    spark,
+    store_path: str,
+    live_only: bool = False,
+    delete_col: str = "is_delete",
+    as_of: int | None = None,
 ) -> DataFrame:
     """Live snapshot of a foreach_batch_cdc_merge_partitioned store:
     for each partition, its newest committed version's directory
     (absent dir for a touched partition = empty). Committed =
     manifest present; a half-written version is never surfaced.
+
+    `as_of=v` is TIME TRAVEL (Delta/Iceberg `VERSION AS OF`): fold
+    only manifests with version ≤ v, reproducing the snapshot exactly
+    as it stood after version v committed — per-partition, each
+    partition resolves to its newest committed version ≤ v, so the
+    read touches only manifest metadata plus the surviving files; no
+    data is copied or replayed. Time travel reaches exactly the
+    versions `vacuum_versions_partitioned` has kept (the Delta
+    contract: retention bounds history). Raises if no committed
+    version ≤ v exists.
 
     For an `ordered=True` store, `live_only=True` filters the delete
     tombstones out and drops the flag column — the row set a consumer
@@ -466,13 +480,44 @@ def read_current_partitioned(
 
     store = pathlib.Path(store_path)
     # one manifest scan serves both the existence check and the map
-    manifests = _committed_manifests(store_path)
+    manifests = _committed_manifests(
+        store_path, below=None if as_of is None else as_of + 1
+    )
     if not manifests:
-        raise FileNotFoundError(f"no committed version under {store_path}")
+        raise FileNotFoundError(
+            f"no committed version under {store_path}"
+            + (f" at or below as_of={as_of}" if as_of is not None else "")
+        )
     current: dict[int, int] = {}
     for v, manifest in manifests:
         for p in manifest["touched"]:
             current[p] = v
+    if as_of is not None:
+        # Soundness guard: vacuum_versions_partitioned records each
+        # reclaimed committed version's touched set in _vacuumed.json.
+        # The historical fold is WRONG for partition P exactly when
+        # some reclaimed version d ≤ as_of touched P and no surviving
+        # manifest in (d, as_of] rewrote P — the fold would silently
+        # resolve P to a pre-d state (or to absent). Detect that case
+        # per partition and refuse, rather than fabricate history —
+        # the Delta/Iceberg "version reclaimed by retention" error.
+        from distributed_mapreduce_spark.streaming.commitlog import (
+            read_json_tolerant,
+        )
+
+        vac = read_json_tolerant(store / "_vacuumed.json")
+        if vac:
+            for d_str, touched in vac.get("reclaimed", {}).items():
+                d = int(d_str)
+                if d > as_of:
+                    continue
+                for p in touched:
+                    if current.get(p, d - 1) < d:
+                        raise FileNotFoundError(
+                            f"as_of={as_of} reaches version {d} of partition "
+                            f"p={p}, reclaimed by vacuum_versions_partitioned "
+                            f"— history below the retention window is gone"
+                        )
     if live_only and not manifests[0][1].get("ordered", False):
         raise ValueError(
             f"store {store_path} is not an ordered CDC store — its "
@@ -622,22 +667,49 @@ def vacuum_versions_partitioned(store_path: str, keep: int = 2) -> list[int]:
     # so they are plain debris.
     newest = committed[-1][0]
     survivors.update(v for v, _ in committed[-keep:])
+    by_version = dict(committed)
     deleted = []
+    reclaimed: dict[str, list[int]] = {}
     for p in store.glob("v=*"):
         v = int(p.name.split("=", 1)[1])
         if v in survivors:
             continue
         if (p / "_touched.json").exists() or v < newest:
+            if v in by_version:
+                # Record the reclaimed COMMITTED version's touched set
+                # so time travel (read_current_partitioned as_of=) can
+                # detect — exactly, per partition — when a historical
+                # fold would silently resolve past a vacuumed rewrite.
+                # Uncommitted debris was never part of history; no
+                # record needed.
+                reclaimed[str(v)] = list(by_version[v]["touched"])
             shutil.rmtree(p)
             deleted.append(v)
+    if reclaimed:
+        from distributed_mapreduce_spark.streaming.commitlog import (
+            atomic_write_json,
+            read_json_tolerant,
+        )
+
+        prior = read_json_tolerant(store / "_vacuumed.json") or {"reclaimed": {}}
+        prior["reclaimed"].update(reclaimed)
+        atomic_write_json(store / "_vacuumed.json", prior)
     return sorted(deleted)
 
 
 def read_current_version(
-    spark, store_path: str, live_only: bool = False, delete_col: str = "is_delete"
+    spark,
+    store_path: str,
+    live_only: bool = False,
+    delete_col: str = "is_delete",
+    as_of: int | None = None,
 ) -> DataFrame:
     """Newest COMMITTED snapshot of a foreach_batch_cdc_merge store
-    (_SUCCESS-gated, so a crash mid-write never surfaces). For an
+    (_SUCCESS-gated, so a crash mid-write never surfaces). `as_of=v`
+    is TIME TRAVEL (Delta/Iceberg `VERSION AS OF`): read the newest
+    committed version ≤ v — the whole-snapshot layout keeps each
+    version self-contained, so the historical read is one directory.
+    Reaches exactly the versions `vacuum_versions` has kept. For an
     ordered store, `live_only=True` filters the delete tombstones and
     drops the flag column (see read_current_partitioned); refused when
     the snapshot carries no tombstone column."""
@@ -648,9 +720,13 @@ def read_current_version(
         int(p.name.split("=", 1)[1])
         for p in store.glob("v=*")
         if (p / "_SUCCESS").exists()
+        and (as_of is None or int(p.name.split("=", 1)[1]) <= as_of)
     ]
     if not committed:
-        raise FileNotFoundError(f"no committed version under {store_path}")
+        raise FileNotFoundError(
+            f"no committed version under {store_path}"
+            + (f" at or below as_of={as_of}" if as_of is not None else "")
+        )
     df = spark.read.parquet(f"{store_path}/v={max(committed)}")
     if live_only:
         from pyspark.sql import functions as F

@@ -1416,3 +1416,154 @@ def test_knn_join_over_maintained_ann_ingest_store(spark, tmp_path):
     ).collect()
     fresh = knn_join_ivf(emb, cents, 5, nprobe=4).collect()
     assert sorted(map(tuple, via_store)) == sorted(map(tuple, fresh))
+
+
+def test_time_travel_as_of_both_layouts(spark, tmp_path):
+    """VERSION AS OF time travel on both CDC store layouts: as_of=v
+    reproduces the snapshot exactly as it stood after batch v
+    committed (checked against every batch boundary), as_of below the
+    first version raises, and the vacuum interplay is SOUND — the
+    whole-snapshot layout naturally refuses reclaimed versions (prefix
+    deletions leave nothing ≤ as_of), while the partitioned layout
+    detects, per partition via the _vacuumed.json record, a historical
+    fold that would silently resolve past a reclaimed rewrite, and
+    refuses instead of fabricating history."""
+    import pathlib
+
+    import pytest
+
+    from distributed_mapreduce_spark.streaming import event_stream
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_cdc_merge,
+        foreach_batch_cdc_merge_partitioned,
+        read_current_partitioned,
+        read_current_version,
+        vacuum_versions,
+        vacuum_versions_partitioned,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = time.time()
+    # key 1 is rewritten in EVERY batch; key 2 only in batch 0 — after
+    # a keep=2 vacuum, v=0 must survive for key 2's partition (its only
+    # rewrite) while key 1's history stays navigable.
+    _cdc_change_chunk(
+        str(src / "c1.parquet"), [(1, 1, "up", 10), (2, 2, "up", 20)], base
+    )
+    _cdc_change_chunk(
+        str(src / "c2.parquet"), [(3, 1, "up", 11), (4, 3, "up", 30)], base + 5
+    )
+    _cdc_change_chunk(
+        str(src / "c3.parquet"), [(5, 1, "up", 12), (6, 3, "del", 0)], base + 10
+    )
+    expected = {
+        0: {1: 10.0, 2: 20.0},
+        1: {1: 11.0, 2: 20.0, 3: 30.0},
+        2: {1: 12.0, 2: 20.0},
+    }
+
+    flat, flat_ckpt = str(tmp_path / "flat"), str(tmp_path / "flat_ckpt")
+    q = foreach_batch_cdc_merge(
+        _cdc_to_changes(event_stream(spark, str(src))), flat, flat_ckpt, "k"
+    )
+    q.awaitTermination()
+    part, part_ckpt = str(tmp_path / "part"), str(tmp_path / "part_ckpt")
+    q = foreach_batch_cdc_merge_partitioned(
+        _cdc_to_changes(event_stream(spark, str(src))),
+        part,
+        part_ckpt,
+        "k",
+        n_buckets=4,
+    )
+    q.awaitTermination()
+
+    for v, exp in expected.items():
+        assert {
+            r.k: r.v for r in read_current_version(spark, flat, as_of=v).collect()
+        } == exp, f"flat as_of={v}"
+        assert {
+            r.k: r.v
+            for r in read_current_partitioned(spark, part, as_of=v).collect()
+        } == exp, f"part as_of={v}"
+    # as_of at/above the newest version == the live read
+    assert {
+        r.k: r.v for r in read_current_partitioned(spark, part, as_of=99).collect()
+    } == expected[2]
+    with pytest.raises(FileNotFoundError):
+        read_current_version(spark, flat, as_of=-1)
+    with pytest.raises(FileNotFoundError):
+        read_current_partitioned(spark, part, as_of=-1)
+
+    # vacuum interplay — whole-snapshot layout: keep=2 deletes v=0;
+    # as_of=0 must now refuse (nothing committed ≤ 0), as_of=1 exact.
+    assert vacuum_versions(flat, keep=2) == [0]
+    with pytest.raises(FileNotFoundError):
+        read_current_version(spark, flat, as_of=0)
+    assert {
+        r.k: r.v for r in read_current_version(spark, flat, as_of=1).collect()
+    } == expected[1]
+
+    # vacuum interplay — partitioned layout: key 2's only rewrite is
+    # v=0, so v=0 SURVIVES keep=2 and every as_of stays exact...
+    assert vacuum_versions_partitioned(part, keep=2) == []
+    for v, exp in expected.items():
+        assert {
+            r.k: r.v
+            for r in read_current_partitioned(spark, part, as_of=v).collect()
+        } == exp
+    # ...until the hot partitions outgrow their windows: two more
+    # batches touching keys 1 AND 3 push both their keep=2 windows to
+    # {v3, v4}, leaving v1/v2 protected by nothing (key 2's partition
+    # only pins v0) — the mid-history reclamation the prefix-deleting
+    # whole-snapshot vacuum can never produce. Afterward, time travel
+    # into a reclaimed rewrite refuses, while as_of windows whose
+    # every partition still resolves to a surviving manifest keep
+    # working.
+    _cdc_change_chunk(
+        str(src / "c4.parquet"), [(7, 1, "up", 13), (8, 3, "up", 31)], base + 15
+    )
+    _cdc_change_chunk(
+        str(src / "c5.parquet"), [(9, 1, "up", 14), (10, 3, "del", 0)], base + 20
+    )
+    q = foreach_batch_cdc_merge_partitioned(
+        _cdc_to_changes(event_stream(spark, str(src))),
+        part,
+        part_ckpt,
+        "k",
+        n_buckets=4,
+    )
+    q.awaitTermination()
+    # key 1 history: v=0,1,2,3,4 — keep=2 keeps {3,4}; key 2: {0};
+    # key 3: {1,2}; newest-2 overall {3,4} ⇒ nothing reclaimed yet?
+    # v=0 still survives through key 2, but key 1's v=1,2 rewrites are
+    # only protected by key 3's history (same bucket or not). Assert on
+    # BEHAVIOR, not the deletion list: after vacuum, every as_of read
+    # either matches the true boundary snapshot or refuses loudly —
+    # never fabricates.
+    deleted = vacuum_versions_partitioned(part, keep=2)
+    assert deleted, "the widened histories must reclaim mid-history versions"
+    expected[3] = {1: 13.0, 2: 20.0, 3: 31.0}
+    expected[4] = {1: 14.0, 2: 20.0}
+    for v, exp in expected.items():
+        try:
+            got = {
+                r.k: r.v
+                for r in read_current_partitioned(spark, part, as_of=v).collect()
+            }
+        except FileNotFoundError:
+            # refusing is only legitimate when something was reclaimed
+            assert deleted, f"as_of={v} refused with nothing vacuumed"
+            continue
+        assert got == exp, f"part as_of={v} after vacuum {deleted}"
+    # the reclaimed rewrites must actually be refused, not silently
+    # folded past (v=1 or v=2 hold key 1's vacuumed states when
+    # anything was deleted)
+    if deleted:
+        refused = 0
+        for v in deleted:
+            try:
+                read_current_partitioned(spark, part, as_of=v)
+            except FileNotFoundError:
+                refused += 1
+        assert refused == len(deleted)
