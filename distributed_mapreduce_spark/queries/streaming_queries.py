@@ -298,7 +298,12 @@ def st_q8_click_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cdc_maintained_snapshot(
-    spark: SparkSession, sf_dir: str, ord_expr, ordered: bool, tag: str
+    spark: SparkSession,
+    sf_dir: str,
+    ord_expr,
+    ordered: bool,
+    tag: str,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Shared replay body of st_q9/st_q10 (the _replayed analog for the
     CDC maintenance sinks): stage the fixture chunks, derive the
@@ -354,7 +359,7 @@ def _cdc_maintained_snapshot(
         return read_current_partitioned(spark, f"{store}/t", live_only=True).select(
             "c_custkey", "c_mktsegment", "c_acctbal"
         )
-    return read_current_partitioned(spark, f"{store}/t")
+    return read_current_partitioned(spark, f"{store}/t", as_of=as_of)
 
 
 def st_q9_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,13 +424,67 @@ def st_q10_cdc_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rel_q18 (identical oracle — see st_q9's invariance argument); the
 # ordered MERGE is shadow behind st_q9 (same sink machinery + the
 # ord-persisting gate).
+# Mid-history version boundary for the time-travel query: after chunk
+# AS_OF_BATCH committed (batch ids are 0-based chunk indices; the init
+# base seeds v=-1). For the default 2-chunk replay this is the only
+# non-final boundary.
+AS_OF_BATCH = N_CHUNKS // 2 - 1
+
+
+def st_q11_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION AS OF time travel, GRADED (streaming/sinks.
+    read_current_partitioned(as_of=)): run exactly the st_q9 feed —
+    the rel_q18 change stream maintaining a customer snapshot through
+    partition-scoped versioned commits — but read the store AS OF the
+    mid-history batch boundary instead of the head. The graded rows
+    are the historical snapshot: init base merged with ONLY the first
+    chunk's changes, reproduced from version manifests alone after
+    later versions have already committed on top.
+
+    Oracle soundness: chunks are event_id-ordered count-slices
+    (streaming/replay.stage_event_chunks), so the change set batch v
+    had seen is the exact rank prefix `rk·K ≤ n·(v+1)` of events —
+    the oracle is rel_q18's one-shot MERGE SQL with `ch` restricted to
+    that prefix (integer arithmetic only; no float boundary). This
+    grades BOTH the as_of manifest fold and the per-version commit
+    isolation: any leakage of a later batch's rewrite into an earlier
+    version's read fails value-by-value.
+
+    Scale shape: the historical read is metadata-only resolution over
+    the same partition-pruned store as st_q9 — time travel costs what
+    the live read costs (see SCALE.md Streaming, r13)."""
+    return _cdc_maintained_snapshot(
+        spark, sf_dir, F.col("event_id"), ordered=False, tag="tt",
+        as_of=AS_OF_BATCH,
+    )
+
+
+
 SHADOW_QUERIES = {
     "st_q2_sliding": st_q2_sliding,
     "st_q7_stream_static_enrich": st_q7_stream_static_enrich,
     "st_q8_click_purchase_outer": st_q8_click_purchase_outer,
     "st_q9_cdc_upsert": st_q9_cdc_upsert,
     "st_q10_cdc_ordered": st_q10_cdc_ordered,
+    "st_q11_time_travel": st_q11_time_travel,
 }
+
+
+def _st_q11_oracle() -> str:
+    # rel_q18's MERGE SQL with `ch` restricted to the exact change
+    # prefix batch AS_OF_BATCH had seen: chunks are event_id-ordered
+    # count-slices, so prefix membership is the integer rank predicate
+    # rk·K ≤ n·(v+1) (no division, no float boundary).
+    base = _st_q9_oracle()
+    prefix = f"""FROM (
+                SELECT e.*,
+                       row_number() OVER (ORDER BY event_id) AS __rk,
+                       count(*) OVER () AS __n
+                FROM events e
+            ) WHERE __rk * {N_CHUNKS} <= __n * {AS_OF_BATCH + 1}"""
+    sql = base.replace("FROM events\n", prefix + "\n", 1)
+    assert sql != base, "rel_q18 oracle changed shape; fix the rewrite"
+    return sql
 
 def _st_q9_oracle() -> str:
     # rel_q18's one-shot MERGE SQL verbatim (single definition): sound
@@ -449,6 +508,7 @@ def _st_q10_oracle() -> str:
 SHADOW_ORACLES = {
     "st_q9_cdc_upsert": _st_q9_oracle(),
     "st_q10_cdc_ordered": _st_q10_oracle(),
+    "st_q11_time_travel": _st_q11_oracle(),
     # Matched rows = the batch interval join (same as st_q6); null
     # rows = clicks with no in-window purchase whose window closed
     # before the final global watermark (min over the two sides' max
