@@ -577,20 +577,17 @@ def power_iteration(
     import functools
     import operator
 
-    def dec12(c):
-        return F.round(c, 12).cast("decimal(22,12)")
+    from distributed_mapreduce_spark.functions.vectors import (
+        round12_decimal_mean,
+        round12_decimal_sum,
+    )
 
     spark = emb.sparkSession
     flat = emb.select(
         id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")
     ).persist()
     mrow = flat.agg(
-        *[
-            F.round(F.sum(dec12(F.col("v")[i])).cast("double") / F.count("*"), 12).alias(
-                f"m{i}"
-            )
-            for i in range(dim)
-        ]
+        *[round12_decimal_mean(F.col("v")[i]).alias(f"m{i}") for i in range(dim)]
     ).collect()[0]
     m = [float(mrow[f"m{i}"]) for i in range(dim)]
     v = [1.0] + [0.0] * (dim - 1)
@@ -606,11 +603,8 @@ def power_iteration(
             flat.select("v", centered_dot(v).alias("d"))
             .agg(
                 *[
-                    F.round(
-                        F.sum(dec12((F.col("v")[i] - F.lit(m[i])) * F.col("d"))).cast(
-                            "double"
-                        ),
-                        12,
+                    round12_decimal_sum(
+                        (F.col("v")[i] - F.lit(m[i])) * F.col("d")
                     ).alias(f"s{i}")
                     for i in range(dim)
                 ]
@@ -618,6 +612,17 @@ def power_iteration(
             .collect()[0]
         )
         s = [float(srow[f"s{i}"]) for i in range(dim)]
+        if not any(s):
+            # Zero-variance input (all rows equal the mean, or a
+            # single row): the norm is 0 and the engine division
+            # would yield NULL → an opaque TypeError at the v-update
+            # (code-review r13). Refuse with the actual diagnosis —
+            # the kmeans empty-cell discipline applied here.
+            raise ValueError(
+                "power_iteration: input has zero variance (every "
+                "centered projection is 0) — no principal direction "
+                "exists"
+            )
         # Normalize ENGINE-side (1-row select): the same left-assoc
         # norm chain and HALF_UP rounds the oracle's v-CTE computes.
         sq = functools.reduce(
@@ -642,10 +647,13 @@ def power_iteration_sql(
     DECIMAL(22,12) coordinate sums, engine division/round/sqrt)."""
     d = dim
     xs = ", ".join(f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(d))
+    from distributed_mapreduce_spark.functions.vectors import (
+        round12_decimal_mean_sql,
+        round12_decimal_sum_sql,
+    )
+
     mean_cols = ", ".join(
-        f"round(CAST(sum(CAST(round(x{i}, 12) AS DECIMAL(22,12))) AS DOUBLE)"
-        f" / count(*), 12) AS m{i}"
-        for i in range(d)
+        f"{round12_decimal_mean_sql(f'x{i}')} AS m{i}" for i in range(d)
     )
     parts = [
         f"flat AS (SELECT vec_id, {xs} FROM {table})",
@@ -670,8 +678,7 @@ def power_iteration_sql(
         )"""
         )
         s_cols = ", ".join(
-            f"round(CAST(sum(CAST(round((f.x{i} - m.m{i}) * t.d, 12)"
-            f" AS DECIMAL(22,12))) AS DOUBLE), 12) AS s{i}"
+            f"{round12_decimal_sum_sql(f'(f.x{i} - m.m{i}) * t.d')} AS s{i}"
             for i in range(d)
         )
         parts.append(

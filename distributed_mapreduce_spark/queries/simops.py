@@ -590,6 +590,8 @@ def label_centroid_profile(
     import functools
     import operator
 
+    from distributed_mapreduce_spark.functions.vectors import round12_decimal_mean
+
     def dec12(c):
         return F.round(c, 12).cast("decimal(22,12)")
 
@@ -600,12 +602,7 @@ def label_centroid_profile(
     ).persist()
     cents = flat.groupBy("label").agg(
         F.count("*").alias("n_vecs"),
-        *[
-            F.round(
-                F.sum(dec12(F.col(f"x{i}"))).cast("double") / F.count("*"), 12
-            ).alias(f"m{i}")
-            for i in range(d)
-        ],
+        *[round12_decimal_mean(F.col(f"x{i}")).alias(f"m{i}") for i in range(d)],
     )
     add = operator.add
     dotxm = functools.reduce(
@@ -649,12 +646,12 @@ def _label_centroids_sql() -> str:
     """DuckDB mirror of emb_q2_label_centroids stage by stage: the
     same flat projection, round-12 decimal per-dim means, left-assoc
     cosine chains rounded to 6, and the decimal-staged cohesion mean."""
+    from distributed_mapreduce_spark.functions.vectors import round12_decimal_mean_sql
+
     d = DIM
     xs = ", ".join(f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(d))
     means = ", ".join(
-        f"round(CAST(sum(CAST(round(x{i}, 12) AS DECIMAL(22,12))) AS DOUBLE)"
-        f" / count(*), 12) AS m{i}"
-        for i in range(d)
+        f"{round12_decimal_mean_sql(f'x{i}')} AS m{i}" for i in range(d)
     )
     dotxm = " + ".join(f"f.x{i} * c.m{i}" for i in range(d))
     nx = "sqrt(" + " + ".join(f"f.x{i} * f.x{i}" for i in range(d)) + ")"

@@ -1543,6 +1543,28 @@ def _pii_redact_sql() -> str:
 # 1-based start index of the span inside the token list ts).
 _SPAN_GRAM_SQL = " || ' ' || ".join(f"ts[i+{off}]" for off in range(SPAN_N))
 
+
+# The ONE oracle-side per-(doc, token) entropy-term chain (`per` →
+# `e`: keyed counts, then the round-12 DECIMAL(22,12) p·ln p term) —
+# shared by the text_q9 / text_q13 / text_q17 oracles so the three
+# mirrors of functions/text.unigram_entropy can never silently drift
+# apart (the cc_closure_sql / _SHINGLES_CTE discipline; extracted by
+# the r13 self-review after a third literal copy appeared).
+_ENTROPY_TERM_CTES = f"""per AS (
+            SELECT doc_id, n_tokens, tok, count(*) AS c
+            FROM (SELECT doc_id, len(ts) AS n_tokens, unnest(ts) AS tok
+                  FROM (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents))
+            GROUP BY 1, 2, 3
+        ),
+        e AS (
+            SELECT doc_id, n_tokens,
+                   CAST(round(-(c / CAST(n_tokens AS DOUBLE))
+                              * ln(c / CAST(n_tokens AS DOUBLE)), 12)
+                        AS DECIMAL(22,12)) AS te
+            FROM per
+        )"""
+
+
 SHADOW_ORACLES = {
     # Mirrors text_q14_bm25 stage by stage: tf per (doc, tok), df and
     # dl re-aggregated FROM tf, N/avgdl as scalars (exact-int double
@@ -1868,19 +1890,7 @@ SHADOW_ORACLES = {
     # threshold rounded to 6 (= Spark percentile, rel_q15 parity), and
     # the same >= boundary on the 6-rounded entropy values.
     "text_q13_dynamic_quality": f"""
-        WITH per AS (
-            SELECT doc_id, n_tokens, tok, count(*) AS c
-            FROM (SELECT doc_id, len(ts) AS n_tokens, unnest(ts) AS tok
-                  FROM (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents))
-            GROUP BY 1, 2, 3
-        ),
-        e AS (
-            SELECT doc_id, n_tokens,
-                   CAST(round(-(c / CAST(n_tokens AS DOUBLE))
-                              * ln(c / CAST(n_tokens AS DOUBLE)), 12)
-                        AS DECIMAL(22,12)) AS te
-            FROM per
-        ),
+        WITH {_ENTROPY_TERM_CTES},
         ent AS (
             SELECT doc_id, CAST(round(sum(te), 6) AS DOUBLE) AS entropy
             FROM e GROUP BY doc_id, n_tokens
@@ -1897,19 +1907,7 @@ SHADOW_ORACLES = {
     # (see the query docstring for the measured fr-stratum ulp flip
     # the interpolated form suffered).
     "text_q17_per_lang_quality": f"""
-        WITH per AS (
-            SELECT doc_id, n_tokens, tok, count(*) AS c
-            FROM (SELECT doc_id, len(ts) AS n_tokens, unnest(ts) AS tok
-                  FROM (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents))
-            GROUP BY 1, 2, 3
-        ),
-        e AS (
-            SELECT doc_id, n_tokens,
-                   CAST(round(-(c / CAST(n_tokens AS DOUBLE))
-                              * ln(c / CAST(n_tokens AS DOUBLE)), 12)
-                        AS DECIMAL(22,12)) AS te
-            FROM per
-        ),
+        WITH {_ENTROPY_TERM_CTES},
         ent AS (
             SELECT doc_id, CAST(round(sum(te), 6) AS DOUBLE) AS entropy
             FROM e GROUP BY doc_id, n_tokens
@@ -1936,19 +1934,7 @@ SHADOW_ORACLES = {
     # Mirrors text_q9_entropy: identical per-term double math, 12-dec
     # round into DECIMAL before the (exact, order-independent) sum.
     "text_q9_entropy": f"""
-        WITH per AS (
-            SELECT doc_id, n_tokens, tok, count(*) AS c
-            FROM (SELECT doc_id, len(ts) AS n_tokens, unnest(ts) AS tok
-                  FROM (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents))
-            GROUP BY 1, 2, 3
-        ),
-        e AS (
-            SELECT doc_id, n_tokens,
-                   CAST(round(-(c / CAST(n_tokens AS DOUBLE))
-                              * ln(c / CAST(n_tokens AS DOUBLE)), 12)
-                        AS DECIMAL(22,12)) AS te
-            FROM per
-        )
+        WITH {_ENTROPY_TERM_CTES}
         SELECT doc_id,
                CAST(n_tokens AS BIGINT) AS n_tokens,
                CAST(count(*) AS BIGINT) AS n_distinct,

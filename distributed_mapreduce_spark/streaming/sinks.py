@@ -493,7 +493,23 @@ def read_current_partitioned(
         for p in manifest["touched"]:
             current[p] = v
     if as_of is not None:
-        # Soundness guard: vacuum_versions_partitioned records each
+        # Soundness guard 1: a compacted store's v=-1 seed holds the
+        # HEAD snapshot of the pre-compaction chain; its recorded
+        # history floor bounds how far back as_of may reach
+        # (compact_store_partitioned writes it — the Delta-checkpoint
+        # retention contract).
+        from distributed_mapreduce_spark.streaming.commitlog import (
+            read_json_tolerant,
+        )
+
+        floor_rec = read_json_tolerant(store / "_history_floor.json")
+        if floor_rec is not None and as_of < floor_rec["floor"]:
+            raise FileNotFoundError(
+                f"as_of={as_of} predates this store's compaction "
+                f"boundary (history floor {floor_rec['floor']}) — "
+                f"pre-compaction history is gone"
+            )
+        # Soundness guard 2: vacuum_versions_partitioned records each
         # reclaimed committed version's touched set in _vacuumed.json.
         # The historical fold is WRONG for partition P exactly when
         # some reclaimed version d ≤ as_of touched P and no surviving
@@ -501,10 +517,6 @@ def read_current_partitioned(
         # resolve P to a pre-d state (or to absent). Detect that case
         # per partition and refuse, rather than fabricate history —
         # the Delta/Iceberg "version reclaimed by retention" error.
-        from distributed_mapreduce_spark.streaming.commitlog import (
-            read_json_tolerant,
-        )
-
         vac = read_json_tolerant(store / "_vacuumed.json")
         if vac:
             for d_str, touched in vac.get("reclaimed", {}).items():
@@ -633,6 +645,17 @@ def compact_store_partitioned(
     snap.withColumn(
         "p", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
     ).write.mode("overwrite").partitionBy("p").parquet(str(dst / "v=-1"))
+    # History floor (code-review r13): the v=-1 seed holds the HEAD
+    # snapshot of the source chain, so time travel below the source's
+    # newest version would silently return head state labeled as old
+    # history. Record the boundary so read_current_partitioned
+    # (as_of=) refuses below it — the Delta-checkpoint retention
+    # contract. Written BEFORE the seed manifest: a crash in between
+    # leaves a store with no committed version (unreadable), never a
+    # readable store missing its floor.
+    from distributed_mapreduce_spark.streaming.commitlog import atomic_write_json
+
+    atomic_write_json(dst / "_history_floor.json", {"floor": manifests[-1][0]})
     _write_manifest(dst / "v=-1", list(range(n_buckets)), n_buckets, ordered, key)
     return n_buckets
 
@@ -668,13 +691,14 @@ def vacuum_versions_partitioned(store_path: str, keep: int = 2) -> list[int]:
     newest = committed[-1][0]
     survivors.update(v for v, _ in committed[-keep:])
     by_version = dict(committed)
-    deleted = []
+    doomed = []
     reclaimed: dict[str, list[int]] = {}
     for p in store.glob("v=*"):
         v = int(p.name.split("=", 1)[1])
         if v in survivors:
             continue
         if (p / "_touched.json").exists() or v < newest:
+            doomed.append((v, p))
             if v in by_version:
                 # Record the reclaimed COMMITTED version's touched set
                 # so time travel (read_current_partitioned as_of=) can
@@ -683,9 +707,14 @@ def vacuum_versions_partitioned(store_path: str, keep: int = 2) -> list[int]:
                 # Uncommitted debris was never part of history; no
                 # record needed.
                 reclaimed[str(v)] = list(by_version[v]["touched"])
-            shutil.rmtree(p)
-            deleted.append(v)
     if reclaimed:
+        # WRITE-AHEAD (code-review r13): the record must be durable
+        # BEFORE any deletion — a crash after an rmtree but before the
+        # record would leave the soundness guard blind and time travel
+        # fabricating history. The converse crash (record written,
+        # deletions pending) is harmless: a recorded version whose
+        # manifest still exists folds normally (current[p] == d passes
+        # the guard), and the next vacuum finishes the deletions.
         from distributed_mapreduce_spark.streaming.commitlog import (
             atomic_write_json,
             read_json_tolerant,
@@ -694,6 +723,10 @@ def vacuum_versions_partitioned(store_path: str, keep: int = 2) -> list[int]:
         prior = read_json_tolerant(store / "_vacuumed.json") or {"reclaimed": {}}
         prior["reclaimed"].update(reclaimed)
         atomic_write_json(store / "_vacuumed.json", prior)
+    deleted = []
+    for v, p in doomed:
+        shutil.rmtree(p)
+        deleted.append(v)
     return sorted(deleted)
 
 

@@ -1256,3 +1256,17 @@ def test_label_centroid_profile_planted_cohesion(spark):
     assert got[1].mean_cos == 1.0 == got[1].min_cos == got[1].max_cos
     assert got[2].n_vecs == 2
     assert got[2].min_cos == got[2].max_cos == pytest.approx(0.707107, abs=1e-6)
+
+
+def test_power_iteration_zero_variance_refuses(spark):
+    """All-identical rows have no principal direction: the operator
+    must refuse with the diagnosis, not die with a NULL-division
+    TypeError inside the loop (code-review r13)."""
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(5)],
+        "vec_id bigint, embedding array<float>",
+    )
+    from distributed_mapreduce_spark.operators.similarity import power_iteration
+
+    with pytest.raises(ValueError, match="zero variance"):
+        power_iteration(emb, dim=4).collect()

@@ -1567,3 +1567,46 @@ def test_time_travel_as_of_both_layouts(spark, tmp_path):
             except FileNotFoundError:
                 refused += 1
         assert refused == len(deleted)
+
+
+def test_time_travel_refuses_below_compaction_floor(spark, tmp_path):
+    """compact_store_partitioned's v=-1 seed holds the HEAD snapshot
+    of the source chain — time travel below the source's newest
+    version on the compacted store must refuse (the recorded history
+    floor), not return head state labeled as old history
+    (code-review r13); as_of at/above the floor reads the seed."""
+    import pytest
+
+    from distributed_mapreduce_spark.streaming import event_stream
+    from distributed_mapreduce_spark.streaming.sinks import (
+        compact_store_partitioned,
+        foreach_batch_cdc_merge_partitioned,
+        read_current_partitioned,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = time.time()
+    _cdc_change_chunk(str(src / "c1.parquet"), [(1, 1, "up", 10)], base)
+    _cdc_change_chunk(str(src / "c2.parquet"), [(2, 1, "up", 11)], base + 5)
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    q = foreach_batch_cdc_merge_partitioned(
+        _cdc_to_changes(event_stream(spark, str(src))), store, ckpt, "k", n_buckets=2
+    )
+    q.awaitTermination()
+
+    dst = str(tmp_path / "compacted")
+    compact_store_partitioned(spark, store, dst)
+    head = {r.k: r.v for r in read_current_partitioned(spark, dst).collect()}
+    assert head == {1: 11.0}
+    # at/above the floor (source head = v1): the seed answers
+    assert {
+        r.k: r.v for r in read_current_partitioned(spark, dst, as_of=1).collect()
+    } == head
+    # below it: pre-compaction history is gone — refuse, never
+    # fabricate (the uncompacted source still answers as_of=0 exactly)
+    with pytest.raises(FileNotFoundError, match="history floor"):
+        read_current_partitioned(spark, dst, as_of=0)
+    assert {
+        r.k: r.v for r in read_current_partitioned(spark, store, as_of=0).collect()
+    } == {1: 10.0}
