@@ -220,14 +220,23 @@ def redact_pii(col: Column | str) -> Column:
 
 
 def pii_counts(col: Column | str) -> list[Column]:
-    """One aliased count column per PII_RULES kind (`n_<kind>s`),
-    counted on the UNredacted text so the kinds are independent of
-    rule application order."""
+    """One aliased count column per PII_RULES kind (`n_<kind>s`).
+
+    Each kind is counted on the text with EARLIER rules already
+    applied — the same fold order redact_pii uses — so the counts sum
+    to the number of placeholder tokens actually emitted. Counting on
+    the raw text double-reports nested kinds (an IP- or phone-shaped
+    substring inside an email local part, e.g. 'a1.2.3.4@x.co',
+    counted as both an email and an IP even though the redacted output
+    contains only <EMAIL> — ADVICE r13). The replacement tokens
+    (<EMAIL> etc.) contain no digits or '@', so a substitution can
+    never CREATE a later-rule match."""
     c = F.col(col) if isinstance(col, str) else col
-    return [
-        F.regexp_count(c, F.lit(pat)).cast("bigint").alias(f"n_{kind}s")
-        for kind, pat, _ in PII_RULES
-    ]
+    out = []
+    for kind, pat, token in PII_RULES:
+        out.append(F.regexp_count(c, F.lit(pat)).cast("bigint").alias(f"n_{kind}s"))
+        c = F.regexp_replace(c, pat, token)
+    return out
 
 
 def normalize_nfc(col: Column | str) -> Column:

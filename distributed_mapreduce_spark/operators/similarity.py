@@ -589,6 +589,12 @@ def power_iteration(
     mrow = flat.agg(
         *[round12_decimal_mean(F.col("v")[i]).alias(f"m{i}") for i in range(dim)]
     ).collect()[0]
+    if mrow["m0"] is None:
+        # avg over zero rows is NULL; float(None) one line down would
+        # die with an opaque TypeError (ADVICE r13) — refuse with the
+        # actual diagnosis, same class as the zero-variance guard below.
+        flat.unpersist()
+        raise ValueError("power_iteration: empty input (no vectors)")
     m = [float(mrow[f"m{i}"]) for i in range(dim)]
     v = [1.0] + [0.0] * (dim - 1)
 

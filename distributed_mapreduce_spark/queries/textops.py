@@ -1316,9 +1316,10 @@ def text_q15_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction scrub (functions/text.redact_pii) — the
     pre-tokenization privacy pass every published LLM pipeline runs:
     emails / IPv4 / phone numbers to typed placeholder tokens, plus a
-    per-kind occurrence count (counted on the unredacted text, so the
-    kinds are independent of rule order). Graded on the full redacted
-    text of every document plus all three counts.
+    per-kind occurrence count (counted with earlier rules already
+    applied, so the counts sum to the placeholder tokens actually
+    emitted — nested kinds never double-report). Graded on the full
+    redacted text of every document plus all three counts.
 
     Engine parity by construction: PII_RULES restricts itself to
     regex syntax with identical semantics in Java regex and RE2
@@ -1502,17 +1503,18 @@ def _pii_redact_sql() -> str:
     """DuckDB mirror of text_q15_pii_redact, generated FROM PII_RULES
     so the two engines can never apply different patterns: the same
     doc_id-derived splice, len(regexp_extract_all) per kind on the
-    unredacted text, and the identical replace chain ('g' = Java
-    regexp_replace's replace-all default)."""
+    text with EARLIER rules already applied (the pii_counts fold
+    order, so nested kinds never double-report — ADVICE r13), and the
+    identical replace chain ('g' = Java regexp_replace's replace-all
+    default)."""
     from distributed_mapreduce_spark.functions.text import PII_RULES
 
-    counts = ",\n               ".join(
-        f"len(regexp_extract_all(dirty, '{pat}')) AS n_{kind}s"
-        for kind, pat, _ in PII_RULES
-    )
+    count_exprs = []
     red = "dirty"
-    for _, pat, token in PII_RULES:
+    for kind, pat, token in PII_RULES:
+        count_exprs.append(f"len(regexp_extract_all({red}, '{pat}')) AS n_{kind}s")
         red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    counts = ",\n               ".join(count_exprs)
     return f"""
         WITH dirty AS (
             SELECT doc_id,

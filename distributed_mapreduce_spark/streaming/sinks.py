@@ -495,19 +495,41 @@ def read_current_partitioned(
     if as_of is not None:
         # Soundness guard 1: a compacted store's v=-1 seed holds the
         # HEAD snapshot of the pre-compaction chain; its recorded
-        # history floor bounds how far back as_of may reach
-        # (compact_store_partitioned writes it — the Delta-checkpoint
-        # retention contract).
+        # history floor (compact_store_partitioned writes it — the
+        # Delta-checkpoint retention contract) marks where seed
+        # content stops being readable as history.
         from distributed_mapreduce_spark.streaming.commitlog import (
             read_json_tolerant,
         )
 
         floor_rec = read_json_tolerant(store / "_history_floor.json")
-        if floor_rec is not None and as_of < floor_rec["floor"]:
+        if (
+            floor_rec is not None
+            and as_of < floor_rec["floor"]
+            and any(
+                v == -1 and (store / "v=-1" / f"p={p}").exists()
+                for p, v in current.items()
+            )
+        ):
+            # The floor is a SEED-SEMANTICS marker, not a blanket as_of
+            # lower bound (ADVICE r13): the documented resume contract
+            # restarts batch ids at 0 in the compacted store, so
+            # new-chain versions below the old chain's floor are
+            # legitimately committed states and must stay reachable.
+            # The actual head-state leak is only the fold that resolves
+            # some partition to the v=-1 seed while as_of sits below the
+            # floor — there the returned snapshot surfaces the
+            # pre-compaction HEAD of that partition labeled as an old
+            # version, which under the old-chain reading of the number
+            # is fabricated history. A fold whose every partition was
+            # rewritten by new-chain versions ≤ as_of contains no seed
+            # content and is the unambiguous new-chain state.
             raise FileNotFoundError(
-                f"as_of={as_of} predates this store's compaction "
-                f"boundary (history floor {floor_rec['floor']}) — "
-                f"pre-compaction history is gone"
+                f"as_of={as_of} sits below this store's compaction "
+                f"boundary (history floor {floor_rec['floor']}) and the "
+                f"fold still resolves some partition to the v=-1 seed — "
+                f"pre-compaction history is gone and surfacing the "
+                f"seed's head state here would fabricate it"
             )
         # Soundness guard 2: vacuum_versions_partitioned records each
         # reclaimed committed version's touched set in _vacuumed.json.
@@ -645,14 +667,18 @@ def compact_store_partitioned(
     snap.withColumn(
         "p", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
     ).write.mode("overwrite").partitionBy("p").parquet(str(dst / "v=-1"))
-    # History floor (code-review r13): the v=-1 seed holds the HEAD
-    # snapshot of the source chain, so time travel below the source's
-    # newest version would silently return head state labeled as old
-    # history. Record the boundary so read_current_partitioned
-    # (as_of=) refuses below it — the Delta-checkpoint retention
-    # contract. Written BEFORE the seed manifest: a crash in between
-    # leaves a store with no committed version (unreadable), never a
-    # readable store missing its floor.
+    # History floor (code-review r13; scope refined per ADVICE r13):
+    # the v=-1 seed holds the HEAD snapshot of the source chain, so a
+    # time-travel fold below the source's newest version that resolves
+    # any partition to the seed would silently return head state
+    # labeled as old history. Record the boundary so
+    # read_current_partitioned (as_of=) refuses exactly that case —
+    # the Delta-checkpoint retention contract — while new-chain
+    # versions (batch ids restart at 0 after the fresh-checkpoint
+    # resume) whose folds contain no seed content stay reachable.
+    # Written BEFORE the seed manifest: a crash in between leaves a
+    # store with no committed version (unreadable), never a readable
+    # store missing its floor.
     from distributed_mapreduce_spark.streaming.commitlog import atomic_write_json
 
     atomic_write_json(dst / "_history_floor.json", {"floor": manifests[-1][0]})

@@ -1270,3 +1270,14 @@ def test_power_iteration_zero_variance_refuses(spark):
 
     with pytest.raises(ValueError, match="zero variance"):
         power_iteration(emb, dim=4).collect()
+
+
+def test_power_iteration_empty_input_refuses(spark):
+    """Zero rows: the mean agg returns NULL and float(None) would die
+    with an opaque TypeError (ADVICE r13) — refuse with the diagnosis
+    instead, same class as the zero-variance guard."""
+    from distributed_mapreduce_spark.operators.similarity import power_iteration
+
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="empty input"):
+        power_iteration(emb, dim=4)

@@ -1571,10 +1571,15 @@ def test_time_travel_as_of_both_layouts(spark, tmp_path):
 
 def test_time_travel_refuses_below_compaction_floor(spark, tmp_path):
     """compact_store_partitioned's v=-1 seed holds the HEAD snapshot
-    of the source chain — time travel below the source's newest
-    version on the compacted store must refuse (the recorded history
-    floor), not return head state labeled as old history
-    (code-review r13); as_of at/above the floor reads the seed."""
+    of the source chain — a time-travel fold below the source's newest
+    version that resolves any partition to the seed must refuse (the
+    recorded history floor), not return head state labeled as old
+    history (code-review r13); as_of at/above the floor reads the
+    seed. Per ADVICE r13 the floor is a seed-semantics marker, not a
+    blanket lower bound: after the documented fresh-checkpoint resume
+    the new chain's batch ids restart at 0, and a new-chain version
+    below the floor whose fold no longer touches seed content is a
+    legitimately committed state that must stay reachable."""
     import pytest
 
     from distributed_mapreduce_spark.streaming import event_stream
@@ -1589,6 +1594,7 @@ def test_time_travel_refuses_below_compaction_floor(spark, tmp_path):
     base = time.time()
     _cdc_change_chunk(str(src / "c1.parquet"), [(1, 1, "up", 10)], base)
     _cdc_change_chunk(str(src / "c2.parquet"), [(2, 1, "up", 11)], base + 5)
+    _cdc_change_chunk(str(src / "c3.parquet"), [(3, 1, "up", 12)], base + 10)
     store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
     q = foreach_batch_cdc_merge_partitioned(
         _cdc_to_changes(event_stream(spark, str(src))), store, ckpt, "k", n_buckets=2
@@ -1598,15 +1604,40 @@ def test_time_travel_refuses_below_compaction_floor(spark, tmp_path):
     dst = str(tmp_path / "compacted")
     compact_store_partitioned(spark, store, dst)
     head = {r.k: r.v for r in read_current_partitioned(spark, dst).collect()}
-    assert head == {1: 11.0}
-    # at/above the floor (source head = v1): the seed answers
+    assert head == {1: 12.0}
+    # at/above the floor (source head = v2): the seed answers
     assert {
-        r.k: r.v for r in read_current_partitioned(spark, dst, as_of=1).collect()
+        r.k: r.v for r in read_current_partitioned(spark, dst, as_of=2).collect()
     } == head
-    # below it: pre-compaction history is gone — refuse, never
-    # fabricate (the uncompacted source still answers as_of=0 exactly)
-    with pytest.raises(FileNotFoundError, match="history floor"):
-        read_current_partitioned(spark, dst, as_of=0)
+    # below it while the fold resolves to the seed: pre-compaction
+    # history is gone — refuse, never fabricate (the uncompacted
+    # source still answers exactly)
+    for v in (0, 1):
+        with pytest.raises(FileNotFoundError, match="history floor"):
+            read_current_partitioned(spark, dst, as_of=v)
     assert {
         r.k: r.v for r in read_current_partitioned(spark, store, as_of=0).collect()
     } == {1: 10.0}
+
+    # fresh-checkpoint resume against the compacted store (the
+    # documented contract): the file source replays c1..c3 as new-chain
+    # batches 0..2. Once those versions rewrite every data-bearing
+    # partition, as_of below the old floor folds NO seed content and
+    # must answer — the ADVICE r13 over-refusal case.
+    q = foreach_batch_cdc_merge_partitioned(
+        _cdc_to_changes(event_stream(spark, str(src))),
+        dst,
+        str(tmp_path / "ckpt2"),
+        "k",
+        n_buckets=2,
+    )
+    q.awaitTermination()
+    for v, exp in {0: 10.0, 1: 11.0, 2: 12.0}.items():
+        assert {
+            r.k: r.v
+            for r in read_current_partitioned(spark, dst, as_of=v).collect()
+        } == {1: exp}, f"new-chain as_of={v}"
+    # head unchanged: the replay converged
+    assert {
+        r.k: r.v for r in read_current_partitioned(spark, dst).collect()
+    } == head

@@ -103,6 +103,22 @@ def test_redact_pii_all_kinds_and_multiplicity(spark):
     assert (row.n_emails, row.n_ipv4s, row.n_phones) == (2, 1, 2)
 
 
+def test_pii_counts_nested_kinds_not_double_reported(spark):
+    # an IP-shaped substring inside an email local part is consumed by
+    # the email rule, so it must count as ONE email and ZERO IPs — the
+    # counts sum to the placeholder tokens actually emitted (ADVICE
+    # r13); a standalone IP alongside still counts
+    from distributed_mapreduce_spark.functions.text import pii_counts, redact_pii
+
+    # local part must give the nested IP a leading word boundary
+    # ('x.' before '1') or the ipv4 rule never saw it even pre-fix
+    txt = "ping x.1.2.3.4@y.co from 9.9.9.9"
+    df = spark.createDataFrame([(txt,)], "text string")
+    row = df.select(redact_pii("text").alias("r"), *pii_counts("text")).collect()[0]
+    assert row.r == "ping <EMAIL> from <IP>"
+    assert (row.n_emails, row.n_ipv4s, row.n_phones) == (1, 1, 0)
+
+
 def test_redact_pii_boundaries_and_negatives(spark):
     from distributed_mapreduce_spark.functions.text import pii_counts, redact_pii
 
