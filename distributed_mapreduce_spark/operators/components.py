@@ -90,10 +90,18 @@ def connected_components(
     # both directions, so symmetrization — an extra 2× checkpoint
     # write — is deferred to the distributed branch that actually
     # iterates over it (shadow floor pass r7).
+    from distributed_mapreduce_spark.caching import (
+        attach_rdd_ids,
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
+    before = persistent_rdd_ids(spark)
     one = edges.select(
         F.least(F.col(src), F.col(dst)).alias("a"),
         F.greatest(F.col(src), F.col(dst)).alias("b"),
     ).localCheckpoint()
+    one_ids = persistent_rdd_ids(spark) - before
     if one.count() <= driver_max_edges:
         # Arrow collect (toArrow), not collect(): Row objects cost
         # ~100+ bytes each, an Arrow table ~16 bytes/edge — the
@@ -105,18 +113,24 @@ def connected_components(
         rows = _driver_union_find(
             list(zip(tbl.column("a").to_pylist(), tbl.column("b").to_pylist()))
         )
+        # the collect fully consumed the edge checkpoint; the result is
+        # driver-built and independent of it — free the blocks now
+        # (VERDICT r13 #5: no net persisted blocks after the operator)
+        unpersist_rdd_ids(spark, one_ids)
         return spark.createDataFrame(rows, "id bigint, component bigint")
     # Derived LAZILY from the checkpointed edge list: the union is a
     # narrow 2× expansion whose lineage is already truncated at `one`,
     # so a second checkpoint would only add 2E rows of write I/O on
     # exactly the large-graph branch (code-review r7).
     sym = one.unionByName(one.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    before = persistent_rdd_ids(spark)
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    label_ids = persistent_rdd_ids(spark) - before
     for _ in range(max_iters):
         # each node's new label: min(own, min over neighbors' labels)
         neighbor_min = (
@@ -124,6 +138,7 @@ def connected_components(
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("component").alias("nmin"))
         )
+        before = persistent_rdd_ids(spark)
         updated = (
             labels.join(neighbor_min, "id", "left")
             .select(
@@ -135,11 +150,23 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        new_ids = persistent_rdd_ids(spark) - before
         changed = updated.where(F.col("__chg")).limit(1).count()
+        # the new checkpoint is materialized (the count above) and
+        # supersedes the previous labels table — releasing it in-loop
+        # keeps the iteration's footprint at one label generation
+        # instead of max_iters of them (VERDICT r13 #5)
+        unpersist_rdd_ids(spark, label_ids)
+        label_ids = new_ids
         labels = updated.drop("__chg")
         if changed == 0:
             break
-    return labels
+    # the final label checkpoint is self-contained (lineage truncated),
+    # so the edge checkpoint is dead once iteration stops — free it now
+    unpersist_rdd_ids(spark, one_ids)
+    # survivor: the final label checkpoint — the returned frame IS its
+    # blocks; release via caching.release_caches once consumed.
+    return attach_rdd_ids(labels, spark, label_ids)
 
 
 PR_DAMPING = 0.85
@@ -178,12 +205,23 @@ def pagerank(
     # join, the expensive part of every near-dup graph — re-executes
     # for deg AND once per iteration (measured on dedup_q13: 4
     # executions of the jaccard pair join for 3 rounds).
+    from distributed_mapreduce_spark.caching import (
+        attach_rdd_ids,
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
+    spark = edges.sparkSession
+    before = persistent_rdd_ids(spark)
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .localCheckpoint()
     )
+    raw_und_ids = persistent_rdd_ids(spark) - before
+    before = persistent_rdd_ids(spark)
     deg = und.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint()
+    deg_ids = persistent_rdd_ids(spark) - before
     n = deg.count()
     # Fold the STATIC deg table into the edge list once, partitioned on
     # the join key: deg never changes across rounds, so joining it
@@ -193,8 +231,14 @@ def pagerank(
     # rank table — the side that actually changed. Same arithmetic,
     # same rounding, bit-identical ranks (the DuckDB oracle replay is
     # unchanged).
+    before = persistent_rdd_ids(spark)
     und = und.join(deg, "u").repartition("u").localCheckpoint()
+    und_ids = persistent_rdd_ids(spark) - before
+    # the folded (u, v, deg) checkpoint supersedes the raw edge list —
+    # free the raw blocks now (the CC in-loop release discipline)
+    unpersist_rdd_ids(spark, raw_und_ids)
     r = deg.select(F.col("u").alias("id"), F.lit(1.0 / n).alias("r"))
+    r_ids: frozenset = frozenset()
     base = (1.0 - damping) / n
     for _ in range(iters):
         contrib = (
@@ -208,6 +252,7 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
+        before = persistent_rdd_ids(spark)
         r = (
             deg.select(F.col("u").alias("id"))
             .join(contrib, "id", "left")
@@ -222,4 +267,15 @@ def pagerank(
             )
             .localCheckpoint()
         )
-    return r.select("id", F.col("r").alias("pr"))
+        new_ids = persistent_rdd_ids(spark) - before
+        # eager=True default: the checkpoint above is materialized, so
+        # the previous round's rank blocks are superseded — free them
+        unpersist_rdd_ids(spark, r_ids)
+        r_ids = new_ids
+    # the final rank checkpoint is self-contained (eager, lineage
+    # truncated): the edge and deg checkpoints are dead — free them now
+    unpersist_rdd_ids(spark, und_ids | deg_ids)
+    # survivor: the final rank checkpoint — the returned frame is a
+    # projection of its blocks; release via caching.release_caches
+    # once the result is consumed.
+    return attach_rdd_ids(r.select("id", F.col("r").alias("pr")), spark, r_ids)

@@ -40,6 +40,15 @@ from distributed_mapreduce_spark.functions.text import (
 DEFAULT_NUM_HASHES = 32
 DEFAULT_BANDS = 8  # rows-per-band r = k/b = 4 → s-curve threshold ≈ (1/8)^(1/4) ≈ 0.6
 
+# Driver-side pair-list ceiling for greedy_reject_ids — same memory
+# math as components.DRIVER_CC_MAX_EDGES (the Python-object working
+# set of pair rows + per-id lists dominates at a few hundred bytes per
+# pair; 2M pairs ≈ 0.5 GB driver RSS). Verified near-dup pairs are
+# output-scale, so a real corpus sits far below this; hitting it means
+# the corpus is pathologically duplicate-heavy and the distributed CC
+# resolution is the right tool.
+GREEDY_MAX_PAIRS = 2_000_000
+
 
 # --- tier 1-2: exact / token-set --------------------------------------------
 
@@ -137,10 +146,12 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float) -> DataFrame:
     Cache lifetime (the convention for every persist() inside a query
     builder — here, contam_q1, text_q7): queries return unmaterialized
     DataFrames, so the builder cannot unpersist before the caller's
-    action runs; the blocks live until the session drops them. Callers
-    that run many queries in one session (bench.py between passes,
-    scripts/parity.py between queries) call
-    `spark.catalog.clearCache()` to keep session storage bounded."""
+    action runs. Every cached frame is ATTACHED to the returned
+    DataFrame (caching.attach_caches), so after the action a caller
+    releases the blocks with caching.release_caches(result) — VERDICT
+    r13 #5. Callers that run many queries in one session (bench.py
+    between passes, scripts/parity.py between queries) may instead
+    call `spark.catalog.clearCache()`."""
     sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
@@ -150,7 +161,9 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float) -> DataFrame:
         .groupBy(F.col("a.id").alias("id_i"), F.col("b.id").alias("id_j"))
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(
         inter.join(sizes.withColumnsRenamed({"id": "id_i", "sz": "sz_i"}), "id_i")
         .join(sizes.withColumnsRenamed({"id": "id_j", "sz": "sz_j"}), "id_j")
         .select(
@@ -160,7 +173,8 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float) -> DataFrame:
                 F.col("inter") / (F.col("sz_i") + F.col("sz_j") - F.col("inter")), 6
             ).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= min_jaccard)
+        .where(F.col("jaccard") >= min_jaccard),
+        sh,
     )
 
 
@@ -541,7 +555,12 @@ def verify_jaccard_pairs(
         .groupBy("id_i", "id_j")
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    # propagate cache attachments from the inputs (sh is persisted by
+    # the composed callers; cands may carry a signature cache) so
+    # release_caches on the verified pair list frees the whole chain
+    return attach_caches(
         inter.join(sizes.withColumnsRenamed({"id": "id_i", "sz": "sz_i"}), "id_i")
         .join(sizes.withColumnsRenamed({"id": "id_j", "sz": "sz_j"}), "id_j")
         .select(
@@ -551,7 +570,9 @@ def verify_jaccard_pairs(
                 F.col("inter") / (F.col("sz_i") + F.col("sz_j") - F.col("inter")), 6
             ).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= min_jaccard)
+        .where(F.col("jaccard") >= min_jaccard),
+        sh,
+        cands,
     )
 
 
@@ -620,7 +641,15 @@ def incremental_minhash_pairs(
     )
     internal = lsh_candidate_pairs(new_sig, num_hashes, bands)
     cands = cross.unionByName(internal).distinct()
-    return verify_jaccard_pairs(sh.select("id", "shingle"), cands, min_jaccard)
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    # sig is this operator's own cache; sh.select() strips any
+    # attachment the caller put on sh, so forward both explicitly
+    return attach_caches(
+        verify_jaccard_pairs(sh.select("id", "shingle"), cands, min_jaccard),
+        sig,
+        sh,
+    )
 
 
 # --- tier 5: SimHash --------------------------------------------------------
@@ -722,7 +751,9 @@ def simhash_near_dup_pairs(
     ).select("id", "simhash", "cc.chunk", "cc.val")
     a = chunks.alias("a")
     b = chunks.alias("b")
-    return (
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -737,7 +768,8 @@ def simhash_near_dup_pairs(
             ).cast("int").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
+        .distinct(),
+        sig,
     )
 
 
@@ -795,11 +827,16 @@ def dup_span_coverage(
         .agg(F.sum("c").alias("n_dup"))
     )
     frac = F.round(F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_spans"), 6)
-    return stats.join(hits, "id", "left").select(
-        "id",
-        F.col("n_spans").cast("bigint").alias("n_spans"),
-        F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
-        frac.alias("dup_frac"),
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(
+        stats.join(hits, "id", "left").select(
+            "id",
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            frac.alias("dup_frac"),
+        ),
+        per,
     )
 
 
@@ -955,24 +992,31 @@ def span_scrub(
     # keep their row: nothing to remove, kept_frac vacuously 1.0.
     base = toks.select("id", F.size("ts").alias("n_base"))
     out = base.join(agg, "id", "left")
-    return out.select(
-        "id",
-        F.col("n_base").cast("bigint").alias("n_tokens"),
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
-        F.when(
-            F.col("n_base") > 0,
-            F.round(F.coalesce(F.col("n_kept"), F.lit(0)) / F.col("n_base"), 6),
-        )
-        .otherwise(F.lit(1.0))
-        .alias("kept_frac"),
-        F.coalesce(F.col("scrubbed"), F.lit("")).alias("scrubbed"),
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(
+        out.select(
+            "id",
+            F.col("n_base").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.when(
+                F.col("n_base") > 0,
+                F.round(F.coalesce(F.col("n_kept"), F.lit(0)) / F.col("n_base"), 6),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("kept_frac"),
+            F.coalesce(F.col("scrubbed"), F.lit("")).alias("scrubbed"),
+        ),
+        toks,
     )
 
 
 # --- greedy keep-first resolution (the ingest dedup policy) ----------------
 
 
-def greedy_reject_ids(pairs: DataFrame) -> set:
+def greedy_reject_ids(
+    pairs: DataFrame, max_pairs: int = GREEDY_MAX_PAIRS
+) -> set:
     """Resolve a VERIFIED near-dup pair list (id_i < id_j) to the set
     of rejected ids under keep-first-by-id semantics: processing ids
     ascending, a doc is rejected iff it near-dups a smaller KEPT id —
@@ -984,9 +1028,28 @@ def greedy_reject_ids(pairs: DataFrame) -> set:
     output-scale (the LSH tier guarantees candidate generation never
     materializes the pair space), the same measured bound as
     components.py's hybrid CC driver tier (~2M edges). Docs that touch
-    no pair are trivially kept and never reach the driver."""
+    no pair are trivially kept and never reach the driver.
+
+    The bound is ENFORCED, not assumed (VERDICT r13 #4): the pair list
+    is counted before collecting, and a pathological corpus (everything
+    near-duplicate — Σ per-doc dup degree exceeding `max_pairs`)
+    refuses loudly instead of collecting O(N²) rows into driver
+    memory. The count is not wasted work: `pairs` is the output of a
+    verify stage the collect would recompute anyway, and callers that
+    hold a materialized list pass through unchanged."""
     from collections import defaultdict
 
+    n = pairs.count()
+    if n > max_pairs:
+        raise ValueError(
+            f"greedy_reject_ids: {n} verified near-dup pairs exceed the "
+            f"driver-side bound of {max_pairs} (see GREEDY_MAX_PAIRS — "
+            "the components.py DRIVER_CC_MAX_EDGES memory math). A pair "
+            "list this large means the corpus is mostly duplicates; "
+            "resolve it with connected_components + keep-min-per-"
+            "component (dedup_q7's distributed path) instead of the "
+            "sequential keep-first policy"
+        )
     smaller: dict = defaultdict(list)
     for r in pairs.select("id_i", "id_j").collect():
         smaller[r["id_j"]].append(r["id_i"])
@@ -1014,6 +1077,12 @@ def dedup_corpus_greedy(
     contract of a crawl pipeline's dedup stage."""
     pairs = minhash_near_dup_pairs(docs, min_jaccard, num_hashes, bands)
     rejected = greedy_reject_ids(pairs)
+    # the collect inside greedy_reject_ids fully consumed the pair
+    # list; the returned anti-join reads only `docs` — release the
+    # shingle cache now (the consume-own-cache lifecycle case)
+    from distributed_mapreduce_spark.caching import release_caches
+
+    release_caches(pairs)
     if not rejected:
         return docs
     spark = docs.sparkSession

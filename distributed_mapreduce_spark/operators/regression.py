@@ -63,11 +63,16 @@ def linreg_gd(
         ).collect()[0]
         w0, w1 = float(row["w0"]), float(row["w1"])
     e = (F.lit(w0) + F.lit(w1) * x) - y
-    return xy.agg(
-        F.lit(w0).alias("w0"),
-        F.lit(w1).alias("w1"),
-        davg(e * e).alias("mse"),
-        F.count("*").alias("n"),
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(
+        xy.agg(
+            F.lit(w0).alias("w0"),
+            F.lit(w1).alias("w1"),
+            davg(e * e).alias("mse"),
+            F.count("*").alias("n"),
+        ),
+        xy,
     )
 
 
@@ -127,13 +132,19 @@ def linsvm_gd(
     z = F.lit(w[0])
     for j, f in enumerate(features):
         z = z + F.lit(w[j + 1]) * F.col(f)
-    return xy.agg(
-        *[F.lit(w[j]).alias(f"w{j}") for j in range(len(w))],
-        davg(F.greatest(F.lit(0.0), F.lit(1.0) - y * z)).alias("hinge"),
-        F.round(
-            F.sum(((y * z) > 0).cast("bigint")).cast("double") / F.count("*"), 6
-        ).alias("accuracy"),
-        F.count("*").alias("n"),
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(
+        xy.agg(
+            *[F.lit(w[j]).alias(f"w{j}") for j in range(len(w))],
+            davg(F.greatest(F.lit(0.0), F.lit(1.0) - y * z)).alias("hinge"),
+            F.round(
+                F.sum(((y * z) > 0).cast("bigint")).cast("double") / F.count("*"),
+                6,
+            ).alias("accuracy"),
+            F.count("*").alias("n"),
+        ),
+        xy,
     )
 
 

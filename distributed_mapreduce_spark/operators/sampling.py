@@ -206,12 +206,14 @@ def global_shuffle_index(
     if None in counts:
         # md5(concat(seed, NULL)) is NULL → NULL bucket. Without this
         # check the sorted() below dies with an opaque TypeError.
+        withh.unpersist()
         raise ValueError(
             f"global_shuffle_index: key_col {key_col!r} contains NULLs; "
             "a permutation position is content-addressed off the key, so "
             "every row needs a non-null key (filter or coalesce first)"
         )
     if not counts:
+        withh.unpersist()  # empty cache: nothing left to read it
         return df.select(*df.columns, F.lit(None).cast("bigint").alias("pos"))
     offsets, acc = {}, 0
     for b in sorted(counts):
@@ -223,10 +225,12 @@ def global_shuffle_index(
     from pyspark.sql import Window
 
     win = Window.partitionBy("__b").orderBy(F.col("__h").asc(), F.col(key_col).asc())
-    return (
-        withh.withColumn("__rk", F.row_number().over(win))
-        .select(
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(
+        withh.withColumn("__rk", F.row_number().over(win)).select(
             *df.columns,
             (off_map[F.col("__b")] + F.col("__rk") - 1).cast("bigint").alias("pos"),
-        )
+        ),
+        withh,
     )

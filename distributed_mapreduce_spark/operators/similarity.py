@@ -483,9 +483,8 @@ def kmeans_lloyd(
     # persist: the array training set is read once per iteration plus
     # the final assignment — the standard cache-the-training-set idiom
     # of iterative ML (pyspark.ml does the same); numerically neutral.
-    # Cache lifetime follows the repo persist convention (see
-    # operators/dedup.py): the returned DataFrame still reads it, so
-    # the caller's action ends its use.
+    # The returned frame still reads it, so it is attached for
+    # caching.release_caches (the operator-scope lifecycle contract).
     flat = emb.select(
         id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")
     ).persist()
@@ -531,7 +530,9 @@ def kmeans_lloyd(
         # Empty cells keep their previous centroid (deterministic, and
         # what the SQL replay's left-join-coalesce mirrors).
         cents = [new.get(c, cents[c]) for c in range(k)]
-    return assign(cents).select(id_col, "cell")
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(assign(cents).select(id_col, "cell"), flat)
 
 
 
@@ -624,6 +625,7 @@ def power_iteration(
             # would yield NULL → an opaque TypeError at the v-update
             # (code-review r13). Refuse with the actual diagnosis —
             # the kmeans empty-cell discipline applied here.
+            flat.unpersist()
             raise ValueError(
                 "power_iteration: input has zero variance (every "
                 "centered projection is 0) — no principal direction "
@@ -639,8 +641,10 @@ def power_iteration(
             *[F.round(F.lit(s[i]) / nrm, 12).alias(f"v{i}") for i in range(dim)]
         ).collect()[0]
         v = [float(vrow[f"v{i}"]) for i in range(dim)]
-    return flat.select(
-        id_col, F.round(centered_dot(v), 6).alias("proj")
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(
+        flat.select(id_col, F.round(centered_dot(v), 6).alias("proj")), flat
     )
 
 
@@ -1313,9 +1317,11 @@ def knn_join_ivf(
             .where(F.col("__rk") <= nprobe)
             .persist()
         )
+        cached: tuple = (ranked,)
         a = flat(ranked, "__id", "__v", "__qid", "__a")
         b = flat(ranked.where(F.col("__rk") == 1), "__id", "__v", "__nb", "__b")
     else:
+        cached = ()
         qcells = assign_probe_cells(
             emb.select(F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv")),
             centroids,
@@ -1329,7 +1335,9 @@ def knn_join_ivf(
         operator.add, [F.col(f"__a{i}") * F.col(f"__b{i}") for i in range(dim)]
     )
     w = Window.partitionBy("__qid").orderBy(F.desc("cos_sim"), F.asc("__nb"))
-    return (
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(
         a.join(b, "cell")
         .where(F.col("__qid") != F.col("__nb"))
         .select("__qid", "__nb", F.round(dot, 6).alias("cos_sim"))
@@ -1338,5 +1346,6 @@ def knn_join_ivf(
         .select(
             F.col("__qid").alias("id"), F.col("__nb").alias("nb"), "cos_sim"
         )
-        .orderBy("id", F.desc("cos_sim"), F.asc("nb"))
+        .orderBy("id", F.desc("cos_sim"), F.asc("nb")),
+        *cached,
     )

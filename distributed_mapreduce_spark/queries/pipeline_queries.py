@@ -296,12 +296,17 @@ def contam_q1_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_sh = sh.where(F.col("is_bench")).select("id", "shingle")
     train_sh = sh.where(~F.col("is_bench")).select("id", "shingle")
     rep = contamination_report(bench_sh, train_sh, CONTAM_MIN_OVERLAP)
-    return rep.select(
-        F.col("id").alias("doc_id"),
-        "n_shingles",
-        "n_hit",
-        "overlap",
-        F.col("contaminated").cast("int").alias("contaminated"),
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(
+        rep.select(
+            F.col("id").alias("doc_id"),
+            "n_shingles",
+            "n_hit",
+            "overlap",
+            F.col("contaminated").cast("int").alias("contaminated"),
+        ),
+        sh,
     )
 
 
@@ -549,10 +554,13 @@ def contam_q2_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # score TRAIN docs against BENCH shingles (the reverse probe)
     rep = contamination_report(train_sh, bench_sh, CONTAM_MIN_OVERLAP)
     dirty = rep.where(F.col("contaminated")).select("id")
-    return (
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(
         docs.where(F.col("source") != BENCH_SOURCE)
         .join(dirty, docs.doc_id == dirty.id, "left_anti")
-        .select("doc_id", "source", "lang", "n_chars")
+        .select("doc_id", "source", "lang", "n_chars"),
+        sh,
     )
 
 
@@ -732,10 +740,16 @@ def contam_q3_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pairs = verify_jaccard_pairs(sh.select("id", "shingle"), cands, NEAR_DUP_JACCARD)
-    return pairs.select(
-        F.col("id_i").alias("bench_id"),
-        F.col("id_j").alias("train_id"),
-        "jaccard",
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(
+        pairs.select(
+            F.col("id_i").alias("bench_id"),
+            F.col("id_j").alias("train_id"),
+            "jaccard",
+        ),
+        sh,
+        pairs,
     )
 
 

@@ -104,7 +104,9 @@ def sim_q2_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     denom = F.col("a.__norm") * F.col("b.__norm")
     cos = F.when(denom > 0, d / denom).otherwise(F.lit(0.0))
-    return (
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(
         _grid_self_pair_join(flat, EMB_GRID_BLOCKS)
         .select(
             F.least(F.col("a.id"), F.col("b.id")).alias("id_i"),
@@ -112,7 +114,8 @@ def sim_q2_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("id_i"), F.asc("id_j"))
-        .limit(TOP_PAIRS)
+        .limit(TOP_PAIRS),
+        flat,
     )
 
 
@@ -390,14 +393,17 @@ def dedup_q6_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         operator.add,
         [F.col(f"a.__v{i}") * F.col(f"b.__v{i}") for i in range(DIM)],
     )
-    return (
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(
         _grid_self_pair_join(flat, EMB_GRID_BLOCKS)
         .select(
             F.least(F.col("a.id"), F.col("b.id")).alias("id_i"),
             F.greatest(F.col("a.id"), F.col("b.id")).alias("id_j"),
             F.round(dot, 6).alias("cos_sim"),
         )
-        .where(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
+        .where(F.col("cos_sim") >= EMB_DUP_THRESHOLD),
+        flat,
     )
 
 
@@ -493,13 +499,18 @@ def semdedup_representatives(
         "cell",
         F.coalesce("component", F.col("vec_id")).alias("component"),
     )
-    return (
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(
         members.groupBy("component")
         .agg(
             F.min("cell").cast("int").alias("cell"),
             F.count("*").alias("n_members"),
         )
-        .select(F.col("component").alias("rep_id"), "cell", "n_members")
+        .select(F.col("component").alias("rep_id"), "cell", "n_members"),
+        j,
+        assign,
+        comp,
     )
 
 
@@ -623,12 +634,17 @@ def label_centroid_profile(
         F.round(nm, 6).alias("centroid_norm"),
         cos.alias("cos"),
     )
-    return scored.groupBy("label", "n_vecs", "centroid_norm").agg(
-        F.round(F.sum(dec12(F.col("cos"))).cast("double") / F.count("*"), 6).alias(
-            "mean_cos"
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(
+        scored.groupBy("label", "n_vecs", "centroid_norm").agg(
+            F.round(
+                F.sum(dec12(F.col("cos"))).cast("double") / F.count("*"), 6
+            ).alias("mean_cos"),
+            F.min("cos").alias("min_cos"),
+            F.max("cos").alias("max_cos"),
         ),
-        F.min("cos").alias("min_cos"),
-        F.max("cos").alias("max_cos"),
+        flat,
     )
 
 
@@ -1042,10 +1058,13 @@ def sim_q10_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("__e.id").alias("id"), F.col("__e.nb").alias("nb"), "cos_sim")
     )
     w_glob = Window.partitionBy("id").orderBy(F.desc("cos_sim"), F.asc("nb"))
-    return (
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(
         both.withColumn("__rg", F.row_number().over(w_glob))
         .where(F.col("__rg") <= K_NN)
-        .select("id", "nb", "cos_sim")
+        .select("id", "nb", "cos_sim"),
+        flat,
     )
 
 

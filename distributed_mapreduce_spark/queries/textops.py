@@ -612,18 +612,27 @@ def text_q7_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("count").alias("top_big_n"), F.sum("count").alias("n_bigrams"))
     )
-    return tok_stats.join(big_stats, "doc_id").select(
-        "doc_id",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("ttr"),
-        F.round(F.col("top_tok_n") / F.col("n_tokens"), 6).alias("top_token_frac"),
-        F.round(F.col("top_big_n") / F.col("n_bigrams"), 6).alias("top_bigram_frac"),
-        (
-            F.round(F.col("top_big_n") / F.col("n_bigrams"), 6)
-            >= F.lit(REPETITION_TOP_BIGRAM)
-        )
-        .cast("int")
-        .alias("repetitive"),
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(
+        tok_stats.join(big_stats, "doc_id").select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(F.col("top_tok_n") / F.col("n_tokens"), 6).alias(
+                "top_token_frac"
+            ),
+            F.round(F.col("top_big_n") / F.col("n_bigrams"), 6).alias(
+                "top_bigram_frac"
+            ),
+            (
+                F.round(F.col("top_big_n") / F.col("n_bigrams"), 6)
+                >= F.lit(REPETITION_TOP_BIGRAM)
+            )
+            .cast("int")
+            .alias("repetitive"),
+        ),
+        toks,
     )
 
 
@@ -1231,7 +1240,13 @@ def dedup_q16_maintained_lsh_store(spark: SparkSession, sf_dir: str) -> DataFram
     )
     internal = lsh_candidate_pairs(new_sig, bands=MINHASH_BANDS)
     cands = cross.unionByName(internal).distinct()
-    return verify_jaccard_pairs(sh.select("id", "shingle"), cands, NEAR_DUP_JACCARD)
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(
+        verify_jaccard_pairs(sh.select("id", "shingle"), cands, NEAR_DUP_JACCARD),
+        sh,
+        sig,
+    )
 
 
 def dedup_q17_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -450,6 +450,32 @@ def test_greedy_reject_keep_first_chain_semantics(spark):
     assert greedy_reject_ids(pairs) == {2, 6}
 
 
+def test_greedy_reject_enforces_driver_bound(spark):
+    """The driver-side pair-list bound is ENFORCED, not assumed
+    (VERDICT r13 #4): an all-duplicates corpus — every doc near-dups
+    every other, the O(N²) pathological case — refuses loudly before
+    collecting, and the refusal points at the distributed CC
+    resolution. Exercised through the real pipeline (identical texts →
+    identical minhash signatures → every pair LSH-candidate and
+    exact-verified), not a hand-built pair list."""
+    import pytest
+
+    from distributed_mapreduce_spark.operators.dedup import (
+        greedy_reject_ids,
+        minhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the same document text repeated verbatim") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    pairs = minhash_near_dup_pairs(docs, 0.5)
+    with pytest.raises(ValueError, match="exceed the driver-side bound"):
+        greedy_reject_ids(pairs, max_pairs=100)
+    # under the bound the same list resolves: keep-first keeps doc 0
+    assert greedy_reject_ids(pairs) == set(range(1, 30))
+
+
 def test_compact_lsh_band_index_crash_exactness(spark, docs, monkeypatch):
     """compact_lsh_band_index's fresh-name swap (VERDICT r10 #2): a
     failure at ANY step leaves a complete, recoverable copy of the
