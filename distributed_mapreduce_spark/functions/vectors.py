@@ -134,3 +134,38 @@ def round12_decimal_sum_sql(expr: str) -> str:
         f"round(CAST(sum(CAST(round({expr}, 12) AS DECIMAL(22,12)))"
         f" AS DOUBLE), 12)"
     )
+
+
+def flat_normalized(
+    emb,
+    id_alias: str,
+    prefix: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
+):
+    """Unit-normalize (norm bound ONCE as a column; zero-norm rows
+    dropped), then unpack into `dim` scalar columns — pair scoring
+    downstream is plain column arithmetic on UnsafeRow fields,
+    measured ~4× faster than element_at() inside an N² projection.
+    The ONE normalize+flatten builder shared by the batch all-pairs
+    queries (queries/simops) and the streaming SemDeDup ingest sink,
+    so their rounded dots can never drift apart. `carry` forwards
+    per-row columns (e.g. a cell assignment) through the projection."""
+    n = (
+        emb.withColumn("__n", norm(F.col(vec_col)))
+        .where(F.col("__n") > 0)
+        .select(
+            F.col(id_col).alias(id_alias),
+            *carry,
+            F.transform(
+                vec_col, lambda x: x.cast("double") / F.col("__n")
+            ).alias("__v"),
+        )
+    )
+    return n.select(
+        id_alias,
+        *carry,
+        *[F.col("__v")[i].alias(f"{prefix}{i}") for i in range(dim)],
+    )

@@ -485,11 +485,31 @@ def kmeans_lloyd(
     # of iterative ML (pyspark.ml does the same); numerically neutral.
     # The returned frame still reads it, so it is attached for
     # caching.release_caches (the operator-scope lifecycle contract).
-    flat = emb.select(
+    flat = _kmeans_flat(emb, id_col, vec_col).persist()
+    cents = _kmeans_iterate(flat, dim, k, iters, id_col)
+    from distributed_mapreduce_spark.caching import attach_caches
+
+    return attach_caches(
+        flat.select(id_col, _kmeans_best_cell(cents).alias("cell")), flat
+    )
+
+
+def _kmeans_flat(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """The (id, v: array<double>) training projection every kmeans
+    stage reads — ONE builder so training and frozen assignment can
+    never cast differently."""
+    return emb.select(
         id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")
-    ).persist()
-    init = flat.orderBy(id_col).limit(k).collect()
-    cents = [[float(x) for x in r["v"]] for r in init]
+    )
+
+
+def _kmeans_best_cell(centroids: list[list[float]]):
+    """Relational argmin over the array column `v`: min-of-struct
+    (squared-L2, cell) with lowest-cell tiebreak — the ONE assignment
+    expression shared by kmeans_lloyd's loop, its final assignment,
+    and kmeans_assign's frozen form, so all three are bit-identical
+    given equal centroid lists (and the SQL replay mirrors exactly
+    this shape)."""
 
     def dist_expr(cent: list[float]):
         sq = F.zip_with(
@@ -497,20 +517,28 @@ def kmeans_lloyd(
         )
         return F.aggregate(sq, F.lit(0.0), lambda acc, e: acc + e)
 
-    def assign(centroids: list[list[float]]) -> DataFrame:
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(dist_expr(c).alias("dist"), F.lit(i).alias("cell"))
-                    for i, c in enumerate(centroids)
-                ]
-            )
-        )["cell"]
-        return flat.select(id_col, "v", best.alias("cell"))
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(dist_expr(c).alias("dist"), F.lit(i).alias("cell"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )["cell"]
 
+
+def _kmeans_iterate(
+    flat: DataFrame, dim: int, k: int, iters: int, id_col: str
+) -> list[list[float]]:
+    """kmeans_lloyd's training loop over the (persisted) flat
+    projection: deterministic init (k lowest-id vectors), then `iters`
+    rounds of argmin assignment + decimal-staged means. Returns the
+    final centroid list (k×dim driver floats — the bounded collect)."""
+    init = flat.orderBy(id_col).limit(k).collect()
+    cents = [[float(x) for x in r["v"]] for r in init]
     for _ in range(iters):
         rows = (
-            assign(cents)
+            flat.select(id_col, "v", _kmeans_best_cell(cents).alias("cell"))
             .select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(
@@ -530,9 +558,44 @@ def kmeans_lloyd(
         # Empty cells keep their previous centroid (deterministic, and
         # what the SQL replay's left-join-coalesce mirrors).
         cents = [new.get(c, cents[c]) for c in range(k)]
-    from distributed_mapreduce_spark.caching import attach_caches
+    return cents
 
-    return attach_caches(assign(cents).select(id_col, "cell"), flat)
+
+def kmeans_train(
+    emb: DataFrame,
+    dim: int,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """kmeans_lloyd's training loop alone: the FROZEN centroid list a
+    streaming/incremental pipeline assigns against (the IVF
+    frozen-metadata pattern applied to the graded Lloyd's trainer —
+    see streaming/sinks.foreach_batch_semdedup_ingest). Bit-identical
+    to the centroids kmeans_lloyd's own assignment uses (shared loop).
+    Consumes its own cache: the training set is unpersisted before
+    returning (the centroid list is plain driver floats)."""
+    flat = _kmeans_flat(emb, id_col, vec_col).persist()
+    try:
+        return _kmeans_iterate(flat, dim, k, iters, id_col)
+    finally:
+        flat.unpersist()
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Frozen-centroid argmin assignment — ONE scan-shaped projection,
+    no shuffle, bit-identical to kmeans_lloyd's final assignment given
+    the same centroid list (shared _kmeans_best_cell expression).
+    Returns (id, cell)."""
+    return _kmeans_flat(emb, id_col, vec_col).select(
+        id_col, _kmeans_best_cell(centroids).alias("cell")
+    )
 
 
 

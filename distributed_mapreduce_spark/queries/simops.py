@@ -267,36 +267,16 @@ def _kmeans_sql() -> str:
 EMB_DUP_THRESHOLD = 0.4
 
 
-def _normalized(emb: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-    """Unit-normalize embeddings once per ROW (norm binds as a column,
-    not re-derived per element), so pair scoring is a single dot fold
-    instead of three — the N² side of all-pairs never recomputes norms."""
-    from distributed_mapreduce_spark.functions.vectors import norm
-
-    return (
-        emb.withColumn("__n", norm(F.col("embedding")))
-        .where(F.col("__n") > 0)
-        .select(
-            F.col("vec_id").alias(id_alias),
-            F.transform("embedding", lambda x: x.cast("double") / F.col("__n")).alias(
-                vec_alias
-            ),
-        )
-    )
-
-
 def _flat_normalized(
     emb: DataFrame, id_alias: str, prefix: str, dim: int = DIM
 ) -> DataFrame:
-    """Unit-normalize, then unpack the vector into `dim` scalar columns.
-    Downstream pair scoring is then plain column arithmetic on
-    UnsafeRow fields — measured ~4× faster than element_at() on the
-    array inside the N² projection (array access carries per-term
-    null/bounds handling the flat columns don't)."""
-    n = _normalized(emb, id_alias, "__v")
-    return n.select(
-        id_alias, *[F.col("__v")[i].alias(f"{prefix}{i}") for i in range(dim)]
-    )
+    """Unit-normalize, then unpack the vector into `dim` scalar columns
+    — delegates to the shared functions/vectors.flat_normalized builder
+    (also the streaming SemDeDup sink's verify projection, so batch and
+    streamed rounded dots are bit-identical by construction)."""
+    from distributed_mapreduce_spark.functions.vectors import flat_normalized
+
+    return flat_normalized(emb, id_alias, prefix, dim)
 
 
 # Grid side length for the blocked exact all-pairs join: B² reducer
@@ -438,6 +418,7 @@ def semdedup_representatives(
     k: int | None = None,
     iters: int | None = None,
     tau: float = SEMDEDUP_TAU,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup with the pair
     space bounded by k-means cells instead of dedup_q6's exact N²/B
@@ -468,13 +449,21 @@ def semdedup_representatives(
     from distributed_mapreduce_spark.operators.similarity import (
         KM_ITERS,
         KM_K,
+        kmeans_assign,
         kmeans_lloyd,
     )
     from distributed_mapreduce_spark.sources import widen
 
     k = KM_K if k is None else k
     iters = KM_ITERS if iters is None else iters
-    assign = kmeans_lloyd(emb, dim, k, iters)  # (vec_id, cell)
+    if centroids is not None:
+        # FROZEN-centroid form (the streaming-ingest parity side):
+        # skip training, assign against the given list — bit-identical
+        # to kmeans_lloyd when `centroids` came from kmeans_train on
+        # the same corpus (shared _kmeans_best_cell expression).
+        assign = kmeans_assign(emb, centroids)  # (vec_id, cell)
+    else:
+        assign = kmeans_lloyd(emb, dim, k, iters)  # (vec_id, cell)
     flat = widen(_flat_normalized(emb, "vec_id", "__v", dim))
     j = flat.join(assign, "vec_id").persist()
     dot = functools.reduce(

@@ -460,6 +460,96 @@ def st_q11_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# Embedding-feed replay granularity for the SemDeDup ingest query —
+# ≥2 so real cross-batch probe/merge semantics are exercised; 3 keeps
+# a middle batch that both probes the store AND is probed later.
+SEMDEDUP_CHUNKS = 3
+
+
+def st_q12_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SemDeDup ingest
+    (streaming/sinks.foreach_batch_semdedup_ingest) graded end-to-end:
+    the embeddings fixture replayed as SEMDEDUP_CHUNKS vec_id-ordered
+    micro-batches against FROZEN kmeans_train centroids — per batch,
+    cell-assign (the shared _kmeans_best_cell expression), verify
+    rounded cosine ≥ τ against the batch and the cell-pruned member
+    store, fold the edges into the incremental component state
+    (per-id labels + the append-only alias log), commit manifest-last.
+    The graded result is the surviving representative set
+    (rep_id, cell, n_members) read back from the store.
+
+    Why dedup_q19's one-shot SQL is a sound oracle for the streaming
+    path: the within-cell pair set is ARRIVAL-ORDER INDEPENDENT (every
+    pair is found when the later member arrives — batch-internal or
+    batch↔store), transitive closure is order-independent, and union
+    is by min id, so the folded labels equal connected_components'
+    min-reachable-id labels over the identical edge set; frozen
+    kmeans_train centroids are bit-identical to the centroids
+    dedup_q19's in-query trainer assigns with (shared training loop +
+    shared assignment expression) — so streamed ≡ one-shot
+    value-for-value (✓tested at every batch boundary in
+    test_stream_sinks, incl. torn-commit replay under real executor
+    JVMs in the local-cluster suite).
+
+    Scale shape per batch: batch scan + ONE cell-pruned store read
+    (only the batch's own cells, partition-level) + a driver
+    union-find over edge-touching ids only (bounded by
+    GREEDY_MAX_PAIRS, counted before any collect); store size enters
+    only through collisions within probed cells — the SemDeDup
+    Σ|cell|² bound, incrementalized."""
+    import atexit as _atexit
+    import shutil as _shutil
+
+    from distributed_mapreduce_spark.operators.similarity import (
+        KM_ITERS,
+        KM_K,
+        kmeans_train,
+    )
+    from distributed_mapreduce_spark.queries.simops import DIM, SEMDEDUP_TAU
+    from distributed_mapreduce_spark.streaming.replay import (
+        ephemeral_dir,
+        stage_embedding_chunks,
+    )
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_semdedup_ingest,
+        read_semdedup_representatives,
+    )
+
+    key = ("emb", sf_dir, SEMDEDUP_CHUNKS)
+    if key not in _CHUNK_CACHE:
+        _CHUNK_CACHE[key] = stage_embedding_chunks(sf_dir, SEMDEDUP_CHUNKS)
+        _atexit.register(_shutil.rmtree, _CHUNK_CACHE[key], ignore_errors=True)
+    chunks = _CHUNK_CACHE[key]
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_train(emb, DIM, KM_K, KM_ITERS)
+    # fresh store+checkpoint per call (bench passes must not resume
+    # each other's state); store kept until process exit — the
+    # returned DataFrame reads it lazily
+    store = ephemeral_dir("dmr_semdedup_store_")
+    ckpt = ephemeral_dir("dmr_semdedup_ckpt_")
+    _atexit.register(_shutil.rmtree, store, ignore_errors=True)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = foreach_batch_semdedup_ingest(
+            (
+                spark.readStream.schema("vec_id bigint, embedding array<float>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(chunks)
+            ),
+            f"{store}/t",
+            ckpt,
+            cents,
+            DIM,
+            tau=SEMDEDUP_TAU,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        _shutil.rmtree(ckpt, ignore_errors=True)
+    return read_semdedup_representatives(spark, f"{store}/t")
+
+
 SHADOW_QUERIES = {
     "st_q2_sliding": st_q2_sliding,
     "st_q7_stream_static_enrich": st_q7_stream_static_enrich,
@@ -467,6 +557,7 @@ SHADOW_QUERIES = {
     "st_q9_cdc_upsert": st_q9_cdc_upsert,
     "st_q10_cdc_ordered": st_q10_cdc_ordered,
     "st_q11_time_travel": st_q11_time_travel,
+    "st_q12_semdedup_ingest": st_q12_semdedup_ingest,
 }
 
 
@@ -505,10 +596,21 @@ def _st_q10_oracle() -> str:
     return sql
 
 
+def _st_q12_oracle() -> str:
+    from distributed_mapreduce_spark.queries.simops import _semdedup_sql
+
+    return _semdedup_sql()
+
+
 SHADOW_ORACLES = {
     "st_q9_cdc_upsert": _st_q9_oracle(),
     "st_q10_cdc_ordered": _st_q10_oracle(),
     "st_q11_time_travel": _st_q11_oracle(),
+    # dedup_q19's full kmeans+CC replay verbatim: the streamed
+    # representative set is arrival-order invariant and the frozen
+    # kmeans_train centroids are bit-identical to the in-query
+    # trainer's — see st_q12_semdedup_ingest's soundness argument.
+    "st_q12_semdedup_ingest": _st_q12_oracle(),
     # Matched rows = the batch interval join (same as st_q6); null
     # rows = clicks with no in-window purchase whose window closed
     # before the final global watermark (min over the two sides' max

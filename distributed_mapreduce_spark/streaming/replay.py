@@ -90,6 +90,29 @@ def stage_event_chunks(sf_dir: str, n_chunks: int = 4, workdir: str | None = Non
     return workdir
 
 
+def stage_embedding_chunks(
+    sf_dir: str, n_chunks: int = 3, workdir: str | None = None
+) -> str:
+    """Split the embeddings fixture into `n_chunks` vec_id-ordered
+    parquet files with strictly increasing mtimes — the vector-feed
+    twin of stage_event_chunks, staged for the streaming SemDeDup /
+    ANN ingest sinks. Returns the chunk directory; caller owns
+    cleanup."""
+    src = f"{sf_dir}/embeddings.parquet"
+    workdir = workdir or ephemeral_dir(
+        "dmr_embstream_", need_bytes=2 * os.path.getsize(src)
+    )
+    tbl = pq.read_table(src, columns=["vec_id", "embedding"]).sort_by("vec_id")
+    n = tbl.num_rows
+    base = time.time()
+    for c in range(n_chunks):
+        lo, hi = c * n // n_chunks, (c + 1) * n // n_chunks
+        path = os.path.join(workdir, f"chunk_{c:04d}.parquet")
+        pq.write_table(tbl.slice(lo, hi - lo), path)
+        os.utime(path, (base + c, base + c))
+    return workdir
+
+
 def event_stream(spark: SparkSession, chunk_dir: str) -> DataFrame:
     """File-source stream over staged chunks, one chunk per micro-batch."""
     return (

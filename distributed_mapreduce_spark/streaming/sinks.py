@@ -1597,3 +1597,366 @@ def compact_ann_ingest_store(spark, src_path: str, dst_path: str) -> int:
         }
     )
     return n
+
+
+# --- streaming SemDeDup ingest (VERDICT r13 #2) -----------------------------
+
+
+def _semdedup_member_dirs(ms, manifests, cells) -> list[str]:
+    """Leaf dirs `batch=<id>/cell=<c>` for c in `cells`, committed
+    batches only — the cell-pruned member read (the
+    pruned_partition_dirs pattern over the cell layout): a batch's
+    probe lists only the cells its own rows landed in. A manifest
+    missing the `cells` key means UNKNOWN, not empty — every wanted
+    cell is stat-checked for it (pruning degrades to correctness)."""
+    want = set(cells)
+    out = []
+    for b, payload in manifests:
+        have = payload.get("cells")
+        hit = want if have is None else want.intersection(have)
+        if not hit:
+            continue
+        base = ms.batch_dir(b)
+        for c in sorted(hit):
+            d = base / f"cell={c}"
+            if d.exists():
+                out.append(str(d))
+    return out
+
+
+def foreach_batch_semdedup_ingest(
+    vec_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    centroids: list,
+    dim: int,
+    tau: float = 0.4,
+    id_buckets: int = 64,
+    max_pairs: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Streaming SemDeDup (Abbas et al. 2023) — the incremental twin of
+    queries/simops.semdedup_representatives, composed exactly like
+    foreach_batch_ann_ingest: per micro-batch, assign the batch against
+    the FROZEN k-means centroid list (operators/similarity.kmeans_assign
+    — the same argmin expression the batch trainer uses), verify rounded
+    cosine ≥ tau against (a) the batch itself and (b) the committed
+    member store PRUNED to the batch's own cells, fold the resulting
+    edges into the store's incremental component state, and commit the
+    batch's members + labels, manifest last.
+
+    Component state = per-id label (the component's canonical = min
+    member id AT INSERTION TIME, written into the id sidecar) plus an
+    append-only ALIAS log (old_canonical → new_canonical merge records,
+    committed inside each batch's manifest — atomic with the batch).
+    Union is BY MIN id, so the alias chain always points downward and
+    the fold terminates; resolving a label through the alias chain
+    yields the component's true min member id — exactly the label
+    connected_components assigns. Edges are arrival-order-independent
+    (every within-cell pair (i, j) is found when the later of i, j
+    arrives), and transitive closure is order-independent, so the
+    surviving representative set after the feed equals the ONE-SHOT
+    semdedup_representatives(..., centroids=) over the same corpus —
+    the dedup_corpus_greedy batch/streaming parity contract, here with
+    component semantics (tested: streamed ≡ dedup_q19).
+
+    Exactly-once / replay: committed batch ids short-circuit; a torn
+    batch's dirs are invisible (manifest last) and its replay
+    overwrites them; the known-id gate (bucket-pruned id sidecar
+    anti-join, the ann-sink pattern) makes a FRESH-CHECKPOINT full-feed
+    replay converge — replayed docs are already members, contribute no
+    rows and no merges.
+
+    Per-batch cost: batch scan + one cell-pruned store read (only the
+    batch's cells, partition-level pruning) + collisions; the driver
+    union-find sees only edge-touching ids, bounded by `max_pairs`
+    (default operators/dedup.GREEDY_MAX_PAIRS — counted BEFORE any
+    collect, loud refusal above, the greedy_reject_ids discipline).
+    Store size enters only through collisions within probed cells —
+    the SemDeDup Σ|cell|² bound, incrementalized."""
+    import functools
+    import operator
+
+    from distributed_mapreduce_spark.functions.vectors import flat_normalized
+    from distributed_mapreduce_spark.operators.dedup import GREEDY_MAX_PAIRS
+    from distributed_mapreduce_spark.operators.similarity import kmeans_assign
+    from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
+
+    cap = GREEDY_MAX_PAIRS if max_pairs is None else max_pairs
+    ms = ManifestStore(store_path)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        if ms.is_committed(batch_id):
+            return
+        t0 = _time.monotonic()
+        spark = batch_df.sparkSession
+        manifests = ms.manifests()
+        _check_id_buckets(manifests, id_buckets, store_path)
+        src = batch_df = batch_df.persist()
+        coded = bm = pairs = None
+        try:
+            touched_in = {
+                r["p"]
+                for r in batch_df.select(
+                    _id_bucket(F.col(id_col), id_buckets).alias("p")
+                )
+                .distinct()
+                .collect()
+            }
+            gate_dirs = ms.pruned_partition_dirs(
+                touched_in, "ids", manifests=manifests
+            )
+            if gate_dirs:
+                known = spark.read.parquet(*gate_dirs).select(
+                    F.col("id").alias(id_col)
+                )
+                batch_df = batch_df.join(known, id_col, "left_anti")
+            coded = (
+                batch_df.select(id_col, vec_col)
+                .join(kmeans_assign(batch_df, centroids, id_col, vec_col), id_col)
+                .persist()
+            )
+            n = coded.count()
+            cells_b = sorted(
+                r["cell"] for r in coded.select("cell").distinct().collect()
+            )
+            # normalized flat view (cell carried) — the ONE builder the
+            # one-shot verify uses, so rounded dots are bit-identical
+            bm = flat_normalized(
+                coded, "__id", "__v", dim, id_col=id_col, vec_col=vec_col,
+                carry=("cell",),
+            ).persist()
+            dot = functools.reduce(
+                operator.add,
+                [F.col(f"a.__v{i}") * F.col(f"b.__v{i}") for i in range(dim)],
+            )
+            a, b = bm.alias("a"), bm.alias("b")
+            internal = (
+                a.join(
+                    b,
+                    (F.col("a.cell") == F.col("b.cell"))
+                    & (F.col("a.__id") < F.col("b.__id")),
+                )
+                .where(F.round(dot, 6) >= tau)
+                .select(
+                    F.col("a.__id").alias("x"),
+                    F.col("b.__id").alias("y"),
+                    F.lit(False).alias("y_stored"),
+                )
+            )
+            member_dirs = _semdedup_member_dirs(ms, manifests, cells_b)
+            if member_dirs:
+                stored = spark.read.option("basePath", str(ms.root)).parquet(
+                    *member_dirs
+                )
+                sb = flat_normalized(
+                    stored, "__id", "__v", dim, id_col=id_col, vec_col=vec_col,
+                    carry=("cell",),
+                ).alias("b")
+                # dot is bit-symmetric (per-term products commute, same
+                # fold order), so batch-side-as-a matches the one-shot
+                # least/greatest orientation exactly
+                cross = (
+                    a.join(sb, F.col("a.cell") == F.col("b.cell"))
+                    .where(F.round(dot, 6) >= tau)
+                    .select(
+                        F.col("a.__id").alias("x"),
+                        F.col("b.__id").alias("y"),
+                        F.lit(True).alias("y_stored"),
+                    )
+                )
+                pairs = internal.unionByName(cross).persist()
+            else:
+                pairs = internal.persist()
+            n_pairs = pairs.count()
+            if n_pairs > cap:
+                raise ValueError(
+                    f"semdedup ingest batch {batch_id}: {n_pairs} verified "
+                    f"near-dup edges exceed the driver-side bound of {cap} "
+                    "(see operators/dedup.GREEDY_MAX_PAIRS) — the batch is "
+                    "pathologically duplicate-heavy; shrink the batch or "
+                    "run the one-shot distributed tier"
+                )
+            edge_rows = pairs.collect()
+            sids = sorted({int(r["y"]) for r in edge_rows if r["y_stored"]})
+            label_of: dict = {}
+            if sids:
+                sid_df = spark.createDataFrame([(s,) for s in sids], "id bigint")
+                buckets_s = {
+                    r["p"]
+                    for r in sid_df.select(
+                        _id_bucket(F.col("id"), id_buckets).alias("p")
+                    )
+                    .distinct()
+                    .collect()
+                }
+                lab_dirs = ms.pruned_partition_dirs(
+                    buckets_s, "ids", manifests=manifests
+                )
+                label_of = {
+                    int(r["id"]): int(r["comp"])
+                    for r in spark.read.parquet(*lab_dirs)
+                    .join(F.broadcast(sid_df), "id", "left_semi")
+                    .select("id", "comp")
+                    .collect()
+                }
+            # alias fold (append-only merge log from the manifests)
+            alias: dict = {}
+            for _b, payload in manifests:
+                for old, new in payload.get("merges", []):
+                    alias[int(old)] = int(new)
+
+            def canon(c: int) -> int:
+                seen = []
+                while c in alias:
+                    seen.append(c)
+                    c = alias[c]
+                for s in seen:  # path compression
+                    alias[s] = c
+                return c
+
+            # union-find BY MIN id over batch ids + resolved canonicals
+            parent: dict = {}
+
+            def find(x: int) -> int:
+                parent.setdefault(x, x)
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
+
+            def union(x: int, y: int) -> None:
+                rx, ry = find(x), find(y)
+                if rx != ry:
+                    parent[max(rx, ry)] = min(rx, ry)
+
+            seed_canons = set()
+            for r in edge_rows:
+                x = int(r["x"])
+                y = int(r["y"])
+                if r["y_stored"]:
+                    y = canon(label_of[y])
+                    seed_canons.add(y)
+                union(x, y)
+            comp_map = {x: find(x) for x in list(parent)}
+            merges_out = sorted(
+                (c, comp_map[c]) for c in seed_canons if comp_map[c] != c
+            )
+
+            # writes: members, then labels, manifest LAST
+            coded.write.mode("overwrite").partitionBy("cell").parquet(
+                str(ms.batch_dir(batch_id))
+            )
+            ids_out = coded.select(id_col, "cell")
+            if comp_map:
+                comp_df = spark.createDataFrame(
+                    [(int(k), int(v)) for k, v in comp_map.items()],
+                    f"{id_col} bigint, __comp bigint",
+                )
+                ids_out = ids_out.join(F.broadcast(comp_df), id_col, "left")
+            else:
+                ids_out = ids_out.withColumn(
+                    "__comp", F.lit(None).cast("bigint")
+                )
+            ids_out = ids_out.select(
+                F.col(id_col).alias("id"),
+                F.coalesce("__comp", F.col(id_col)).alias("comp"),
+                "cell",
+                _id_bucket(F.col(id_col), id_buckets).alias("p"),
+            )
+            touched_acc = sorted(
+                r["p"] for r in ids_out.select("p").distinct().collect()
+            )
+            ids_out.repartition("p").write.mode("overwrite").partitionBy(
+                "p"
+            ).parquet(str(ms.batch_dir(batch_id, "ids")))
+            ms.commit(
+                batch_id,
+                {
+                    "vectors": n,
+                    "id_buckets": id_buckets,
+                    "touched": touched_acc,
+                    "cells": cells_b,
+                    "merges": [[int(o), int(c)] for o, c in merges_out],
+                    "tau": tau,
+                    "edges": n_pairs,
+                    "elapsed_s": round(_time.monotonic() - t0, 3),
+                },
+            )
+        finally:
+            for df in (pairs, bm, coded):
+                if df is not None:
+                    df.unpersist()
+            src.unpersist()
+
+    return (
+        vec_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_semdedup_representatives(
+    spark, store_path: str, as_of: int | None = None
+) -> DataFrame:
+    """Surviving representative set of a foreach_batch_semdedup_ingest
+    store — (rep_id, cell, n_members), the exact schema and semantics
+    of the one-shot dedup_q19: rep_id = the component's min member id
+    (per-id labels resolved through the folded alias log), cell = the
+    component's min cell, n_members its size.
+
+    `as_of=k` is time travel (the st_q11 contract on this store): fold
+    only manifests with batch id ≤ k — labels AND merge records — so
+    the read reproduces the surviving set exactly as it stood after
+    batch k committed. Raises if no batch ≤ k is committed."""
+    from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
+
+    ms = ManifestStore(store_path)
+    manifests = [
+        (b, p) for b, p in ms.manifests() if as_of is None or b <= as_of
+    ]
+    if not manifests:
+        raise FileNotFoundError(
+            f"no committed batch under {store_path}"
+            + (f" at or below as_of={as_of}" if as_of is not None else "")
+        )
+    alias: dict = {}
+    for _b, payload in manifests:
+        for old, new in payload.get("merges", []):
+            alias[int(old)] = int(new)
+
+    def canon(c: int) -> int:
+        seen = []
+        while c in alias:
+            seen.append(c)
+            c = alias[c]
+        for s in seen:
+            alias[s] = c
+        return c
+
+    resolved = {c: canon(c) for c in list(alias)}
+    ids = spark.read.option("basePath", str(ms.root / "ids")).parquet(
+        *ms.batch_dirs("ids", manifests=manifests)
+    )
+    if resolved:
+        adf = spark.createDataFrame(
+            [(int(o), int(c)) for o, c in resolved.items()],
+            "comp bigint, __canon bigint",
+        )
+        ids = ids.join(F.broadcast(adf), "comp", "left").select(
+            "id", F.coalesce("__canon", "comp").alias("comp"), "cell"
+        )
+    return (
+        ids.groupBy("comp")
+        .agg(
+            F.min("cell").cast("int").alias("cell"),
+            F.count("*").alias("n_members"),
+        )
+        .select(F.col("comp").alias("rep_id"), "cell", "n_members")
+    )

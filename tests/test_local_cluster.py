@@ -394,3 +394,114 @@ def test_ann_ingest_pipeline_on_local_cluster(cluster_spark, tmp_path):
         )
     finally:
         commitlog.ManifestStore.commit = real_commit
+
+
+def test_semdedup_ingest_pipeline_on_local_cluster(cluster_spark, tmp_path):
+    """The streaming SemDeDup sink under real executor JVMs (the
+    dedup/ann ingest hardening pattern): chunked feed, a torn commit
+    mid-chain, replay, final representative set ≡ the one-shot
+    semdedup_representatives with the same frozen centroids."""
+    import time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from distributed_mapreduce_spark.operators.similarity import (
+        KM_ITERS,
+        KM_K,
+        kmeans_train,
+    )
+    from distributed_mapreduce_spark.queries.simops import (
+        DIM,
+        SEMDEDUP_TAU,
+        semdedup_representatives,
+    )
+    from distributed_mapreduce_spark.sources import table
+    from distributed_mapreduce_spark.streaming import commitlog
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_semdedup_ingest,
+        read_semdedup_representatives,
+    )
+
+    t_start = time.perf_counter()
+    spark = cluster_spark
+    emb = table(spark, SF, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_train(emb, DIM, KM_K, KM_ITERS)
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    src = tmp_path / "feed"
+    src.mkdir()
+    base = time.time()
+    third = len(rows) // 3
+
+    def chunk_cols(chunk_rows):
+        import pyarrow as pa
+
+        return {
+            "vec_id": pa.array([r.vec_id for r in chunk_rows], pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r.embedding)) for r in chunk_rows],
+                pa.list_(pa.float32()),
+            ),
+        }
+
+    store = str(tmp_path / "store")
+
+    def run():
+        q = foreach_batch_semdedup_ingest(
+            (
+                spark.readStream.schema("vec_id bigint, embedding array<float>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            ),
+            store,
+            str(tmp_path / "ckpt"),
+            cents,
+            DIM,
+            tau=SEMDEDUP_TAU,
+        )
+        q.awaitTermination()
+
+    real_commit = commitlog.ManifestStore.commit
+    state = {"armed": False, "fired": False}
+
+    def crashing_commit(self, batch_id, payload):
+        if state["armed"] and not state["fired"]:
+            state["fired"] = True
+            raise RuntimeError("injected crash: torn semdedup append")
+        return real_commit(self, batch_id, payload)
+
+    try:
+        _write_chunk(src, "c1.parquet", chunk_cols(rows[:third]), base)
+        run()
+        _write_chunk(
+            src, "c2.parquet", chunk_cols(rows[third : 2 * third]), base + 5
+        )
+        commitlog.ManifestStore.commit = crashing_commit
+        state["armed"] = True
+        try:
+            run()
+            raise AssertionError("injected crash did not fire")
+        except StreamingQueryException:
+            pass
+        assert state["fired"]
+        commitlog.ManifestStore.commit = real_commit
+        run()  # replay the torn batch
+        _write_chunk(src, "c3.parquet", chunk_cols(rows[2 * third :]), base + 10)
+        run()
+
+        got = sorted(
+            (r.rep_id, r.cell, r.n_members)
+            for r in read_semdedup_representatives(spark, store).collect()
+        )
+        want = sorted(
+            (r.rep_id, r.cell, r.n_members)
+            for r in semdedup_representatives(
+                emb, DIM, centroids=cents
+            ).collect()
+        )
+        assert got == want
+        print(
+            f"\n  [local-cluster] semdedup ingest e2e "
+            f"(torn+replay): {time.perf_counter()-t_start:.1f}s"
+        )
+    finally:
+        commitlog.ManifestStore.commit = real_commit

@@ -1641,3 +1641,147 @@ def test_time_travel_refuses_below_compaction_floor(spark, tmp_path):
     assert {
         r.k: r.v for r in read_current_partitioned(spark, dst).collect()
     } == head
+
+
+def _semdedup_feed(spark, tmp_path, n_chunks=3):
+    """Stage the sf0.001 embeddings fixture as an ascending-vec_id
+    chunked file feed (the streaming-dedup staging pattern), plus the
+    frozen centroid list trained on the full corpus with dedup_q19's
+    exact loop."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from distributed_mapreduce_spark.operators.similarity import (
+        KM_ITERS,
+        KM_K,
+        kmeans_train,
+    )
+    from distributed_mapreduce_spark.queries.simops import DIM
+    from distributed_mapreduce_spark.sources import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_train(emb, DIM, KM_K, KM_ITERS)
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    src = tmp_path / "feed"
+    src.mkdir()
+    base = time.time()
+    step = len(ids) // n_chunks
+    bounds = [ids[i * step] for i in range(1, n_chunks)] + [ids[-1] + 1]
+    lo = ids[0]
+    for k, hi in enumerate(bounds):
+        chunk = emb.where((emb.vec_id >= lo) & (emb.vec_id < hi))
+        tmp = str(tmp_path / f"w{k}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(tmp + "/part-*.parquet")[0]
+        dst = str(src / f"c{k}.parquet")
+        _shutil.move(part, dst)
+        os.utime(dst, (base + 5 * k, base + 5 * k))
+        lo = hi
+    return emb, cents, src, bounds
+
+
+def test_streaming_semdedup_matches_one_shot(spark, tmp_path):
+    """foreach_batch_semdedup_ingest (VERDICT r13 #2): the streamed
+    surviving representative set over an ascending-id chunked feed
+    equals the ONE-SHOT semdedup_representatives — which with frozen
+    centroids from kmeans_train equals the graded dedup_q19 exactly
+    (shared assignment expression) — value-for-value on
+    (rep_id, cell, n_members). Resume with no new data changes
+    nothing; as_of=k reproduces the set after each batch boundary;
+    a FRESH-checkpoint full replay converges."""
+    import pathlib
+    import shutil as _shutil
+
+    from distributed_mapreduce_spark.queries.simops import (
+        DIM,
+        SEMDEDUP_TAU,
+        semdedup_representatives,
+    )
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_semdedup_ingest,
+        read_semdedup_representatives,
+    )
+
+    emb, cents, src, bounds = _semdedup_feed(spark, tmp_path)
+
+    def one_shot(df):
+        return sorted(
+            (r.rep_id, r.cell, r.n_members)
+            for r in semdedup_representatives(
+                df, DIM, centroids=cents
+            ).collect()
+        )
+
+    want = one_shot(emb)
+    # frozen-centroid one-shot ≡ the trained-in-place graded form
+    assert want == sorted(
+        (r.rep_id, r.cell, r.n_members)
+        for r in semdedup_representatives(emb, DIM).collect()
+    )
+    assert any(n > 1 for _, _, n in want), "fixture must plant duplicates"
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(checkpoint):
+        q = foreach_batch_semdedup_ingest(
+            (
+                spark.readStream.schema("vec_id bigint, embedding array<float>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            ),
+            store,
+            checkpoint,
+            cents,
+            DIM,
+            tau=SEMDEDUP_TAU,
+        )
+        q.awaitTermination()
+
+    run(ckpt)
+    got = sorted(
+        (r.rep_id, r.cell, r.n_members)
+        for r in read_semdedup_representatives(spark, store).collect()
+    )
+    assert got == want
+
+    # time travel: as_of=k ≡ one-shot over the id prefix of batches ≤ k
+    for k, hi in enumerate(bounds[:-1]):
+        prefix = emb.where(emb.vec_id < hi)
+        assert (
+            sorted(
+                (r.rep_id, r.cell, r.n_members)
+                for r in read_semdedup_representatives(
+                    spark, store, as_of=k
+                ).collect()
+            )
+            == one_shot(prefix)
+        ), f"as_of={k}"
+
+    # resume with no new data: no change, no new manifests
+    n_manifests = len(list(pathlib.Path(store, "_manifests").glob("*.json")))
+    run(ckpt)
+    assert (
+        sorted(
+            (r.rep_id, r.cell, r.n_members)
+            for r in read_semdedup_representatives(spark, store).collect()
+        )
+        == want
+    )
+    assert (
+        len(list(pathlib.Path(store, "_manifests").glob("*.json"))) == n_manifests
+    )
+
+    # fresh-checkpoint full replay: the known-id gate converges it —
+    # same set, no duplicate members, no new merges beyond the gate's
+    # empty batches
+    _shutil.rmtree(ckpt, ignore_errors=True)
+    run(str(tmp_path / "ckpt2"))
+    again = read_semdedup_representatives(spark, store)
+    assert (
+        sorted((r.rep_id, r.cell, r.n_members) for r in again.collect()) == want
+    )
+    total_members = again.groupBy().sum("n_members").collect()[0][0]
+    assert total_members == emb.count(), "replay must not duplicate members"
