@@ -41,12 +41,69 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _evolve_base(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    ord_col: str,
+    delete_col: str,
+    base_payload: list[str],
+) -> tuple[DataFrame, list[str]]:
+    """Delta-mergeSchema evolution for the merge operators: change
+    batches may carry ADDED payload columns — absent from the stored
+    snapshot, they become typed NULLs in every old base row, and the
+    merged output carries the widened schema (base payload order, new
+    columns appended in change order). Everything else refuses LOUDLY:
+
+    - a base payload column MISSING from the change batch is a rename
+      or a drop — neither is expressible as an addition, and silently
+      NULLing a whole stored column is data loss;
+    - a TYPE CHANGE on a shared payload column refuses rather than
+      silently cast (Delta's automatic-evolution contract: adds only).
+    """
+    change_payload = [
+        c for c in changes.columns if c not in (key, ord_col, delete_col)
+    ]
+    missing = [c for c in base_payload if c not in change_payload]
+    if missing:
+        raise ValueError(
+            f"merge schema evolution: change batch is missing stored "
+            f"payload column(s) {missing} — a rename or drop is not an "
+            "addition (Delta mergeSchema adds columns only); rename/drop "
+            "requires an explicit table rewrite"
+        )
+    btypes = {f.name: f.dataType for f in base.schema.fields}
+    ctypes = {f.name: f.dataType for f in changes.schema.fields}
+    changed = [
+        c
+        for c in base_payload
+        if c in ctypes and btypes[c] != ctypes[c]
+    ]
+    if changed:
+        raise ValueError(
+            "merge schema evolution: payload column(s) "
+            + str(
+                [
+                    f"{c}: {btypes[c].simpleString()} -> {ctypes[c].simpleString()}"
+                    for c in changed
+                ]
+            )
+            + " change type — refused, never silently cast (rewrite the "
+            "table to retype a column)"
+        )
+    added = [c for c in change_payload if c not in base_payload]
+    for c in added:
+        base = base.withColumn(c, F.lit(None).cast(ctypes[c]))
+    return base, base_payload + added
+
+
 def merge_changes(
     base: DataFrame,
     changes: DataFrame,
     key: str,
     ord_col: str = "ord",
     delete_col: str = "is_delete",
+    merge_schema: bool = False,
 ) -> DataFrame:
     """MERGE the change batch into `base` (schemas must match on the
     payload columns; `changes` carries `ord_col` and `delete_col` in
@@ -62,8 +119,19 @@ def merge_changes(
     cannot guarantee per-key order, use merge_changes_ordered below —
     it persists `ord` in the snapshot and gates the replace on
     `change.ord >= base.ord`, a one-column + one-narrow-scan cost this
-    operator deliberately avoids for ordered feeds."""
+    operator deliberately avoids for ordered feeds.
+
+    `merge_schema=True` enables Delta-mergeSchema evolution (VERDICT
+    r13 #3): change batches may carry ADDED payload columns — typed
+    NULL in every pre-existing base row, the merged output carries the
+    widened schema — while renames/drops and type changes refuse
+    loudly (see _evolve_base). Default False keeps the strict
+    contract: payload = base's columns, extra change columns ignored."""
     payload = [c for c in base.columns if c != key]
+    if merge_schema:
+        base, payload = _evolve_base(
+            base, changes, key, ord_col, delete_col, payload
+        )
     # One max_by over the whole change row as a struct: the winning
     # (delete flag, payload...) is picked atomically from the single
     # highest-ord row — NULL payload values ride along (they are data,
@@ -87,6 +155,7 @@ def merge_changes_ordered(
     ord_col: str = "ord",
     delete_col: str = "is_delete",
     reap_below=None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """MERGE for feeds WITHOUT merge_changes' cross-batch per-key
     ordering guarantee: the snapshot persists each key's last-applied
@@ -132,8 +201,16 @@ def merge_changes_ordered(
     The applicability gate joins two batch-sized tables driver-free.
     The narrow extra scan is the price of order-independence; feeds
     that ARE delivered in per-key ord order should keep merge_changes
-    (one pass, no stored ord or tombstones)."""
+    (one pass, no stored ord or tombstones).
+
+    `merge_schema=True`: same Delta-mergeSchema evolution contract as
+    merge_changes (added payload columns ⇒ typed NULL in old rows and
+    in surviving tombstones; renames/drops/type changes refuse)."""
     payload = [c for c in base.columns if c not in (key, ord_col, delete_col)]
+    if merge_schema:
+        base, payload = _evolve_base(
+            base, changes, key, ord_col, delete_col, payload
+        )
     winner = (
         changes.groupBy(key)
         .agg(

@@ -550,6 +550,100 @@ def st_q12_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_semdedup_representatives(spark, f"{store}/t")
 
 
+# First EVO_SPLIT of the N_CHUNKS staged chunks run under the original
+# schema; the rest resume over the same checkpoint with the added
+# column. chunks are event_id-ordered count-slices, so the oracle's
+# added-column CASE uses the exact integer rank predicate.
+EVO_SPLIT = max(1, N_CHUNKS // 2)
+
+
+def st_q13_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-feed SCHEMA EVOLUTION on the partition-scoped CDC sink
+    (VERDICT r13 #3 — Delta mergeSchema): the st_q9 feed maintained in
+    two stream runs over ONE checkpoint and ONE store. Run 1 (the
+    first EVO_SPLIT chunks) merges the original (segment, balance)
+    payload; run 2 resumes with an ADDED `c_note` column and
+    merge_schema=True — pre-addition versions lack the column on disk,
+    every version manifest records its snapshot schema, and the graded
+    final read pads never-rewritten partitions with typed NULLs while
+    post-addition winners carry values. Graded value-for-value on the
+    full evolved snapshot (key, segment, balance, note).
+
+    Oracle soundness: last-writer-wins makes the final snapshot
+    batch-boundary invariant (the st_q9 argument), and the addition
+    boundary is the exact integer rank prefix rk·N ≤ n·SPLIT over
+    event_id order (the st_q11 predicate) — so the one-shot MERGE SQL
+    computes c_note = CASE WHEN the winning change lies in the late
+    slice THEN its derived value ELSE NULL END, independently of how
+    the stream chunked it.
+
+    Scale shape: run 2's per-batch cost is unchanged by evolution —
+    the mixed-schema base read is the same touched-bucket fold with
+    footer-merge, the NULL pad is a projection, and the schema record
+    is manifest metadata; nothing rewrites pre-addition versions (the
+    Delta add-column contract: old files are never touched)."""
+    import atexit as _atexit
+    import glob as _glob
+    import shutil as _shutil
+
+    from distributed_mapreduce_spark.streaming.replay import ephemeral_dir
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_cdc_merge_partitioned,
+        read_current_partitioned,
+    )
+
+    chunks = _staged(sf_dir)
+    files = sorted(_glob.glob(chunks + "/*.parquet"))
+    init = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    feed = ephemeral_dir("dmr_evo_feed_")
+    store = ephemeral_dir("dmr_evo_store_")
+    ckpt = ephemeral_dir("dmr_evo_ckpt_")
+    _atexit.register(_shutil.rmtree, store, ignore_errors=True)
+    base_cols = [
+        (F.col("user_id") + 1).alias("c_custkey"),
+        F.col("event_id").alias("ord"),
+        (F.col("event_type") == "error").cast("int").alias("is_delete"),
+        F.upper("event_type").alias("c_mktsegment"),
+        F.col("value").alias("c_acctbal"),
+    ]
+    note = F.concat(
+        F.upper("event_type"), F.lit("#"), F.col("event_id").cast("string")
+    ).alias("c_note")
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        for f in files[:EVO_SPLIT]:
+            _shutil.copy2(f, feed)
+        q = foreach_batch_cdc_merge_partitioned(
+            event_stream(spark, feed).select(*base_cols),
+            f"{store}/t",
+            ckpt,
+            "c_custkey",
+            n_buckets=8,
+            init=init,
+        )
+        q.awaitTermination()
+        for f in files[EVO_SPLIT:]:
+            _shutil.copy2(f, feed)
+        q = foreach_batch_cdc_merge_partitioned(
+            event_stream(spark, feed).select(*base_cols, note),
+            f"{store}/t",
+            ckpt,
+            "c_custkey",
+            n_buckets=8,
+            merge_schema=True,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        _shutil.rmtree(ckpt, ignore_errors=True)
+        _shutil.rmtree(feed, ignore_errors=True)
+    return read_current_partitioned(spark, f"{store}/t")
+
+
 SHADOW_QUERIES = {
     "st_q2_sliding": st_q2_sliding,
     "st_q7_stream_static_enrich": st_q7_stream_static_enrich,
@@ -558,6 +652,7 @@ SHADOW_QUERIES = {
     "st_q10_cdc_ordered": st_q10_cdc_ordered,
     "st_q11_time_travel": st_q11_time_travel,
     "st_q12_semdedup_ingest": st_q12_semdedup_ingest,
+    "st_q13_schema_evolution": st_q13_schema_evolution,
 }
 
 
@@ -602,6 +697,48 @@ def _st_q12_oracle() -> str:
     return _semdedup_sql()
 
 
+def _st_q13_oracle() -> str:
+    # rel_q18's MERGE SQL with ch widened by the added column: c_note
+    # is the derived value exactly on the LATE rank slice (the chunks
+    # run 2 merged — the st_q11 integer-rank predicate), NULL on the
+    # early slice and on untouched base rows. The winner row carries
+    # its note atomically with the rest of the payload (same
+    # whole-row-winner discipline).
+    base = _st_q9_oracle()
+    widened_ch = f"""FROM (
+                SELECT e.*,
+                       CASE WHEN __rk * {N_CHUNKS} > __n * {EVO_SPLIT}
+                            THEN upper(event_type) || '#' || CAST(event_id AS VARCHAR)
+                       END AS c_note
+                FROM (
+                    SELECT e.*,
+                           row_number() OVER (ORDER BY event_id) AS __rk,
+                           count(*) OVER () AS __n
+                    FROM events e
+                ) e
+            )"""
+    sql = base.replace("value AS c_acctbal", "value AS c_acctbal,\n                   c_note", 1)
+    sql = sql.replace("FROM events\n", widened_ch + "\n", 1)
+    sql = sql.replace(
+        "SELECT c_custkey, c_mktsegment, c_acctbal, is_delete",
+        "SELECT c_custkey, c_mktsegment, c_acctbal, c_note, is_delete",
+        1,
+    )
+    sql = sql.replace(
+        "SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal\n",
+        "SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal, "
+        "CAST(NULL AS VARCHAR) AS c_note\n",
+        1,
+    )
+    sql = sql.replace(
+        "SELECT c_custkey, c_mktsegment, c_acctbal\n        FROM w",
+        "SELECT c_custkey, c_mktsegment, c_acctbal, c_note\n        FROM w",
+        1,
+    )
+    assert sql.count("c_note") == 5, "rel_q18 oracle changed shape; fix the rewrite"
+    return sql
+
+
 SHADOW_ORACLES = {
     "st_q9_cdc_upsert": _st_q9_oracle(),
     "st_q10_cdc_ordered": _st_q10_oracle(),
@@ -611,6 +748,7 @@ SHADOW_ORACLES = {
     # kmeans_train centroids are bit-identical to the in-query
     # trainer's — see st_q12_semdedup_ingest's soundness argument.
     "st_q12_semdedup_ingest": _st_q12_oracle(),
+    "st_q13_schema_evolution": _st_q13_oracle(),
     # Matched rows = the batch interval join (same as st_q6); null
     # rows = clicks with no in-window purchase whose window closed
     # before the final global watermark (min over the two sides' max

@@ -192,23 +192,29 @@ class VersionManifests:
         n_buckets: int,
         ordered: bool = False,
         key: str | None = None,
+        schema: list | None = None,
     ) -> None:
         """Make a version visible — call LAST. `touched` lists the
         partition values this version rewrote, INCLUDING ones it
         emptied (touched-but-absent-as-dir means EMPTY, not unknown).
         The version dir is created here because a version that emptied
         EVERY partition it touched wrote no data files at all — its
-        manifest is the whole version."""
+        manifest is the whole version. `schema` (optional, [[name,
+        ddl], ...]) records the snapshot schema AS OF this version —
+        the anchor mergeSchema evolution needs so a time-travel read
+        below a column addition returns the old schema and a read
+        above it can type the NULL pad for partitions never rewritten
+        since."""
         self.version_dir(version).mkdir(parents=True, exist_ok=True)
-        atomic_write_json(
-            self.version_dir(version) / self.MANIFEST,
-            {
-                "touched": sorted(touched),
-                "n_buckets": n_buckets,
-                "ordered": ordered,
-                "key": key,
-            },
-        )
+        payload = {
+            "touched": sorted(touched),
+            "n_buckets": n_buckets,
+            "ordered": ordered,
+            "key": key,
+        }
+        if schema is not None:
+            payload["schema"] = [[n, d] for n, d in schema]
+        atomic_write_json(self.version_dir(version) / self.MANIFEST, payload)
 
     def committed(self, below: int | None = None) -> list[tuple[int, dict]]:
         """(version, payload) for every committed version ascending;

@@ -89,6 +89,7 @@ def foreach_batch_cdc_merge(
     delete_col: str = "is_delete",
     ordered: bool = False,
     reap_tombstones_below=None,
+    merge_schema: bool = False,
 ) -> StreamingQuery:
     """Streaming MERGE INTO — the Delta streaming-upsert pattern on
     plain parquet: each micro-batch of keyed changes (upserts +
@@ -125,7 +126,17 @@ def foreach_batch_cdc_merge(
     partition the snapshot (sources/files.write_partitioned
     dynamic=True) so a batch rewrites only touched partitions, and
     vacuum versions older than the checkpoint's committed batch on a
-    maintenance cadence."""
+    maintenance cadence.
+
+    Schema evolution (`merge_schema=True`): a resumed run whose change
+    schema carries ADDED payload columns evolves the snapshot through
+    operators/cdc's mergeSchema contract. This layout needs no schema
+    manifest: every version is a FULL snapshot written under one
+    schema, so a time-travel read of a pre-addition version naturally
+    returns the old schema. The mode guard below then accepts a base
+    whose columns are a SUBSET of the current snapshot columns (the
+    pre-evolution snapshot) — additions only; a base column missing
+    from the sink's schema still refuses."""
     import pathlib
 
     from pyspark.sql import functions as F
@@ -176,23 +187,37 @@ def foreach_batch_cdc_merge(
             # presence, so an unordered payload that legitimately
             # contains a column named like ord_col is not
             # misclassified (code-review r7-final).
-            if set(base.columns) != set(snapshot_cols):
+            ok = (
+                set(base.columns) <= set(snapshot_cols)
+                if merge_schema
+                else set(base.columns) == set(snapshot_cols)
+            )
+            if not ok:
                 raise ValueError(
                     f"store {store_path} snapshot columns "
                     f"{sorted(base.columns)} do not match this sink's "
                     f"ordered={ordered} schema {sorted(snapshot_cols)}; "
-                    "resume with the mode the store was maintained in"
+                    "resume with the mode the store was maintained in "
+                    "(added feed columns require merge_schema=True — "
+                    "Delta mergeSchema)"
                 )
-            base = base.select(*snapshot_cols)
+            base = base.select(
+                *[c for c in snapshot_cols if c in base.columns]
+                if merge_schema
+                else snapshot_cols
+            )
         else:
             base = spark.createDataFrame([], df.select(*snapshot_cols).schema)
         if ordered:
             merged = merge_changes_ordered(
                 base, df, key, ord_col, delete_col,
                 reap_below=reap_tombstones_below,
+                merge_schema=merge_schema,
             )
         else:
-            merged = merge_changes(base, df, key, ord_col, delete_col)
+            merged = merge_changes(
+                base, df, key, ord_col, delete_col, merge_schema=merge_schema
+            )
         merged.write.mode("overwrite").parquet(f"{store_path}/v={batch_id}")
 
     return (
@@ -215,6 +240,7 @@ def _write_manifest(
     n_buckets: int,
     ordered: bool = False,
     key: str | None = None,
+    schema: list | None = None,
 ) -> None:
     import pathlib
 
@@ -222,7 +248,12 @@ def _write_manifest(
 
     version_dir = pathlib.Path(version_dir)
     VersionManifests(version_dir.parent).commit(
-        int(version_dir.name.split("=", 1)[1]), touched, n_buckets, ordered, key
+        int(version_dir.name.split("=", 1)[1]),
+        touched,
+        n_buckets,
+        ordered,
+        key,
+        schema,
     )
 
 
@@ -249,6 +280,7 @@ def foreach_batch_cdc_merge_partitioned(
     delete_col: str = "is_delete",
     ordered: bool = False,
     reap_tombstones_below=None,
+    merge_schema: bool = False,
 ) -> StreamingQuery:
     """Partition-scoped streaming MERGE INTO — foreach_batch_cdc_merge
     with the 100 TB cost model: the snapshot is hash-partitioned on
@@ -303,7 +335,19 @@ def foreach_batch_cdc_merge_partitioned(
     n_buckets is pinned in the seed manifest; changing it requires a
     rebuild (hash-routing must stay stable). Old versions accumulate
     one touched-partition set per batch — vacuum_versions_partitioned
-    reclaims them on a maintenance cadence."""
+    reclaims them on a maintenance cadence.
+
+    Schema evolution (`merge_schema=True`, VERDICT r13 #3): a resumed
+    feed whose change schema carries ADDED payload columns merges onto
+    a store whose committed versions lack them — the Delta mergeSchema
+    contract, via operators/cdc. Pre-addition rows read back as typed
+    NULLs; every version's manifest records the snapshot schema AS OF
+    that version, so read_current_partitioned pads never-rewritten
+    partitions correctly and a time-travel read below the addition
+    returns the OLD schema. Renames/drops and type changes refuse
+    loudly at the first merge that sees them. (Within one stream run a
+    schema is fixed — evolution happens across runs: stop the query,
+    restart over the same checkpoint with the widened source schema.)"""
     import pathlib
 
     from pyspark.sql import functions as F
@@ -374,7 +418,16 @@ def foreach_batch_cdc_merge_partitioned(
         seed.withColumn("p", bucket(F.col(key))).write.mode(
             "overwrite"
         ).partitionBy("p").parquet(str(store / "v=-1"))
-        _write_manifest(store / "v=-1", list(range(n_buckets)), n_buckets, ordered, key)
+        _write_manifest(
+            store / "v=-1",
+            list(range(n_buckets)),
+            n_buckets,
+            ordered,
+            key,
+            schema=[
+                (f.name, f.dataType.simpleString()) for f in seed.schema.fields
+            ],
+        )
 
     payload_cols = (
         init.columns
@@ -387,13 +440,27 @@ def foreach_batch_cdc_merge_partitioned(
     # carry the ord watermark that stops stale-upsert resurrection;
     # readers filter `delete_col == 0`)
     snapshot_cols = payload_cols + ([ord_col, delete_col] if ordered else [])
+    # the snapshot schema this stream run produces — recorded into
+    # every manifest it commits (the time-travel schema anchor)
+    snap_ddl = [
+        (c, changes.schema[c].dataType.simpleString())
+        for c in [key] + snapshot_cols
+    ]
 
     def merge(base, df, key, ord_col, delete_col):
         if ordered:
             return merge_changes_ordered(
-                base, df, key, ord_col, delete_col, reap_below=reap_tombstones_below
+                base,
+                df,
+                key,
+                ord_col,
+                delete_col,
+                reap_below=reap_tombstones_below,
+                merge_schema=merge_schema,
             )
-        return merge_changes(base, df, key, ord_col, delete_col)
+        return merge_changes(
+            base, df, key, ord_col, delete_col, merge_schema=merge_schema
+        )
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
@@ -422,14 +489,42 @@ def foreach_batch_cdc_merge_partitioned(
                 # Explicit leaf paths: partitions NOT in `base_paths`
                 # are never listed, opened, or scanned — the pruning
                 # that makes the batch cost ∝ touched bytes.
-                base = spark.read.parquet(*base_paths).select(*snapshot_cols)
+                reader = spark.read
+                if merge_schema:
+                    # pre- and post-evolution versions coexist in the
+                    # fold; footer-merge so added columns survive the
+                    # mixed read, and select only what exists — the
+                    # merge operator pads the rest as typed NULLs
+                    reader = reader.option("mergeSchema", "true")
+                base = reader.parquet(*base_paths)
+                missing = [c for c in snapshot_cols if c not in base.columns]
+                if missing and not merge_schema:
+                    raise ValueError(
+                        f"store {store_path} lacks column(s) {missing} "
+                        "present in the change feed — schema evolution "
+                        "requires merge_schema=True (Delta mergeSchema); "
+                        "refusing to guess"
+                    )
+                base = base.select(
+                    *[c for c in snapshot_cols if c in base.columns]
+                )
             else:
                 base = spark.createDataFrame([], df.select(*snapshot_cols).schema)
             merged = merge(base, df, key, ord_col, delete_col)
             merged.withColumn("p", bucket(F.col(key))).write.mode(
                 "overwrite"
             ).partitionBy("p").parquet(str(store / f"v={batch_id}"))
-            _write_manifest(store / f"v={batch_id}", touched, n_buckets, ordered, key)
+            _write_manifest(
+                store / f"v={batch_id}",
+                touched,
+                n_buckets,
+                ordered,
+                key,
+                schema=[
+                    (f.name, f.dataType.simpleString())
+                    for f in merged.schema.fields
+                ],
+            )
         finally:
             df.unpersist()
 
@@ -438,13 +533,42 @@ def foreach_batch_cdc_merge_partitioned(
         # the version sequence stays dense for debugging; readers and
         # redelivery are indifferent.
         (store / f"v={batch_id}").mkdir(parents=True, exist_ok=True)
-        _write_manifest(store / f"v={batch_id}", [], n_buckets, ordered, key)
+        _write_manifest(
+            store / f"v={batch_id}", [], n_buckets, ordered, key, schema=snap_ddl
+        )
 
     return (
         changes.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def _read_with_recorded_schema(spark, paths: list[str], manifests) -> DataFrame:
+    """Snapshot read honoring the manifest-recorded schema (mergeSchema
+    evolution): the NEWEST included manifest's `schema` defines what
+    the read returns — a time-travel fold below a column addition
+    therefore returns the OLD schema, and a fold above it pads
+    partitions never rewritten since the addition with typed NULLs
+    (the Delta add-column contract). Stores written before schema
+    recording fall back to the plain single-schema read."""
+    target = None
+    for _v, manifest in reversed(manifests):
+        if manifest.get("schema") is not None:
+            target = manifest["schema"]
+            break
+    if target is None:
+        return spark.read.parquet(*paths)
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    return df.select(
+        *[
+            F.col(name) if name in df.columns
+            else F.lit(None).cast(ddl).alias(name)
+            for name, ddl in target
+        ]
     )
 
 
@@ -573,7 +697,7 @@ def read_current_partitioned(
             f"store {store_path} has no surviving rows or files to "
             "infer a schema from"
         )
-    df = spark.read.parquet(*paths)
+    df = _read_with_recorded_schema(spark, paths, manifests)
     if live_only:
         from pyspark.sql import functions as F
 
@@ -662,7 +786,7 @@ def compact_store_partitioned(
         raise FileNotFoundError(
             f"store {src_path} has no surviving rows or files to compact"
         )
-    snap = spark.read.parquet(*paths)
+    snap = _read_with_recorded_schema(spark, paths, manifests)
     dst = pathlib.Path(dst_path)
     snap.withColumn(
         "p", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
@@ -682,7 +806,18 @@ def compact_store_partitioned(
     from distributed_mapreduce_spark.streaming.commitlog import atomic_write_json
 
     atomic_write_json(dst / "_history_floor.json", {"floor": manifests[-1][0]})
-    _write_manifest(dst / "v=-1", list(range(n_buckets)), n_buckets, ordered, key)
+    _write_manifest(
+        dst / "v=-1",
+        list(range(n_buckets)),
+        n_buckets,
+        ordered,
+        key,
+        schema=[
+            (f.name, f.dataType.simpleString())
+            for f in snap.schema.fields
+            if f.name != "p"
+        ],
+    )
     return n_buckets
 
 

@@ -296,6 +296,62 @@ def test_cdc_merge_semantics(spark):
     assert got == {1: None, 2: "b3", 4: "d", 6: None}
 
 
+def test_cdc_merge_schema_evolution(spark):
+    """Delta-mergeSchema on both merge operators (VERDICT r13 #3):
+    an ADDED change column becomes typed NULL in untouched base rows
+    and carries its value on applied winners; rename/drop (a stored
+    column missing from the batch) and type changes refuse loudly,
+    never silently cast; default mode is unchanged (extra change
+    columns ignored, output keeps base's schema)."""
+    import pytest
+
+    from distributed_mapreduce_spark.operators.cdc import (
+        merge_changes,
+        merge_changes_ordered,
+    )
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    changes = spark.createDataFrame(
+        [(2, 10, 0, "b2", 9.5), (3, 11, 0, "c", None)],
+        "k bigint, ord bigint, is_delete int, v string, x double",
+    )
+    out = merge_changes(base, changes, "k", merge_schema=True)
+    assert out.schema["x"].dataType.simpleString() == "double"
+    assert sorted((r.k, r.v, r.x) for r in out.collect()) == [
+        (1, "a", None),  # untouched base row: typed NULL
+        (2, "b2", 9.5),  # applied winner carries the new column
+        (3, "c", None),
+    ]
+    # default mode: unchanged contract — extra change columns ignored
+    legacy = merge_changes(base, changes, "k")
+    assert legacy.columns == ["k", "v"]
+
+    # ordered layout: evolution including surviving tombstones
+    obase = spark.createDataFrame(
+        [(1, "a", 5, 0), (9, None, 7, 1)],
+        "k bigint, v string, ord bigint, is_delete int",
+    )
+    oout = merge_changes_ordered(obase, changes, "k", merge_schema=True)
+    assert sorted(
+        (r.k, r.v, r.x, r.is_delete) for r in oout.collect()
+    ) == [(1, "a", None, 0), (2, "b2", 9.5, 0), (3, "c", None, 0), (9, None, None, 1)]
+
+    # rename/drop refusal: stored column missing from the batch
+    dropped = spark.createDataFrame(
+        [(2, 10, 0, 1.0)], "k bigint, ord bigint, is_delete int, x double"
+    )
+    with pytest.raises(ValueError, match="rename or drop"):
+        merge_changes(base, dropped, "k", merge_schema=True)
+    # type-change refusal: never silently cast
+    retyped = spark.createDataFrame(
+        [(2, 10, 0, 7)], "k bigint, ord bigint, is_delete int, v bigint"
+    )
+    with pytest.raises(ValueError, match="change type"):
+        merge_changes(base, retyped, "k", merge_schema=True)
+    with pytest.raises(ValueError, match="change type"):
+        merge_changes_ordered(obase, retyped, "k", merge_schema=True)
+
+
 def test_cdc_merge_null_payload_matches_duckdb_oracle(spark):
     """Cross-engine NULL discipline (ADVICE r5): DuckDB's per-column
     arg_max SKIPS null values while Spark's max_by returns them, so a

@@ -1785,3 +1785,139 @@ def test_streaming_semdedup_matches_one_shot(spark, tmp_path):
     )
     total_members = again.groupBy().sum("n_members").collect()[0][0]
     assert total_members == emb.count(), "replay must not duplicate members"
+
+
+def test_cdc_schema_evolution_both_layouts(spark, tmp_path):
+    """mergeSchema evolution end-to-end (VERDICT r13 #3): a CDC feed
+    widens mid-stream — run 1 maintains (k, v); run 2 resumes over the
+    SAME checkpoint with an added payload column x and
+    merge_schema=True. Both sink layouts evolve: pre-addition rows
+    read back with typed NULL x, post-addition winners carry values,
+    and on the partitioned layout a TIME-TRAVEL read below the
+    addition returns the OLD schema (the version manifest records the
+    snapshot schema). A resume with merge_schema left False refuses
+    loudly; so does a type change."""
+    import pytest
+
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_cdc_merge,
+        foreach_batch_cdc_merge_partitioned,
+        read_current_partitioned,
+        read_current_version,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base_t = time.time()
+
+    def chunk(name, rows, cols, mtime):
+        # rows: list of tuples matching cols' arrow arrays
+        tbl = pa.table(cols)
+        p = str(src / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    # run-1 feed: (k, ord, is_delete, v)
+    chunk(
+        "c1.parquet",
+        None,
+        {
+            "k": pa.array([1, 2], pa.int64()),
+            "ord": pa.array([1, 2], pa.int64()),
+            "is_delete": pa.array([0, 0], pa.int32()),
+            "v": pa.array(["a", "b"], pa.string()),
+        },
+        base_t,
+    )
+    # run-2 feed (written later): +x double; updates k=2, inserts k=3
+    chunk(
+        "c2.parquet",
+        None,
+        {
+            "k": pa.array([2, 3], pa.int64()),
+            "ord": pa.array([3, 4], pa.int64()),
+            "is_delete": pa.array([0, 0], pa.int32()),
+            "v": pa.array(["b2", "c"], pa.string()),
+            "x": pa.array([9.5, None], pa.float64()),
+        },
+        base_t + 5,
+    )
+
+    def stream(schema):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    s1 = "k bigint, ord bigint, is_delete int, v string"
+    s2 = s1 + ", x double"
+
+    for layout in ("partitioned", "flat"):
+        store = str(tmp_path / f"store_{layout}")
+        ckpt = str(tmp_path / f"ckpt_{layout}")
+
+        def run(schema, merge_schema):
+            if layout == "partitioned":
+                q = foreach_batch_cdc_merge_partitioned(
+                    _cdc_to_changes_cols(stream(schema)),
+                    store,
+                    ckpt,
+                    "k",
+                    n_buckets=2,
+                    merge_schema=merge_schema,
+                )
+            else:
+                q = foreach_batch_cdc_merge(
+                    _cdc_to_changes_cols(stream(schema)),
+                    store,
+                    ckpt,
+                    "k",
+                    merge_schema=merge_schema,
+                )
+            q.awaitTermination()
+
+        read = (
+            (lambda **kw: read_current_partitioned(spark, store, **kw))
+            if layout == "partitioned"
+            else (lambda **kw: read_current_version(spark, store, **kw))
+        )
+
+        # run 1 processes ONLY c1 (c2 not yet written at its staging
+        # mtime? both files exist — gate run 1 by removing c2 first)
+        os.rename(str(src / "c2.parquet"), str(tmp_path / "c2.hold"))
+        run(s1, False)
+        assert sorted((r.k, r.v) for r in read().collect()) == [(1, "a"), (2, "b")]
+        os.rename(str(tmp_path / "c2.hold"), str(src / "c2.parquet"))
+
+        # resume without merge_schema: loud refusal pointing at the
+        # flag, store unchanged (the message travels inside the
+        # StreamingQueryException wrapper)
+        with pytest.raises(Exception) as exc:
+            run(s2, False)
+        assert "merge_schema=True" in str(exc.value)
+        # resume WITH merge_schema: evolves
+        run(s2, True)
+        got = sorted((r.k, r.v, r.x) for r in read().collect())
+        assert got == [(1, "a", None), (2, "b2", 9.5), (3, "c", None)]
+
+        if layout == "partitioned":
+            # time travel below the addition: OLD schema, old values
+            old = read(as_of=0)
+            assert old.columns == ["k", "v"]
+            assert sorted((r.k, r.v) for r in old.collect()) == [
+                (1, "a"),
+                (2, "b"),
+            ]
+            # at/after the addition: evolved schema
+            assert read(as_of=1).columns == ["k", "v", "x"]
+        else:
+            # whole-snapshot layout: each version IS one schema
+            assert read(as_of=0).columns == ["k", "v"]
+            assert read(as_of=1).columns == ["k", "v", "x"]
+
+
+def _cdc_to_changes_cols(df):
+    """Identity mapping for the evolution feed: the staged chunks
+    already carry (k, ord, is_delete, payload...)."""
+    return df
