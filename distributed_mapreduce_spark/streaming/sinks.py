@@ -1371,13 +1371,65 @@ def _dedup_committed_batches(store) -> list:
     return ManifestStore(store).committed()
 
 
-def read_dedup_accepted(spark, store_path: str) -> DataFrame:
+def _ingest_manifests_as_of(ms, store_path: str, as_of: int | None):
+    """Committed (batch, payload) chain of an ingest store, optionally
+    truncated to batch ids ≤ `as_of` — VERSION AS OF on the batch
+    chain (VERDICT r13 #6), with the compaction seed-semantics guard
+    the CDC layouts established (ADVICE r13): the `batch=-1` seed of a
+    compacted store holds the FOLD of the whole pre-compaction chain,
+    so an as_of below the recorded history floor whose truncated chain
+    still includes the seed would surface post-boundary state labeled
+    as old history — refuse loudly; new-chain batches (ids restart at
+    0 after the documented fresh-checkpoint resume) whose folds merely
+    extend the seed at-or-above the floor stay reachable, as does any
+    as_of on an uncompacted store."""
+    import pathlib
+
+    from distributed_mapreduce_spark.streaming.commitlog import read_json_tolerant
+
+    manifests = [
+        (b, p) for b, p in ms.manifests() if as_of is None or b <= as_of
+    ]
+    if not manifests:
+        raise FileNotFoundError(
+            f"no committed batch under {store_path}"
+            + (f" at or below as_of={as_of}" if as_of is not None else "")
+        )
+    if as_of is not None:
+        floor_rec = read_json_tolerant(
+            pathlib.Path(store_path) / "_history_floor.json"
+        )
+        if (
+            floor_rec is not None
+            and as_of < floor_rec["floor"]
+            and any(b == ms.SEED for b, _ in manifests)
+        ):
+            raise FileNotFoundError(
+                f"as_of={as_of} sits below this store's compaction "
+                f"boundary (history floor {floor_rec['floor']}) and the "
+                "truncated chain still includes the batch=-1 seed — "
+                "pre-compaction history is gone and the seed's folded "
+                "state would fabricate it"
+            )
+    return manifests
+
+
+def read_dedup_accepted(spark, store_path: str, as_of: int | None = None) -> DataFrame:
     """Surviving documents of a foreach_batch_dedup_ingest store:
     union of the COMMITTED accepted/batch=<id> partitions (manifest-
-    gated, so a torn batch write is invisible)."""
+    gated, so a torn batch write is invisible).
+
+    `as_of=k` is VERSION AS OF on the batch chain: fold only batches
+    ≤ k, reproducing the surviving set exactly as it stood after batch
+    k committed (the keep-first policy only ever APPENDS survivors, so
+    the prefix union IS the historical state). Refuses below a
+    compacted store's history floor when the fold would surface the
+    seed — see _ingest_manifests_as_of."""
     from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
 
-    dirs = ManifestStore(store_path).batch_dirs("accepted")
+    ms = ManifestStore(store_path)
+    manifests = _ingest_manifests_as_of(ms, store_path, as_of)
+    dirs = ms.batch_dirs("accepted", manifests=manifests)
     if not dirs:
         raise ValueError(f"no committed batches under {store_path}")
     return spark.read.parquet(*dirs)
@@ -1468,6 +1520,21 @@ def compact_dedup_ingest_store(spark, src_path: str, dst_path: str) -> int:
         ).repartition("p").write.mode("overwrite").partitionBy("p").parquet(
             str(dst_ms.batch_dir(-1, "shingles"))
         )
+    # History floor (VERDICT r13 #6): the batch=-1 seed holds the FOLD
+    # of the whole source chain, so a time-travel fold below the
+    # source's newest batch that includes the seed would fabricate
+    # history. WRITE-AHEAD of the seed manifest — a crash in between
+    # leaves a store with no committed batch (unreadable), never a
+    # readable store missing its floor (the compact_store_partitioned
+    # crash-order discipline).
+    import pathlib
+
+    from distributed_mapreduce_spark.streaming.commitlog import atomic_write_json
+
+    atomic_write_json(
+        pathlib.Path(dst_path) / "_history_floor.json",
+        {"floor": manifests[-1][0]},
+    )
     dst_ms.seed(
         {
             "accepted": n,
@@ -1594,22 +1661,30 @@ def foreach_batch_ann_ingest(
     )
 
 
-def ann_ingest_members(spark, store_path: str) -> DataFrame:
+def ann_ingest_members(
+    spark, store_path: str, as_of: int | None = None
+) -> DataFrame:
     """The committed rows of a foreach_batch_ann_ingest store as a
     cell-carrying frame — manifest-gated batch dirs only (a torn batch
     write is invisible), read with basePath so the `cell` partition
     column materializes. This is the `members=` input for
     `knn_join_ivf` (the all-rows kNN join over the MAINTAINED index —
     assignment amortized into ingest, ✓tested equal to a fresh
-    assignment) and the shared scan of the single/batched probes."""
+    assignment) and the shared scan of the single/batched probes.
+
+    `as_of=k` is VERSION AS OF on the batch chain: only batches ≤ k,
+    i.e. the index exactly as it stood after batch k committed (the
+    sink only ever appends whole batches). Refuses below a compacted
+    store's history floor when the fold would surface the seed — see
+    _ingest_manifests_as_of."""
     import pathlib
 
+    from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
+
     store = pathlib.Path(store_path)
-    dirs = [
-        str(store / f"batch={b}")
-        for b in _dedup_committed_batches(store)
-        if (store / f"batch={b}").exists()
-    ]
+    ms = ManifestStore(store)
+    manifests = _ingest_manifests_as_of(ms, store_path, as_of)
+    dirs = ms.batch_dirs(manifests=manifests)
     if not dirs:
         raise ValueError(f"no committed batches under {store_path}")
     return spark.read.option("basePath", str(store)).parquet(*dirs)
@@ -1625,6 +1700,7 @@ def ann_ingest_topk(
     codebooks: list | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    as_of: int | None = None,
 ) -> DataFrame:
     """Probe a foreach_batch_ann_ingest store: committed batch dirs
     only (manifest-gated — a torn batch write is invisible), pruned to
@@ -1634,7 +1710,8 @@ def ann_ingest_topk(
     ranking. Results are identical to probing a one-shot
     write_ivf_store/write_ivfpq_store build over the same vectors
     (✓tested): frozen metadata makes the layout a pure re-bucketing of
-    the same rows."""
+    the same rows. `as_of=k` probes the index exactly as it stood
+    after batch k (see ann_ingest_members)."""
     from distributed_mapreduce_spark.operators.similarity import (
         _probe_cells,
         pq_adc_topk,
@@ -1642,7 +1719,9 @@ def ann_ingest_topk(
     )
 
     probe = _probe_cells(centroids, query_vec, nprobe)
-    cand = ann_ingest_members(spark, store_path).where(F.col("cell").isin(probe))
+    cand = ann_ingest_members(spark, store_path, as_of=as_of).where(
+        F.col("cell").isin(probe)
+    )
     if codebooks is not None:
         return pq_adc_topk(cand, codebooks, query_vec, k, id_col)
     return topk_cosine_literal(cand, query_vec, k, id_col, vec_col)
@@ -1723,6 +1802,16 @@ def compact_ann_ingest_store(spark, src_path: str, dst_path: str) -> int:
         str(dst_ms.batch_dir(-1))
     )
     touched = _fold_id_sidecar(spark, src_ms, dst_ms, id_buckets, manifests)
+    # history floor write-ahead of the seed — see
+    # compact_dedup_ingest_store for the crash-order argument
+    import pathlib
+
+    from distributed_mapreduce_spark.streaming.commitlog import atomic_write_json
+
+    atomic_write_json(
+        pathlib.Path(dst_path) / "_history_floor.json",
+        {"floor": manifests[-1][0]},
+    )
     dst_ms.seed(
         {
             "vectors": n,
@@ -2053,14 +2142,7 @@ def read_semdedup_representatives(
     from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
 
     ms = ManifestStore(store_path)
-    manifests = [
-        (b, p) for b, p in ms.manifests() if as_of is None or b <= as_of
-    ]
-    if not manifests:
-        raise FileNotFoundError(
-            f"no committed batch under {store_path}"
-            + (f" at or below as_of={as_of}" if as_of is not None else "")
-        )
+    manifests = _ingest_manifests_as_of(ms, store_path, as_of)
     alias: dict = {}
     for _b, payload in manifests:
         for old, new in payload.get("merges", []):

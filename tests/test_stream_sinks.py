@@ -1921,3 +1921,161 @@ def _cdc_to_changes_cols(df):
     """Identity mapping for the evolution feed: the staged chunks
     already carry (k, ord, is_delete, payload...)."""
     return df
+
+
+def test_ingest_store_time_travel(spark, tmp_path):
+    """VERSION AS OF on the ingest-store batch chains (VERDICT r13
+    #6): as_of=k on read_dedup_accepted / ann_ingest_members /
+    ann_ingest_topk reproduces the post-batch-k state exactly at every
+    boundary (dedup: ≡ the one-shot keep-first policy over the id
+    prefix; ann: ≡ a one-shot IVF store over the prefix), and below a
+    compacted store's history floor the readers refuse rather than
+    surface the seed's folded head state."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    import pytest
+
+    from distributed_mapreduce_spark.operators.dedup import dedup_corpus_greedy
+    from distributed_mapreduce_spark.operators.similarity import (
+        ivf_store_topk,
+        train_centroids,
+        write_ivf_store,
+    )
+    from distributed_mapreduce_spark.sources import table
+    from distributed_mapreduce_spark.streaming.sinks import (
+        ann_ingest_members,
+        ann_ingest_topk,
+        compact_ann_ingest_store,
+        compact_dedup_ingest_store,
+        foreach_batch_dedup_ingest,
+        foreach_batch_ann_ingest,
+        read_dedup_accepted,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = time.time()
+
+    # ── dedup store ────────────────────────────────────────────────
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    third = len(rows) // 3
+    bounds = [rows[third].doc_id, rows[2 * third].doc_id, rows[-1].doc_id + 1]
+    dsrc = tmp_path / "dfeed"
+    dsrc.mkdir()
+    for k, (lo, hi) in enumerate(
+        zip([0, third, 2 * third], [third, 2 * third, len(rows)])
+    ):
+        chunk = rows[lo:hi]
+        _pq.write_table(
+            _pa.table(
+                {
+                    "doc_id": _pa.array([r.doc_id for r in chunk], _pa.int64()),
+                    "text": _pa.array([r.text for r in chunk], _pa.string()),
+                }
+            ),
+            str(dsrc / f"c{k}.parquet"),
+        )
+        os.utime(str(dsrc / f"c{k}.parquet"), (base + k, base + k))
+    dstore = str(tmp_path / "dstore")
+    tbl_name = "tt_dedup_idx"
+    try:
+        q = foreach_batch_dedup_ingest(
+            (
+                spark.readStream.schema("doc_id bigint, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(dsrc))
+            ),
+            dstore,
+            str(tmp_path / "dckpt"),
+            tbl_name,
+            min_jaccard=0.5,
+            bands=16,
+        )
+        q.awaitTermination()
+        for k, hi in enumerate(bounds):
+            want = sorted(
+                r.doc_id
+                for r in dedup_corpus_greedy(
+                    docs.where(docs.doc_id < hi), 0.5, bands=16
+                )
+                .select("doc_id")
+                .collect()
+            )
+            got = sorted(
+                r.doc_id
+                for r in read_dedup_accepted(spark, dstore, as_of=k).collect()
+            )
+            assert got == want, f"dedup as_of={k}"
+        # compaction: below the floor the seed-including fold refuses
+        dstore2 = str(tmp_path / "dstore2")
+        compact_dedup_ingest_store(spark, dstore, dstore2)
+        with pytest.raises(FileNotFoundError, match="history floor"):
+            read_dedup_accepted(spark, dstore2, as_of=1)
+        # at/above the floor (source head = batch 2): the seed answers
+        assert sorted(
+            r.doc_id for r in read_dedup_accepted(spark, dstore2, as_of=2).collect()
+        ) == sorted(r.doc_id for r in read_dedup_accepted(spark, dstore).collect())
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl_name}")
+
+    # ── ann store ──────────────────────────────────────────────────
+    emb = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = train_centroids(emb, 16)
+    erows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    et = len(erows) // 3
+    esrc = tmp_path / "efeed"
+    esrc.mkdir()
+    for k, (lo, hi) in enumerate(zip([0, et, 2 * et], [et, 2 * et, len(erows)])):
+        chunk = erows[lo:hi]
+        _pq.write_table(
+            _pa.table(
+                {
+                    "vec_id": _pa.array([r.vec_id for r in chunk], _pa.int64()),
+                    "embedding": _pa.array(
+                        [list(map(float, r.embedding)) for r in chunk],
+                        _pa.list_(_pa.float32()),
+                    ),
+                }
+            ),
+            str(esrc / f"c{k}.parquet"),
+        )
+        os.utime(str(esrc / f"c{k}.parquet"), (base + k, base + k))
+    estore = str(tmp_path / "estore")
+    q = foreach_batch_ann_ingest(
+        (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(esrc))
+        ),
+        estore,
+        str(tmp_path / "eckpt"),
+        cents,
+    )
+    q.awaitTermination()
+    qvec = [float(x) for x in erows[7].embedding]
+    ebounds = [erows[et].vec_id, erows[2 * et].vec_id, erows[-1].vec_id + 1]
+    for k, hi in enumerate(ebounds):
+        ids = sorted(
+            r.vec_id
+            for r in ann_ingest_members(spark, estore, as_of=k)
+            .select("vec_id")
+            .collect()
+        )
+        assert ids == [r.vec_id for r in erows if r.vec_id < hi], f"ann as_of={k}"
+        # probe as-of ≡ a one-shot IVF store over the same prefix
+        full = str(tmp_path / f"efull{k}")
+        write_ivf_store(
+            emb.where(emb.vec_id < hi).select("vec_id", "embedding"), cents, full
+        )
+        want = ivf_store_topk(spark, full, cents, qvec, 10, nprobe=4).collect()
+        got = ann_ingest_topk(
+            spark, estore, cents, qvec, 10, nprobe=4, as_of=k
+        ).collect()
+        assert [(r.vec_id, r.cos_sim) for r in got] == [
+            (r.vec_id, r.cos_sim) for r in want
+        ], f"ann probe as_of={k}"
+    estore2 = str(tmp_path / "estore2")
+    compact_ann_ingest_store(spark, estore, estore2)
+    with pytest.raises(FileNotFoundError, match="history floor"):
+        ann_ingest_members(spark, estore2, as_of=0)
+    assert ann_ingest_members(spark, estore2, as_of=2).count() == len(erows)
