@@ -86,6 +86,9 @@ CALIB_KEYS = ("calib_1t_s", "calib_nt_s", "calib_mem_s")
 # r11 failure class (CPU co-tenancy) is covered by the spins: 25%
 # synthetic tenancy flags calib_nt_s at 1.32×.
 CALIB_LOUD_KEYS = ("calib_1t_s", "calib_nt_s")
+# Largest single-run downward calibration-baseline merge cmd_update
+# accepts; bigger drops are suspected boost windows (see cmd_update).
+CALIB_MAX_DROP = 0.10
 CALIB_RATIO = 1.15  # keep in sync with bench.py
 
 
@@ -172,7 +175,14 @@ def cmd_update(path: str, label: str | None, force: bool) -> int:
     # slow run cannot both defeat the rule and then raise the bar).
     # Fixed work can only run slower on a slower host, so the min over
     # quiet runs converges on the host's true speed — the same
-    # estimator as the per-query floors.
+    # estimator as the per-query floors — EXCEPT that a drop of more
+    # than CALIB_MAX_DROP below the current baseline is refused: the
+    # r13 lesson is that a single boost-friendly window (one hot
+    # thread on an idle socket) can record a 1t spin ~25% below
+    # sustained quiet speed, and min-merging it makes every later
+    # healthy window read loud, forfeiting all floor merges. Gradual
+    # genuine improvements still merge (≤10% at a time); a bigger jump
+    # requires the explicit documented re-seed (SCALE.md).
     cal = floors.setdefault("_meta", {}).setdefault("calibration", {})
     cal_updated = 0
     for p in run.get("pass_loads") or []:
@@ -181,9 +191,16 @@ def cmd_update(path: str, label: str | None, force: bool) -> int:
         for probe in (p.get("calib"), p.get("calib_after")):
             for k in CALIB_KEYS:
                 v = (probe or {}).get(k)
-                if isinstance(v, (int, float)) and (
-                    k not in cal or v < cal[k]["s"]
-                ):
+                if not isinstance(v, (int, float)):
+                    continue
+                if k in cal and v < cal[k]["s"] * (1.0 - CALIB_MAX_DROP):
+                    print(
+                        f"  calibration {k}={v} is >{CALIB_MAX_DROP:.0%} below "
+                        f"baseline {cal[k]['s']} — suspected boost window, "
+                        "NOT merged (re-seed explicitly if sustained)"
+                    )
+                    continue
+                if k not in cal or v < cal[k]["s"]:
                     cal[k] = {"s": round(v, 4), "run": label}
                     cal_updated += 1
     if not cal:

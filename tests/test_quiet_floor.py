@@ -221,6 +221,24 @@ def test_bench_probe_and_rule_agree_with_quiet_floor():
     assert bench._calib_deviant_keys(probe, {k: v for k, v in probe.items()}) == set()
 
 
+def test_boost_window_cannot_poison_calibration_baseline(tmp_path, floors_path):
+    """The r13 failure mode in reverse: a quiet run whose probes land
+    in a boost-friendly window (>10% below the sustained baseline)
+    must NOT min-merge the calibration baseline — that one outlier
+    would make every later healthy window read loud and forfeit all
+    floor merges. Query floors from the run still merge (the run IS
+    quiet); only the suspected-boost calibration values are held back.
+    Gradual improvements (≤10%) keep merging."""
+    _seed_baseline(tmp_path, floors_path)
+    boost = _run(tmp_path, "b.json", {"q1": 1.8}, _calib_pass(0.75, 0.8))
+    assert qf.cmd_update(boost, "b", False) == 0
+    floors = json.loads(floors_path.read_text())
+    assert floors["queries"]["q1"]["floor_s"] == 1.8  # floors merged
+    cal = floors["_meta"]["calibration"]
+    for k in qf.CALIB_KEYS:  # baseline unchanged
+        assert cal[k] == {"s": BASE[k], "run": "seed"}, k
+
+
 def test_mem_only_deviation_stays_quiet(tmp_path, floors_path):
     """calib_mem_s drifts with the bench's OWN JVM memory state
     (measured +22%/+48% within the first two real calibrated runs), so
