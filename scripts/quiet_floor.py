@@ -111,16 +111,47 @@ def _calib_deviant_keys(probe: dict, baseline: dict) -> set:
     }
 
 
-def _pass_is_quiet(p: dict, baseline: dict) -> bool:
-    if p.get("loud", True):
-        return False
-    if baseline:
-        dev = _calib_deviant_keys(p.get("calib") or {}, baseline) & _calib_deviant_keys(
-            p.get("calib_after") or {}, baseline
-        )
-        if dev:
+_EXT_THR_RE = None  # compiled lazily (re import below)
+_EXT_THR_DEFAULT = 8.0  # bench.py's ext_busy_cores gate default
+
+
+def _ext_threshold(run: dict) -> float:
+    """The ext_busy_cores threshold the run gated on, parsed from its
+    methodology line (recorded there since r5); bench.py's default
+    when absent."""
+    import re as _re
+
+    global _EXT_THR_RE
+    if _EXT_THR_RE is None:
+        _EXT_THR_RE = _re.compile(r"ext_busy_cores threshold ([0-9.]+)")
+    m = _EXT_THR_RE.search(run.get("methodology") or "")
+    return float(m.group(1)) if m else _EXT_THR_DEFAULT
+
+
+def _pass_is_quiet(p: dict, baseline: dict, ext_threshold: float = _EXT_THR_DEFAULT) -> bool:
+    if p.get("calib") or p.get("calib_after"):
+        # Calib-era artifact: RE-ADJUDICATE from the recorded evidence
+        # instead of trusting the recorded `loud` flag — bench.py folds
+        # its RUN-TIME calibration verdict into that flag, and a
+        # re-seeded baseline (SCALE.md r14: the r12 1t value was a
+        # boost-window artifact) must be able to supersede the stale
+        # verdict in both directions. The artifact carries everything
+        # needed: the ext_busy probes at both ends and the bracketing
+        # fixed-work calibration values.
+        if (
+            p.get("ext_busy_cores", 0.0) > ext_threshold
+            or p.get("ext_busy_cores_after", 0.0) > ext_threshold
+        ):
             return False
-    return True
+        if baseline:
+            dev = _calib_deviant_keys(
+                p.get("calib") or {}, baseline
+            ) & _calib_deviant_keys(p.get("calib_after") or {}, baseline)
+            if dev:
+                return False
+        return True
+    # pre-r12 artifact (no probes): the recorded flag is all we have
+    return not p.get("loud", True)
 
 
 def _has_quiet_pass(run: dict, baseline: dict | None = None) -> bool:
@@ -129,7 +160,8 @@ def _has_quiet_pass(run: dict, baseline: dict | None = None) -> bool:
         return False  # pre-r5 artifact: no in-band evidence of quietness
     if baseline is None:
         baseline = _calib_baseline(_load_floors())
-    return any(_pass_is_quiet(p, baseline) for p in loads)
+    thr = _ext_threshold(run)
+    return any(_pass_is_quiet(p, baseline, thr) for p in loads)
 
 
 def _load_floors() -> dict:
@@ -185,8 +217,9 @@ def cmd_update(path: str, label: str | None, force: bool) -> int:
     # requires the explicit documented re-seed (SCALE.md).
     cal = floors.setdefault("_meta", {}).setdefault("calibration", {})
     cal_updated = 0
+    thr = _ext_threshold(run)
     for p in run.get("pass_loads") or []:
-        if not _pass_is_quiet(p, baseline):
+        if not _pass_is_quiet(p, baseline, thr):
             continue
         for probe in (p.get("calib"), p.get("calib_after")):
             for k in CALIB_KEYS:
