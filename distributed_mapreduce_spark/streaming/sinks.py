@@ -2177,3 +2177,93 @@ def read_semdedup_representatives(
         )
         .select(F.col("comp").alias("rep_id"), "cell", "n_members")
     )
+
+
+def compact_semdedup_ingest_store(spark, src_path: str, dst_path: str) -> int:
+    """Consolidate a foreach_batch_semdedup_ingest store: members fold
+    into a fresh store's `batch=-1` seed (cell partitioning kept, so
+    probe pruning is unchanged), and the id sidecar folds with every
+    label RESOLVED through the source's alias log — the seed starts
+    with canonical labels and an EMPTY merge log, so the read-time
+    alias fold resets from O(#merges-ever) back to zero alongside the
+    manifest chain resetting to one (the compact_ann_ingest_store
+    chain-reset contract; -1 is the one id no stream batch gets).
+
+    Contract: maintenance window (stream stopped), then resume against
+    `dst_path` with a FRESH checkpoint — the known-id gate makes the
+    full-feed replay converge (replayed docs contribute no rows and no
+    merges; ✓tested). A `_history_floor.json` is written AHEAD of the
+    seed manifest, so time travel below the source's newest batch
+    refuses on the compacted store instead of surfacing the seed's
+    folded state as history (the shared _ingest_manifests_as_of
+    guard). Returns the number of member vectors seeded."""
+    import pathlib
+
+    from distributed_mapreduce_spark.streaming.commitlog import (
+        ManifestStore,
+        atomic_write_json,
+    )
+
+    src_ms, dst_ms = ManifestStore(src_path), ManifestStore(dst_path)
+    # ONE committed-batch snapshot: members, sidecar, and alias log all
+    # derive from it (the ADVICE r10 single-snapshot discipline)
+    manifests = src_ms.manifests()
+    dirs = src_ms.batch_dirs(manifests=manifests)
+    if not dirs:
+        raise ValueError(f"no committed batches under {src_path}")
+    id_buckets = _pinned_id_buckets(manifests, src_path)
+    rows = spark.read.option("basePath", src_path).parquet(*dirs).drop("batch")
+    n = rows.count()
+    rows.write.mode("overwrite").partitionBy("cell").parquet(
+        str(dst_ms.batch_dir(-1))
+    )
+    cells = sorted(
+        r["cell"] for r in rows.select("cell").distinct().collect()
+    )
+    # fold the alias log once, driver-side (path-compressed), and bake
+    # the resolution into the seeded labels
+    alias: dict = {}
+    for _b, payload in manifests:
+        for old, new in payload.get("merges", []):
+            alias[int(old)] = int(new)
+
+    def canon(c: int) -> int:
+        seen = []
+        while c in alias:
+            seen.append(c)
+            c = alias[c]
+        for s in seen:
+            alias[s] = c
+        return c
+
+    resolved = {c: canon(c) for c in list(alias)}
+    id_dirs = _sidecar_leaf_dirs(src_ms, "ids", manifests=manifests)
+    ids = spark.read.parquet(*id_dirs).select("id", "comp", "cell")
+    if resolved:
+        adf = spark.createDataFrame(
+            [(int(o), int(c)) for o, c in resolved.items()],
+            "comp bigint, __canon bigint",
+        )
+        ids = ids.join(F.broadcast(adf), "comp", "left").select(
+            "id", F.coalesce("__canon", "comp").alias("comp"), "cell"
+        )
+    ids.withColumn("p", _id_bucket(F.col("id"), id_buckets)).repartition(
+        "p"
+    ).write.mode("overwrite").partitionBy("p").parquet(
+        str(dst_ms.batch_dir(-1, "ids"))
+    )
+    atomic_write_json(
+        pathlib.Path(dst_path) / "_history_floor.json",
+        {"floor": manifests[-1][0]},
+    )
+    dst_ms.seed(
+        {
+            "vectors": n,
+            "compacted_from": len(manifests),
+            "id_buckets": id_buckets,
+            "touched": list(range(id_buckets)),
+            "cells": cells,
+            "merges": [],
+        }
+    )
+    return n

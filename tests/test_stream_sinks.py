@@ -2079,3 +2079,125 @@ def test_ingest_store_time_travel(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="history floor"):
         ann_ingest_members(spark, estore2, as_of=0)
     assert ann_ingest_members(spark, estore2, as_of=2).count() == len(erows)
+
+
+def test_semdedup_ingest_compaction_and_resume(spark, tmp_path):
+    """compact_semdedup_ingest_store: the batch chain folds into a
+    batch=-1 seed with RESOLVED labels and an empty alias log; the
+    representative set is unchanged; as_of below the recorded floor
+    refuses on the compacted store; a FRESH-checkpoint full replay
+    converges (no duplicate members, no new merges); a genuinely new
+    chunk then folds in equal to the one-shot over the widened
+    corpus."""
+    import json
+    import pathlib
+    import shutil as _shutil
+
+    import pytest
+
+    from distributed_mapreduce_spark.queries.simops import (
+        DIM,
+        SEMDEDUP_TAU,
+        semdedup_representatives,
+    )
+    from distributed_mapreduce_spark.streaming.sinks import (
+        compact_semdedup_ingest_store,
+        foreach_batch_semdedup_ingest,
+        read_semdedup_representatives,
+    )
+
+    emb, cents, src, bounds = _semdedup_feed(spark, tmp_path)
+    store = str(tmp_path / "store")
+
+    def run(st, ckpt):
+        q = foreach_batch_semdedup_ingest(
+            (
+                spark.readStream.schema("vec_id bigint, embedding array<float>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            ),
+            st,
+            ckpt,
+            cents,
+            DIM,
+            tau=SEMDEDUP_TAU,
+        )
+        q.awaitTermination()
+
+    run(store, str(tmp_path / "ckpt"))
+    want = sorted(
+        (r.rep_id, r.cell, r.n_members)
+        for r in read_semdedup_representatives(spark, store).collect()
+    )
+
+    store2 = str(tmp_path / "store2")
+    n = compact_semdedup_ingest_store(spark, store, store2)
+    assert n == emb.count()
+    got = sorted(
+        (r.rep_id, r.cell, r.n_members)
+        for r in read_semdedup_representatives(spark, store2).collect()
+    )
+    assert got == want
+    # seed labels are resolved: the seed manifest's merge log is empty
+    seed = json.loads(
+        (pathlib.Path(store2) / "_manifests" / "-1.json").read_text()
+    )
+    assert seed["merges"] == [] and seed["compacted_from"] >= 3
+    # history floor: below the source head the seed-including fold
+    # refuses; at the head it answers
+    with pytest.raises(FileNotFoundError, match="history floor"):
+        read_semdedup_representatives(spark, store2, as_of=0)
+    assert (
+        sorted(
+            (r.rep_id, r.cell, r.n_members)
+            for r in read_semdedup_representatives(
+                spark, store2, as_of=len(bounds) - 1
+            ).collect()
+        )
+        == want
+    )
+
+    # fresh-checkpoint full replay converges: same set, no duplicate
+    # members, and the replayed batches contribute no merges
+    run(store2, str(tmp_path / "ckpt2"))
+    again = read_semdedup_representatives(spark, store2)
+    assert (
+        sorted((r.rep_id, r.cell, r.n_members) for r in again.collect()) == want
+    )
+    assert again.groupBy().sum("n_members").collect()[0][0] == emb.count()
+    for p in pathlib.Path(store2, "_manifests").glob("*.json"):
+        assert json.loads(p.read_text()).get("merges", []) == [], p.name
+
+    # a genuinely new chunk (shifted near-dup copies) folds in equal to
+    # the one-shot over the widened corpus
+    rows = emb.collect()
+    extra = [
+        (int(r.vec_id) + 100000, list(r.embedding)) for r in rows[:40]
+    ]
+    spark.createDataFrame(
+        extra, "vec_id bigint, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w_extra"))
+    import glob as _glob
+
+    part = _glob.glob(str(tmp_path / "w_extra") + "/part-*.parquet")[0]
+    dst = str(src / "c_extra.parquet")
+    _shutil.move(part, dst)
+    os.utime(dst, (time.time() + 60, time.time() + 60))
+    run(store2, str(tmp_path / "ckpt2"))
+    widened = emb.unionByName(
+        spark.createDataFrame(extra, "vec_id bigint, embedding array<float>")
+    )
+    want_w = sorted(
+        (r.rep_id, r.cell, r.n_members)
+        for r in semdedup_representatives(
+            widened, DIM, centroids=cents
+        ).collect()
+    )
+    got_w = sorted(
+        (r.rep_id, r.cell, r.n_members)
+        for r in read_semdedup_representatives(spark, store2).collect()
+    )
+    assert got_w == want_w
+    # the shifted copies are exact duplicates of existing members, so
+    # they must have merged into existing components, not new ones
+    assert len(got_w) == len(want)
