@@ -2099,19 +2099,25 @@ def foreach_batch_semdedup_ingest(
             ids_out.repartition("p").write.mode("overwrite").partitionBy(
                 "p"
             ).parquet(str(ms.batch_dir(batch_id, "ids")))
-            ms.commit(
-                batch_id,
-                {
-                    "vectors": n,
-                    "id_buckets": id_buckets,
-                    "touched": touched_acc,
-                    "cells": cells_b,
-                    "merges": [[int(o), int(c)] for o, c in merges_out],
-                    "tau": tau,
-                    "edges": n_pairs,
-                    "elapsed_s": round(_time.monotonic() - t0, 3),
-                },
-            )
+            payload = {
+                "vectors": n,
+                "id_buckets": id_buckets,
+                "touched": touched_acc,
+                "cells": cells_b,
+                "merges": [[int(o), int(c)] for o, c in merges_out],
+                "tau": tau,
+                "edges": n_pairs,
+                "elapsed_s": round(_time.monotonic() - t0, 3),
+            }
+            if _evidence_enabled():
+                # the two pruned read surfaces, separately: the id gate
+                # (bucket-pruned — must stay flat as the store grows)
+                # and the member probe (cell-pruned — grows with store
+                # density in the touched cells, the documented Σ|cell|²
+                # trade; see the sf1 stress test)
+                payload["gate_bytes"] = _dir_bytes(gate_dirs)
+                payload["member_bytes"] = _dir_bytes(member_dirs)
+            ms.commit(batch_id, payload)
         finally:
             for df in (pairs, bm, coded):
                 if df is not None:
