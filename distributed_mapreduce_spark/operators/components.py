@@ -272,10 +272,18 @@ def pagerank(
         # the previous round's rank blocks are superseded — free them
         unpersist_rdd_ids(spark, r_ids)
         r_ids = new_ids
-    # the final rank checkpoint is self-contained (eager, lineage
-    # truncated): the edge and deg checkpoints are dead — free them now
-    unpersist_rdd_ids(spark, und_ids | deg_ids)
-    # survivor: the final rank checkpoint — the returned frame is a
-    # projection of its blocks; release via caching.release_caches
-    # once the result is consumed.
-    return attach_rdd_ids(r.select("id", F.col("r").alias("pr")), spark, r_ids)
+    if r_ids:
+        # the final rank checkpoint is self-contained (eager, lineage
+        # truncated): the edge and deg checkpoints are dead — free now
+        unpersist_rdd_ids(spark, und_ids | deg_ids)
+        survivors = r_ids
+    else:
+        # iters=0: r is still a lazy projection OVER the deg
+        # checkpoint — releasing deg here would truncate the lineage
+        # out from under the returned frame (r14 self-review)
+        unpersist_rdd_ids(spark, und_ids)
+        survivors = deg_ids
+    # survivor: the final rank checkpoint (or, at iters=0, the deg
+    # checkpoint the lazy r still reads) — release via
+    # caching.release_caches once the result is consumed.
+    return attach_rdd_ids(r.select("id", F.col("r").alias("pr")), spark, survivors)

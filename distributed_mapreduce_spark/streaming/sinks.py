@@ -162,6 +162,14 @@ def foreach_batch_cdc_merge(
         if init is not None
         else [c for c in changes.columns if c not in (ord_col, delete_col)]
     )
+    if merge_schema and init is not None:
+        # evolution with a narrower init in the SAME run — see the
+        # partitioned sink's note (r14 self-review)
+        payload_cols = payload_cols + [
+            c
+            for c in changes.columns
+            if c not in payload_cols and c not in (ord_col, delete_col)
+        ]
     snapshot_cols = payload_cols + ([ord_col, delete_col] if ordered else [])
 
     # Seed the initial base as committed version v=-1 (distributed
@@ -434,6 +442,16 @@ def foreach_batch_cdc_merge_partitioned(
         if init is not None
         else [c for c in changes.columns if c not in (ord_col, delete_col)]
     )
+    if merge_schema and init is not None:
+        # evolution with a narrower init in the SAME run: the change
+        # feed's added columns must be part of the snapshot from batch
+        # 0, else each batch's base read would drop survivors'
+        # previously-merged values and re-pad NULLs (r14 self-review)
+        payload_cols = payload_cols + [
+            c
+            for c in changes.columns
+            if c not in payload_cols and c not in (ord_col, delete_col)
+        ]
     # the columns each version directory stores: ordered snapshots
     # persist the last-applied ord and the delete-tombstone flag
     # alongside the payload (see merge_changes_ordered — tombstones

@@ -201,6 +201,12 @@ def test_graph_checkpoints_release(spark):
     assert _n_persistent(spark) == 1  # final rank checkpoint only
     release_caches(pr)
     assert _n_persistent(spark) == 0
+    # iters=0 edge: the lazy result still reads the deg checkpoint —
+    # it must stay alive until release (r14 self-review)
+    pr0 = pagerank(edges, iters=0)
+    assert pr0.count() == 5 and {r.pr for r in pr0.collect()} == {0.2}
+    release_caches(pr0)
+    assert _n_persistent(spark) == 0
 
 
 def test_error_paths_do_not_leak_blocks(spark):

@@ -2201,3 +2201,76 @@ def test_semdedup_ingest_compaction_and_resume(spark, tmp_path):
     # the shifted copies are exact duplicates of existing members, so
     # they must have merged into existing components, not new ones
     assert len(got_w) == len(want)
+
+
+def test_cdc_evolution_with_narrow_init_preserves_added_values(spark, tmp_path):
+    """r14 self-review regression: merge_schema=True with an `init`
+    NARROWER than the change feed in the same run — the added column
+    must be part of the snapshot from batch 0, or each batch's base
+    read would drop survivors' previously-merged values and re-pad
+    NULLs. Two batches: batch 0 sets x for k=1; batch 1 touches only
+    k=2; k=1's x must SURVIVE batch 1 on both layouts."""
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_cdc_merge,
+        foreach_batch_cdc_merge_partitioned,
+        read_current_partitioned,
+        read_current_version,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base_t = time.time()
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                "ord": pa.array([1], pa.int64()),
+                "is_delete": pa.array([0], pa.int32()),
+                "v": pa.array(["a1"], pa.string()),
+                "x": pa.array([7.5], pa.float64()),
+            }
+        ),
+        str(src / "c1.parquet"),
+    )
+    os.utime(str(src / "c1.parquet"), (base_t, base_t))
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([2], pa.int64()),
+                "ord": pa.array([2], pa.int64()),
+                "is_delete": pa.array([0], pa.int32()),
+                "v": pa.array(["b1"], pa.string()),
+                "x": pa.array([None], pa.float64()),
+            }
+        ),
+        str(src / "c2.parquet"),
+    )
+    os.utime(str(src / "c2.parquet"), (base_t + 5, base_t + 5))
+
+    init = spark.createDataFrame([(1, "a0"), (2, "b0")], "k bigint, v string")
+    schema = "k bigint, ord bigint, is_delete int, v string, x double"
+    for layout in ("partitioned", "flat"):
+        store = str(tmp_path / f"s_{layout}")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        if layout == "partitioned":
+            q = foreach_batch_cdc_merge_partitioned(
+                stream, store, str(tmp_path / f"c_{layout}"), "k",
+                n_buckets=2, init=init, merge_schema=True,
+            )
+        else:
+            q = foreach_batch_cdc_merge(
+                stream, store, str(tmp_path / f"c_{layout}"), "k",
+                init=init, merge_schema=True,
+            )
+        q.awaitTermination()
+        read = (
+            read_current_partitioned if layout == "partitioned"
+            else read_current_version
+        )
+        got = sorted((r.k, r.v, r.x) for r in read(spark, store).collect())
+        # k=1's x from batch 0 must survive batch 1 (which touched k=2)
+        assert got == [(1, "a1", 7.5), (2, "b1", None)], layout
