@@ -1757,6 +1757,7 @@ def ann_ingest_topk_batch(
     qvec_col: str = "qvec",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    as_of: int | None = None,
 ) -> DataFrame:
     """Batched serving probe of a foreach_batch_ann_ingest store
     (VERDICT r8 #6 applied to the ingest layout): one manifest-gated,
@@ -1774,7 +1775,7 @@ def ann_ingest_topk_batch(
         assign_probe_cells,
     )
 
-    members = ann_ingest_members(spark, store_path)
+    members = ann_ingest_members(spark, store_path, as_of=as_of)
     if codebooks is not None:
         probe_df, cells = _adc_probe_frame(
             spark, queries, centroids, codebooks, nprobe, qid_col, qvec_col

@@ -2074,6 +2074,33 @@ def test_ingest_store_time_travel(spark, tmp_path):
         assert [(r.vec_id, r.cos_sim) for r in got] == [
             (r.vec_id, r.cos_sim) for r in want
         ], f"ann probe as_of={k}"
+    # the batched probe takes the same as_of (per-query ≡ the single
+    # probe at the same boundary — its standing contract)
+    from distributed_mapreduce_spark.streaming.sinks import ann_ingest_topk_batch
+
+    queries = spark.createDataFrame(
+        [(1, [float(x) for x in erows[7].embedding]),
+         (2, [float(x) for x in erows[11].embedding])],
+        "query_id bigint, qvec array<double>",
+    )
+    batched = ann_ingest_topk_batch(
+        spark, estore, cents, queries, 10, nprobe=4, as_of=0
+    ).collect()
+    singles = {
+        qid: [
+            (r.vec_id, r.cos_sim)
+            for r in ann_ingest_topk(
+                spark, estore, cents, qv, 10, nprobe=4, as_of=0
+            ).collect()
+        ]
+        for qid, qv in [(1, [float(x) for x in erows[7].embedding]),
+                        (2, [float(x) for x in erows[11].embedding])]
+    }
+    got_b: dict = {}
+    for r in batched:
+        got_b.setdefault(r.query_id, []).append((r.vec_id, r.cos_sim))
+    assert got_b == singles
+
     estore2 = str(tmp_path / "estore2")
     compact_ann_ingest_store(spark, estore, estore2)
     with pytest.raises(FileNotFoundError, match="history floor"):
