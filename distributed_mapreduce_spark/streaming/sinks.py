@@ -2083,6 +2083,16 @@ def foreach_batch_semdedup_ingest(
                 x = int(r["x"])
                 y = int(r["y"])
                 if r["y_stored"]:
+                    if y not in label_of:
+                        # cannot happen on a store this sink wrote
+                        # (members and labels commit atomically under
+                        # one manifest) — a hand-edited store must
+                        # refuse loudly, not KeyError
+                        raise ValueError(
+                            f"semdedup store {store_path}: member {y} has "
+                            "no label row in the ids sidecar — store is "
+                            "corrupt (members/ids committed together)"
+                        )
                     y = canon(label_of[y])
                     seed_canons.add(y)
                 union(x, y)
