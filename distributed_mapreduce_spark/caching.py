@@ -21,6 +21,20 @@ The contract here makes the lifetime explicit and releasable:
   and the annotation clears. Releasing before the action is safe but
   forfeits the sharing (Spark recomputes; results are unchanged).
 
+SURVIVAL RULE (VERDICT r14 watch item #2): the annotation lives as a
+Python attribute on the EXACT DataFrame object the operator returned.
+Deriving a new frame — ``annotated.select(...)``, ``.where(...)``,
+``.join(...)`` — produces a FRESH object with no annotation: releasing
+the derived frame is a no-op and the caches leak until the session's
+cache is cleared wholesale. Composition code must either release the
+ORIGINAL annotated frame once the derived result is consumed, or
+forward the annotation explicitly with
+``attach_caches(derived, annotated)`` (which also forwards checkpoint
+RDD ids). The annotation also holds strong Python references to every
+attached frame, so an annotated result that is never released keeps
+those objects alive for its own lifetime — by design, since the JVM
+cache they pin was already leaked without a release path.
+
 Streaming sinks don't need this: their per-batch persists are consumed
 inside the foreachBatch function and already unpersist in ``finally``.
 """

@@ -39,6 +39,31 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Lossless widenings mergeSchema evolution accepts (Delta's
+# type-widening table, the conservative core): every value of the
+# source type is exactly representable in the destination type, so
+# casting stored rows up can never change data. Everything else —
+# narrowings, float→decimal, string↔anything — refuses loudly.
+_INT_RANK = {T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2, T.LongType: 3}
+
+
+def _is_widening(src: T.DataType, dst: T.DataType) -> bool:
+    """True iff dst losslessly contains src: integral upcasts
+    (byte→short→int→long), float→double, and decimal growth that
+    expands (or keeps) BOTH the scale and the integer digits."""
+    if type(src) in _INT_RANK and type(dst) in _INT_RANK:
+        return _INT_RANK[type(dst)] > _INT_RANK[type(src)]
+    if isinstance(src, T.FloatType) and isinstance(dst, T.DoubleType):
+        return True
+    if isinstance(src, T.DecimalType) and isinstance(dst, T.DecimalType):
+        return (
+            (dst.precision, dst.scale) != (src.precision, src.scale)
+            and dst.scale >= src.scale
+            and dst.precision - dst.scale >= src.precision - src.scale
+        )
+    return False
 
 
 def _evolve_base(
@@ -58,8 +83,14 @@ def _evolve_base(
     - a base payload column MISSING from the change batch is a rename
       or a drop — neither is expressible as an addition, and silently
       NULLing a whole stored column is data loss;
-    - a TYPE CHANGE on a shared payload column refuses rather than
-      silently cast (Delta's automatic-evolution contract: adds only).
+    - a LOSSLESS WIDENING on a shared column (key, payload, ord, or
+      the delete flag) casts the stored rows UP to the change type —
+      int→bigint, float→double, decimal growth (`_is_widening`;
+      VERDICT r14 #3: a long-lived feed whose upstream widens an id
+      column proceeds as Delta type widening would);
+    - any OTHER type change — narrowings included, and on EVERY shared
+      column, the key/ord/delete columns too (ADVICE r14) — refuses
+      rather than silently cast.
     """
     change_payload = [
         c for c in changes.columns if c not in (key, ord_col, delete_col)
@@ -74,23 +105,30 @@ def _evolve_base(
         )
     btypes = {f.name: f.dataType for f in base.schema.fields}
     ctypes = {f.name: f.dataType for f in changes.schema.fields}
-    changed = [
-        c
-        for c in base_payload
-        if c in ctypes and btypes[c] != ctypes[c]
+    # every column the base and the batch SHARE is type-checked — the
+    # key and (in the ordered layout) ord/tombstone columns included;
+    # an implicit cast on the join/gate columns is as silent a
+    # corruption as one on a payload column (ADVICE r14)
+    shared = [key] + base_payload + [
+        c for c in (ord_col, delete_col) if c in btypes and c in ctypes
     ]
-    if changed:
+    changed = [c for c in shared if c in ctypes and btypes[c] != ctypes[c]]
+    widened = [c for c in changed if _is_widening(btypes[c], ctypes[c])]
+    refused = [c for c in changed if c not in widened]
+    if refused:
         raise ValueError(
-            "merge schema evolution: payload column(s) "
+            "merge schema evolution: column(s) "
             + str(
                 [
                     f"{c}: {btypes[c].simpleString()} -> {ctypes[c].simpleString()}"
-                    for c in changed
+                    for c in refused
                 ]
             )
-            + " change type — refused, never silently cast (rewrite the "
-            "table to retype a column)"
+            + " change type — refused, never silently cast (only lossless"
+            " widenings evolve; rewrite the table to retype a column)"
         )
+    for c in widened:
+        base = base.withColumn(c, F.col(c).cast(ctypes[c]))
     added = [c for c in change_payload if c not in base_payload]
     for c in added:
         base = base.withColumn(c, F.lit(None).cast(ctypes[c]))
@@ -124,9 +162,11 @@ def merge_changes(
     `merge_schema=True` enables Delta-mergeSchema evolution (VERDICT
     r13 #3): change batches may carry ADDED payload columns — typed
     NULL in every pre-existing base row, the merged output carries the
-    widened schema — while renames/drops and type changes refuse
-    loudly (see _evolve_base). Default False keeps the strict
-    contract: payload = base's columns, extra change columns ignored."""
+    widened schema — and lossless TYPE WIDENINGS (int→bigint,
+    float→double, decimal growth) cast the stored rows up, while
+    renames/drops and any other type change refuse loudly (see
+    _evolve_base). Default False keeps the strict contract: payload =
+    base's columns, extra change columns ignored."""
     payload = [c for c in base.columns if c != key]
     if merge_schema:
         base, payload = _evolve_base(
@@ -205,7 +245,9 @@ def merge_changes_ordered(
 
     `merge_schema=True`: same Delta-mergeSchema evolution contract as
     merge_changes (added payload columns ⇒ typed NULL in old rows and
-    in surviving tombstones; renames/drops/type changes refuse)."""
+    in surviving tombstones; lossless widenings cast stored rows up —
+    the ord watermark column included; renames/drops and any other
+    type change refuse)."""
     payload = [c for c in base.columns if c not in (key, ord_col, delete_col)]
     if merge_schema:
         base, payload = _evolve_base(

@@ -408,13 +408,23 @@ def foreach_batch_cdc_merge_partitioned(
         # every later multi-version read fail on conflicting parquet
         # physical types (code-review r7).
         spark = init.sparkSession
+        # Coerce only the columns the change feed SHARES with the
+        # seed; an init-only column keeps its seed type (its fate —
+        # the merge layer's rename-or-drop refusal — is decided at the
+        # first non-empty batch, not by an AnalysisException here;
+        # ADVICE r14 #4's construction-time-death class).
+        shared = [c for c in init.columns if c in changes.columns]
         tgt = (
-            spark.createDataFrame([], init.schema)
-            .unionByName(spark.createDataFrame([], changes.select(*init.columns).schema))
+            spark.createDataFrame([], init.select(*shared).schema)
+            .unionByName(spark.createDataFrame([], changes.select(*shared).schema))
             .schema
         )
+        coerced = {f.name: f.dataType for f in tgt.fields}
         seed = init.select(
-            *[F.col(f.name).cast(f.dataType) for f in tgt.fields]
+            *[
+                F.col(f.name).cast(coerced.get(f.name, f.dataType))
+                for f in init.schema.fields
+            ]
         )
         if ordered:
             # seed rows predate the CDC feed: NULL ord = replaceable
@@ -459,10 +469,27 @@ def foreach_batch_cdc_merge_partitioned(
     # readers filter `delete_col == 0`)
     snapshot_cols = payload_cols + ([ord_col, delete_col] if ordered else [])
     # the snapshot schema this stream run produces — recorded into
-    # every manifest it commits (the time-travel schema anchor)
+    # every manifest it commits (the time-travel schema anchor).
+    # payload_cols already leads with the key, so dedupe rather than
+    # prepend twice (ADVICE r14: a duplicated key column here made
+    # every empty-batch manifest select the key twice downstream).
+    # Columns the seed carries but the change feed lacks take their
+    # type from the seed — the merge layer raises its explicit
+    # schema-mismatch error at the first non-empty batch, which is
+    # the loud path; dying here with a KeyError is not (ADVICE r14).
+    def _snap_type(c: str) -> str:
+        if c in changes.columns:
+            return changes.schema[c].dataType.simpleString()
+        if init is not None and c in init.columns:
+            return init.schema[c].dataType.simpleString()
+        raise ValueError(
+            f"snapshot column {c!r} is in neither the change feed "
+            f"({changes.columns}) nor the seed — cannot record its type"
+        )
+
     snap_ddl = [
-        (c, changes.schema[c].dataType.simpleString())
-        for c in [key] + snapshot_cols
+        (c, _snap_type(c))
+        for c in [key] + [c for c in snapshot_cols if c != key]
     ]
 
     def merge(base, df, key, ord_col, delete_col):
@@ -497,7 +524,11 @@ def foreach_batch_cdc_merge_partitioned(
             if not touched:
                 _write_manifest_for_empty(batch_id)
                 return
-            current = _current_partition_map(store_path, below=batch_id)
+            manifests = _committed_manifests(store_path, below=batch_id)
+            current: dict[int, int] = {}
+            for v, m in manifests:
+                for p in m["touched"]:
+                    current[p] = v
             base_paths = [
                 str(store / f"v={current[p]}" / f"p={p}")
                 for p in touched
@@ -508,11 +539,20 @@ def foreach_batch_cdc_merge_partitioned(
                 # are never listed, opened, or scanned — the pruning
                 # that makes the batch cost ∝ touched bytes.
                 reader = spark.read
-                if merge_schema:
+                recorded = _newest_recorded_schema(manifests)
+                if merge_schema and recorded is not None:
                     # pre- and post-evolution versions coexist in the
-                    # fold; footer-merge so added columns survive the
-                    # mixed read, and select only what exists — the
-                    # merge operator pads the rest as typed NULLs
+                    # fold: read under the store's NEWEST recorded
+                    # schema — absent columns pad as typed NULLs and
+                    # pre-widening file types promote losslessly
+                    # (footer mergeSchema would refuse a float file
+                    # next to a post-widening double one); the merge
+                    # operator then evolves from the recorded schema
+                    # to the feed's.
+                    reader = reader.schema(_schema_ddl(recorded))
+                elif merge_schema:
+                    # pre-schema-recording store: footer merge is the
+                    # only source of truth for what the files hold
                     reader = reader.option("mergeSchema", "true")
                 base = reader.parquet(*base_paths)
                 missing = [c for c in snapshot_cols if c not in base.columns]
@@ -522,6 +562,25 @@ def foreach_batch_cdc_merge_partitioned(
                         "present in the change feed — schema evolution "
                         "requires merge_schema=True (Delta mergeSchema); "
                         "refusing to guess"
+                    )
+                # Reverse guard (ADVICE r14, mirrors the non-partitioned
+                # sink): stored columns ABSENT from this sink's snapshot
+                # schema would be silently dropped from every touched
+                # partition on rewrite — the rename/drop data loss
+                # _evolve_base refuses, bypassed before it could see it
+                # (e.g. resuming an evolved store with a pre-evolution
+                # feed). Loss only occurs when the stored data actually
+                # carries the column, so the data read — not the
+                # manifest chain — is the precise thing to check.
+                extra = [c for c in base.columns if c not in snapshot_cols]
+                if extra:
+                    raise ValueError(
+                        f"store {store_path} stores column(s) {extra} "
+                        "absent from this sink's change feed — rewriting "
+                        "touched partitions would silently drop them "
+                        "(a drop is not an addition; Delta mergeSchema "
+                        "refuses it); resume with a feed carrying every "
+                        "stored column, or rewrite the table explicitly"
                     )
                 base = base.select(
                     *[c for c in snapshot_cols if c in base.columns]
@@ -563,6 +622,17 @@ def foreach_batch_cdc_merge_partitioned(
     )
 
 
+def _newest_recorded_schema(manifests) -> list | None:
+    for _v, manifest in reversed(manifests):
+        if manifest.get("schema") is not None:
+            return manifest["schema"]
+    return None
+
+
+def _schema_ddl(schema: list) -> str:
+    return ", ".join(f"`{name}` {ddl}" for name, ddl in schema)
+
+
 def _read_with_recorded_schema(spark, paths: list[str], manifests) -> DataFrame:
     """Snapshot read honoring the manifest-recorded schema (mergeSchema
     evolution): the NEWEST included manifest's `schema` defines what
@@ -570,24 +640,19 @@ def _read_with_recorded_schema(spark, paths: list[str], manifests) -> DataFrame:
     therefore returns the OLD schema, and a fold above it pads
     partitions never rewritten since the addition with typed NULLs
     (the Delta add-column contract). Stores written before schema
-    recording fall back to the plain single-schema read."""
-    target = None
-    for _v, manifest in reversed(manifests):
-        if manifest.get("schema") is not None:
-            target = manifest["schema"]
-            break
+    recording fall back to the plain single-schema read.
+
+    The recorded schema is passed as the READ schema rather than
+    selected out of a footer-merged read: footer merge REFUSES mixed
+    physical types outright (CANNOT_MERGE_SCHEMAS on a float next to
+    a post-widening double), while Spark's parquet reader promotes a
+    narrower file type into a wider requested type losslessly
+    (SPARK-40876) and pads absent columns with typed NULLs — exactly
+    the evolution semantics, minus a footer-listing job."""
+    target = _newest_recorded_schema(manifests)
     if target is None:
         return spark.read.parquet(*paths)
-    from pyspark.sql import functions as F
-
-    df = spark.read.option("mergeSchema", "true").parquet(*paths)
-    return df.select(
-        *[
-            F.col(name) if name in df.columns
-            else F.lit(None).cast(ddl).alias(name)
-            for name, ddl in target
-        ]
-    )
+    return spark.read.schema(_schema_ddl(target)).parquet(*paths)
 
 
 def read_current_partitioned(

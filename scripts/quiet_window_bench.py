@@ -81,7 +81,7 @@ def main() -> int:
                 ]
                 if tier != "registered":
                     args += ["--floors", os.path.join(HERE, "quiet_floors_shadow.json")]
-                args += ["update", artifact, f"r14-{tier}-quietwatch"]
+                args += ["update", artifact, f"r15-{tier}-quietwatch"]
                 rc2 = subprocess.call(args, cwd=REPO)
                 print(f"[watch] floor update rc={rc2}", flush=True)
                 if rc2 == 0:

@@ -229,3 +229,34 @@ def test_error_paths_do_not_leak_blocks(spark):
     with pytest.raises(ValueError):
         global_shuffle_index(docs, "doc_id").count()
     assert _n_persistent(spark) == 0
+
+
+def test_derived_frame_annotation_survival_rule(spark):
+    """VERDICT r14 #4: the annotation lives on the EXACT returned
+    object — deriving a new frame (`annotated.select(...)`) silently
+    drops it. This test pins the spec composition code leans on:
+    releasing the DERIVED frame is a no-op (the leak shape), releasing
+    the ORIGINAL still frees everything, and explicit forwarding via
+    attach_caches(derived, annotated) restores releasability."""
+    from distributed_mapreduce_spark.caching import attach_caches, release_caches
+
+    src = spark.range(20).persist()
+    annotated = attach_caches(src.selectExpr("id * 2 AS id"), src)
+    derived = annotated.select("id")
+    derived.count()
+    assert _n_persistent(spark) == 1
+    # leak shape: the derived frame carries no annotation
+    release_caches(derived)
+    assert _n_persistent(spark) == 1
+    # supported path 1: release the ORIGINAL annotated frame
+    release_caches(annotated)
+    assert _n_persistent(spark) == 0
+
+    # supported path 2: forward the annotation explicitly
+    src2 = spark.range(20).persist()
+    annotated2 = attach_caches(src2.selectExpr("id * 2 AS id"), src2)
+    derived2 = attach_caches(annotated2.select("id"), annotated2)
+    derived2.count()
+    assert _n_persistent(spark) == 1
+    release_caches(derived2)
+    assert _n_persistent(spark) == 0

@@ -542,3 +542,100 @@ def test_streaming_cdc_ordered_sink_reaps_on_rewrite(spark, tmp_path):
     # batch 1 rewrote bucket 0 (kb's upsert) and reaped ka's expired
     # tombstone (ord 100 < 200) in the same pass
     assert {(r.k, r.v, r.is_delete) for r in snap.collect()} == {(kb, 7.0, 0)}
+
+
+# ── mergeSchema type widening (VERDICT r14 #3 + ADVICE r14 #3) ───────
+
+
+def test_merge_schema_accepts_lossless_widenings(spark):
+    """A change batch whose shared columns WIDEN losslessly (int→
+    bigint, float→double, decimal growth, byte→short) evolves: stored
+    rows cast up, merged output carries the widened schema, values
+    unchanged — the Delta type-widening behavior, key column included
+    (the 'upstream widens an id column' case)."""
+    base = spark.createDataFrame(
+        [(1, 1.5, "a"), (2, 2.5, "b")],
+        "k int, v float, t string",
+    ).withColumn("d", F.lit("1.25").cast("decimal(6,2)"))
+    changes = spark.createDataFrame(
+        [(2, 10, 0, 9.5, "b2", "3.125")],
+        "k bigint, ord bigint, is_delete int, v double, t string, d string",
+    ).withColumn("d", F.col("d").cast("decimal(9,3)"))
+    out = merge_changes(base, changes, "k", merge_schema=True)
+    types = dict(out.dtypes)
+    assert types == {
+        "k": "bigint",
+        "v": "double",
+        "t": "string",
+        "d": "decimal(9,3)",
+    }
+    got = {r.k: (r.v, r.t, str(r.d)) for r in out.collect()}
+    assert got[1] == (pytest.approx(1.5), "a", "1.250")
+    assert got[2] == (pytest.approx(9.5), "b2", "3.125")
+
+
+@pytest.mark.parametrize(
+    "base_t,chg_t",
+    [
+        ("bigint", "int"),  # narrowing
+        ("double", "float"),  # narrowing
+        ("int", "string"),  # cross-family
+        ("decimal(6,2)", "decimal(6,3)"),  # integer digits shrink 4→3
+        ("decimal(6,2)", "decimal(7,1)"),  # scale shrinks
+    ],
+)
+def test_merge_schema_refuses_non_widening_type_changes(spark, base_t, chg_t):
+    base = spark.createDataFrame([(1, "x")], "k long, t string").withColumn(
+        "v", F.lit(None).cast(base_t)
+    )
+    changes = spark.createDataFrame(
+        [(1, 1, 0, "y")], "k long, ord long, is_delete int, t string"
+    ).withColumn("v", F.lit(None).cast(chg_t))
+    with pytest.raises(ValueError, match="never silently cast"):
+        merge_changes(base, changes, "k", merge_schema=True)
+
+
+def test_merge_schema_refuses_key_and_gate_column_type_changes(spark):
+    """ADVICE r14 #3: the type check covers the KEY column and (in the
+    ordered layout) the ord/tombstone columns — an implicit cast on
+    the join/gate columns is as silent a corruption as one on a
+    payload column. Non-widening changes there refuse."""
+    # key narrowing: bigint base, int changes
+    base = spark.createDataFrame([(1, 2.0)], "k bigint, v double")
+    changes = spark.createDataFrame(
+        [(1, 1, 0, 3.0)], "k int, ord long, is_delete int, v double"
+    )
+    with pytest.raises(ValueError, match="never silently cast"):
+        merge_changes(base, changes, "k", merge_schema=True)
+    # ord cross-family change in the ordered layout
+    sbase = spark.createDataFrame(
+        [(1, 2.0, 5, 0)], "k long, v double, ord long, is_delete int"
+    )
+    schg = spark.createDataFrame(
+        [(1, "6", 0, 3.0)], "k long, ord string, is_delete int, v double"
+    )
+    with pytest.raises(ValueError, match="never silently cast"):
+        merge_changes_ordered(sbase, schg, "k", merge_schema=True)
+
+
+def test_merge_schema_ordered_widens_ord_watermark(spark):
+    """int→bigint on the ord column through the ordered merge: stored
+    watermarks (surviving tombstones included) cast up, the stale-
+    change gate still compares correctly across the widening."""
+    base = spark.createDataFrame(
+        [(1, 2.0, 5, 0), (2, None, 9, 1), (3, 4.0, 2, 0)],
+        "k long, v double, ord int, is_delete int",
+    )
+    changes = spark.createDataFrame(
+        [(1, 4, 0, 9.9), (3, 7, 0, 5.5)],
+        "k long, ord bigint, is_delete int, v double",
+    )
+    out = merge_changes_ordered(base, changes, "k", merge_schema=True)
+    assert dict(out.dtypes)["ord"] == "bigint"
+    st = _state(out)
+    # k=1's change (ord 4) is STALE vs stored 5 — gated out across the cast
+    assert st[1] == (2.0, 5, 0)
+    # k=2's tombstone survives with its widened watermark
+    assert st[2] == (None, 9, 1)
+    # k=3 applies (7 >= 2)
+    assert st[3] == (5.5, 7, 0)

@@ -2301,3 +2301,239 @@ def test_cdc_evolution_with_narrow_init_preserves_added_values(spark, tmp_path):
         got = sorted((r.k, r.v, r.x) for r in read(spark, store).collect())
         # k=1's x from batch 0 must survive batch 1 (which touched k=2)
         assert got == [(1, "a1", 7.5), (2, "b1", None)], layout
+
+
+def test_partitioned_sink_empty_newest_batch_schema(spark, tmp_path):
+    """ADVICE r14 #1/#4 regression: an all-filtered batch as the
+    NEWEST committed version records the snapshot schema via snap_ddl.
+    The key column must appear exactly ONCE in that manifest (it was
+    recorded twice), so the recorded-schema read and compaction work
+    when the newest version is empty — an explicitly supported path."""
+    import json
+
+    from pyspark.sql import functions as F
+    from distributed_mapreduce_spark.streaming.sinks import (
+        compact_store_partitioned,
+        foreach_batch_cdc_merge_partitioned,
+        read_current_partitioned,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base_t = time.time()
+    cols1 = {
+        "k": pa.array([1, 2], pa.int64()),
+        "ord": pa.array([1, 2], pa.int64()),
+        "is_delete": pa.array([0, 0], pa.int32()),
+        "v": pa.array(["a", "b"], pa.string()),
+    }
+    cols2 = {
+        "k": pa.array([-5], pa.int64()),
+        "ord": pa.array([3], pa.int64()),
+        "is_delete": pa.array([0], pa.int32()),
+        "v": pa.array(["drop-me"], pa.string()),
+    }
+    pq.write_table(pa.table(cols1), str(src / "c1.parquet"))
+    os.utime(str(src / "c1.parquet"), (base_t, base_t))
+    pq.write_table(pa.table(cols2), str(src / "c2.parquet"))
+    os.utime(str(src / "c2.parquet"), (base_t + 5, base_t + 5))
+
+    stream = (
+        spark.readStream.schema("k bigint, ord bigint, is_delete int, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .where(F.col("k") > 0)  # batch 1 arrives all-filtered
+    )
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    foreach_batch_cdc_merge_partitioned(
+        stream, store, ckpt, "k", n_buckets=2
+    ).awaitTermination()
+
+    # newest committed version is the empty batch — its manifest's
+    # recorded schema must carry each column exactly once
+    man = json.loads((tmp_path / "store" / "v=1" / "_touched.json").read_text())
+    names = [c for c, _t in man["schema"]]
+    assert names == ["k", "v"], names
+    snap = read_current_partitioned(spark, store)
+    assert snap.columns == ["k", "v"]
+    assert sorted((r.k, r.v) for r in snap.collect()) == [(1, "a"), (2, "b")]
+    # compaction over the empty-newest chain (failed on the ambiguous
+    # duplicate key column before the fix)
+    dst = str(tmp_path / "compacted")
+    compact_store_partitioned(spark, store, dst)
+    got = read_current_partitioned(spark, dst)
+    assert sorted((r.k, r.v) for r in got.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_partitioned_sink_refuses_stored_column_drop(spark, tmp_path):
+    """ADVICE r14 #2: resuming an evolved store with a feed that LACKS
+    a stored column must refuse — rewriting touched partitions without
+    it is the silent column-drop data loss _evolve_base exists to
+    refuse. Mirrors the non-partitioned sink's reverse guard, in both
+    strict and merge_schema modes."""
+    import pytest as _pytest
+
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_cdc_merge_partitioned,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base_t = time.time()
+    wide = {
+        "k": pa.array([1, 2], pa.int64()),
+        "ord": pa.array([1, 2], pa.int64()),
+        "is_delete": pa.array([0, 0], pa.int32()),
+        "v": pa.array(["a", "b"], pa.string()),
+        "x": pa.array([1.5, 2.5], pa.float64()),
+    }
+    pq.write_table(pa.table(wide), str(src / "c1.parquet"))
+    os.utime(str(src / "c1.parquet"), (base_t, base_t))
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    s_wide = "k bigint, ord bigint, is_delete int, v string, x double"
+    foreach_batch_cdc_merge_partitioned(
+        spark.readStream.schema(s_wide).parquet(str(src)),
+        store,
+        ckpt,
+        "k",
+        n_buckets=2,
+    ).awaitTermination()
+
+    # narrower resume feed over the SAME checkpoint (the versioned-
+    # commit resume contract): touches k=1's partition, would drop x
+    narrow = {
+        "k": pa.array([1], pa.int64()),
+        "ord": pa.array([9], pa.int64()),
+        "is_delete": pa.array([0], pa.int32()),
+        "v": pa.array(["a2"], pa.string()),
+    }
+    pq.write_table(pa.table(narrow), str(src / "c2.parquet"))
+    os.utime(str(src / "c2.parquet"), (base_t + 5, base_t + 5))
+    s_narrow = "k bigint, ord bigint, is_delete int, v string"
+    for merge_schema in (False, True):
+        # the failed batch never commits, so the checkpoint replays it
+        with _pytest.raises(Exception) as exc:
+            foreach_batch_cdc_merge_partitioned(
+                spark.readStream.schema(s_narrow).parquet(str(src)),
+                store,
+                ckpt,
+                "k",
+                n_buckets=2,
+                merge_schema=merge_schema,
+            ).awaitTermination()
+        assert "silently drop" in str(exc.value)
+
+
+def test_partitioned_sink_init_only_column_fails_at_merge(spark, tmp_path):
+    """ADVICE r14 #4: an `init` seed carrying a payload column the
+    change feed lacks must not die with a KeyError at sink
+    CONSTRUCTION — the snapshot schema falls back to the seed's type
+    and the merge layer raises its explicit contract error at the
+    first non-empty batch."""
+    import pytest as _pytest
+
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_cdc_merge_partitioned,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    chg = {
+        "k": pa.array([1], pa.int64()),
+        "ord": pa.array([1], pa.int64()),
+        "is_delete": pa.array([0], pa.int32()),
+        "v": pa.array(["a2"], pa.string()),
+    }
+    pq.write_table(pa.table(chg), str(src / "c1.parquet"))
+
+    init = spark.createDataFrame([(1, "a", 1.25)], "k bigint, v string, x double")
+    # construction succeeds (no KeyError on x) ...
+    q = foreach_batch_cdc_merge_partitioned(
+        spark.readStream.schema("k bigint, ord bigint, is_delete int, v string")
+        .parquet(str(src)),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        "k",
+        n_buckets=2,
+        init=init,
+        merge_schema=True,
+    )
+    # ... and the first non-empty batch raises the merge layer's loud
+    # rename-or-drop contract error, naming the column
+    with _pytest.raises(Exception) as exc:
+        q.awaitTermination()
+    msg = str(exc.value)
+    assert "missing stored payload column" in msg and "'x'" in msg
+
+
+def test_cdc_sink_type_widening_both_layouts(spark, tmp_path):
+    """VERDICT r14 #3 end-to-end: a feed that WIDENS a payload column
+    (float→double) mid-stream evolves both sink layouts under
+    merge_schema=True — stored rows cast up losslessly, the current
+    read returns the widened type, and a partitioned-layout time
+    travel below the widening returns the OLD type (per-version
+    manifest schemas)."""
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_cdc_merge,
+        foreach_batch_cdc_merge_partitioned,
+        read_current_partitioned,
+        read_current_version,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base_t = time.time()
+    c1 = {
+        "k": pa.array([1, 2], pa.int64()),
+        "ord": pa.array([1, 2], pa.int64()),
+        "is_delete": pa.array([0, 0], pa.int32()),
+        "v": pa.array([1.5, 2.5], pa.float32()),
+    }
+    c2 = {
+        "k": pa.array([2, 3], pa.int64()),
+        "ord": pa.array([3, 4], pa.int64()),
+        "is_delete": pa.array([0, 0], pa.int32()),
+        "v": pa.array([9.5, 3.25], pa.float64()),
+    }
+    pq.write_table(pa.table(c1), str(src / "c1.parquet"))
+    os.utime(str(src / "c1.parquet"), (base_t, base_t))
+
+    s1 = "k bigint, ord bigint, is_delete int, v float"
+    s2 = "k bigint, ord bigint, is_delete int, v double"
+
+    for layout in ("partitioned", "flat"):
+        store = str(tmp_path / f"store_{layout}")
+        ckpt = str(tmp_path / f"ckpt_{layout}")
+
+        def run(schema):
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            if layout == "partitioned":
+                q = foreach_batch_cdc_merge_partitioned(
+                    stream, store, ckpt, "k", n_buckets=2, merge_schema=True
+                )
+            else:
+                q = foreach_batch_cdc_merge(
+                    stream, store, ckpt, "k", merge_schema=True
+                )
+            q.awaitTermination()
+
+        read = (
+            (lambda **kw: read_current_partitioned(spark, store, **kw))
+            if layout == "partitioned"
+            else (lambda **kw: read_current_version(spark, store, **kw))
+        )
+        run(s1)
+        assert dict(read().dtypes)["v"] == "float"
+        pq.write_table(pa.table(c2), str(src / "c2.parquet"))
+        os.utime(str(src / "c2.parquet"), (base_t + 5, base_t + 5))
+        run(s2)
+        cur = read()
+        assert dict(cur.dtypes)["v"] == "double"
+        got = sorted((r.k, round(r.v, 4)) for r in cur.collect())
+        assert got == [(1, 1.5), (2, 9.5), (3, 3.25)]
+        # time travel below the widening: the OLD type
+        assert dict(read(as_of=0).dtypes)["v"] == "float"
+        # the next layout's run 1 must see only c1 again
+        os.remove(str(src / "c2.parquet"))
