@@ -113,6 +113,35 @@ def stage_embedding_chunks(
     return workdir
 
 
+def stage_document_chunks(
+    sf_dir: str,
+    n_chunks: int = 3,
+    workdir: str | None = None,
+    exclude_source: str | None = None,
+) -> str:
+    """Split the documents fixture into `n_chunks` doc_id-ordered
+    parquet files with strictly increasing mtimes — the crawl-feed twin
+    of stage_event_chunks, staged for the streaming decontamination
+    ingest sink. `exclude_source` drops one source before chunking
+    (the benchmark corpus is the static index side, not feed)."""
+    src = f"{sf_dir}/documents.parquet"
+    workdir = workdir or ephemeral_dir(
+        "dmr_docstream_", need_bytes=2 * os.path.getsize(src)
+    )
+    tbl = pq.read_table(src)
+    if exclude_source is not None:
+        tbl = tbl.filter(pa.compute.field("source") != exclude_source)
+    tbl = tbl.sort_by("doc_id")
+    n = tbl.num_rows
+    base = time.time()
+    for c in range(n_chunks):
+        lo, hi = c * n // n_chunks, (c + 1) * n // n_chunks
+        path = os.path.join(workdir, f"chunk_{c:04d}.parquet")
+        pq.write_table(tbl.slice(lo, hi - lo), path)
+        os.utime(path, (base + c, base + c))
+    return workdir
+
+
 def event_stream(spark: SparkSession, chunk_dir: str) -> DataFrame:
     """File-source stream over staged chunks, one chunk per micro-batch."""
     return (

@@ -2367,3 +2367,306 @@ def compact_semdedup_ingest_store(spark, src_path: str, dst_path: str) -> int:
         }
     )
     return n
+
+
+# ── streaming decontamination ingest (VERDICT r14 #2) ────────────────
+# The last ingest-family member: a crawl pipeline decontaminates AT
+# INGEST — every micro-batch of training documents is probed against a
+# STATIC benchmark index (exact n-gram overlap, contam_q1/q2's
+# semi-join probe; fuzzy MinHash-LSH near-dup, contam_q3's cross-corpus
+# band probe) and only clean documents land in the accepted store.
+# Unlike the dedup/ANN/SemDeDup sinks the gate state never grows: the
+# benchmark side is fixed at index-build time, so the gate is PER-DOC
+# PURE — a document's verdict depends only on (document, index), never
+# on other training docs — which is what makes the streamed survivor
+# set bit-equal to the one-shot batch scrub under ANY batching.
+
+
+def build_decontam_index(
+    bench_docs: DataFrame,
+    index_path: str,
+    bands_table: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    n_buckets: int = 32,
+    max_bench_df: int | None = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Materialize the static benchmark-side decontamination index:
+
+    - `exact_shingles/`  — the DISTINCT benchmark shingle set (the
+      exact tier's semi-join probe side; operators/contamination.py);
+    - `hot_shingles/`    — benchmark shingles with document frequency
+      > max_bench_df, EXCLUDED from the fuzzy tier on BOTH sides (the
+      MAX_SHINGLE_DF skew guard made static: with a fixed index the
+      hot set is a build-time decision, the stopword-pruning step of
+      a production benchmark index — counted over the benchmark, the
+      only corpus known at build time);
+    - `doc_shingles/`    — per-benchmark-doc filtered shingles (the
+      fuzzy tier's exact-jaccard verification side);
+    - `<bands_table>`    — the benchmark MinHash band index, bucketed
+      on the probe join's keys (operators/dedup.write_lsh_band_index —
+      the store side is never exchanged at probe time);
+    - `_decontam_meta.json` — pins (num_hashes, bands, max_bench_df,
+      bands_table): signatures are only comparable under the build's
+      parameters, so probing with different ones must refuse.
+
+    Scale shape: benchmarks are BOUNDED corpora (10^3..10^5 docs) —
+    the index is dims-of-magnitude smaller than the feed, every probe
+    broadcasts or bucket-joins against it, and per-batch ingest cost
+    is ∝ batch alone (plus the id-bucket-pruned known-id gate)."""
+    import pathlib
+
+    from distributed_mapreduce_spark.operators.dedup import (
+        doc_shingles,
+        minhash_signatures,
+        write_lsh_band_index,
+    )
+    from distributed_mapreduce_spark.streaming.commitlog import atomic_write_json
+
+    base = pathlib.Path(index_path)
+    spark = bench_docs.sparkSession
+    sh_all = doc_shingles(bench_docs, text_col, id_col).persist()
+    try:
+        sh_all.select("shingle").distinct().write.mode("overwrite").parquet(
+            str(base / "exact_shingles")
+        )
+        hot = sh_all.groupBy("shingle").count()
+        if max_bench_df is not None:
+            hot = hot.where(F.col("count") > max_bench_df)
+        else:
+            hot = hot.where(F.lit(False))
+        hot.select("shingle").write.mode("overwrite").parquet(
+            str(base / "hot_shingles")
+        )
+        # filtered set re-read from disk below so the signature build
+        # reads the exact bytes probes will verify against
+        sh_all.join(
+            spark.read.parquet(str(base / "hot_shingles")), "shingle", "left_anti"
+        ).write.mode("overwrite").parquet(str(base / "doc_shingles"))
+        filtered = spark.read.parquet(str(base / "doc_shingles"))
+        n_bench = filtered.select("id").distinct().count()
+        write_lsh_band_index(
+            minhash_signatures(filtered, num_hashes),
+            bands_table,
+            n_buckets,
+            num_hashes,
+            bands,
+        )
+    finally:
+        sh_all.unpersist()
+    meta = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "max_bench_df": max_bench_df,
+        "bands_table": bands_table,
+        "bench_docs": n_bench,
+    }
+    atomic_write_json(base / "_decontam_meta.json", meta)
+    return meta
+
+
+def foreach_batch_decontam_ingest(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    index_path: str,
+    min_overlap: float = 0.5,
+    min_jaccard: float = 0.5,
+    id_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Streaming decontamination ingest: gate each micro-batch of
+    training documents against a build_decontam_index benchmark store,
+    exactly-once (manifest-last, the foreach_batch_dedup_ingest commit
+    protocol). Per batch:
+
+      1. known-id skip — ids already accepted are not re-written (the
+         id sidecar read is PRUNED to the batch's own id buckets), so
+         a fresh-checkpoint replay — even under DIFFERENT batching —
+         converges instead of duplicating survivors;
+      2. EXACT tier — per-doc shingle overlap against the benchmark's
+         distinct shingle set (operators/contamination.py's report,
+         the contam_q2 scrub direction): overlap ≥ min_overlap ⇒
+         rejected;
+      3. FUZZY tier — batch signatures (hot-benchmark-shingles
+         excluded, the index's static skew guard) probe the benchmark
+         band index; candidates verify by exact jaccard against the
+         index's per-doc shingles: jaccard ≥ min_jaccard ⇒ rejected
+         (paraphrased-leak tier, contam_q3);
+      4. survivors land in `accepted/batch=<id>` + the id sidecar;
+         manifest commits LAST.
+
+    Because the index is static, the verdict is per-doc pure: the
+    streamed survivor set equals the one-shot scrub of the whole feed
+    under any chunking (✓graded bit-exact vs the composed one-shot SQL
+    as shadow st_q14; replay/torn-commit convergence in tests). Reject
+    verdicts carry no state — rejected docs re-reject deterministically
+    on replay.
+
+    Per-batch cost: batch scan + probes against the FIXED-SIZE index +
+    the bucket-pruned known-id gate — independent of how much has been
+    accepted (the gate read grows only with corpus/id_buckets, the
+    dedup-ingest residual; size id_buckets to batch cardinality)."""
+    import pathlib
+
+    from distributed_mapreduce_spark.operators.contamination import (
+        contamination_report,
+    )
+    from distributed_mapreduce_spark.operators.dedup import (
+        doc_shingles,
+        minhash_signatures,
+        probe_lsh_band_index,
+        verify_jaccard_pairs,
+    )
+    from distributed_mapreduce_spark.streaming.commitlog import (
+        ManifestStore,
+        read_json_tolerant,
+    )
+
+    meta = read_json_tolerant(pathlib.Path(index_path) / "_decontam_meta.json")
+    if meta is None:
+        raise FileNotFoundError(
+            f"{index_path} has no committed _decontam_meta.json — build "
+            "the benchmark index with build_decontam_index first"
+        )
+    num_hashes, bands = meta["num_hashes"], meta["bands"]
+    bands_table = meta["bands_table"]
+    ms = ManifestStore(store_path)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        if ms.is_committed(batch_id):
+            return  # committed batch redelivered after checkpoint loss
+        t0 = _time.monotonic()
+        spark = batch_df.sparkSession
+        manifests = ms.manifests()
+        _check_id_buckets(manifests, id_buckets, store_path)
+        src = batch_df = batch_df.persist()
+        sh_raw = dirty = accepted = None
+        try:
+            touched_in = {
+                r["p"]
+                for r in batch_df.select(
+                    _id_bucket(F.col(id_col), id_buckets).alias("p")
+                )
+                .distinct()
+                .collect()
+            }
+            gate_dirs = ms.pruned_partition_dirs(
+                touched_in, "ids", manifests=manifests
+            )
+            if gate_dirs:
+                known = spark.read.parquet(*gate_dirs).select(
+                    F.col("id").alias(id_col)
+                )
+                batch_df = batch_df.join(known, id_col, "left_anti")
+            # one scan+tokenize pass feeds both tiers
+            sh_raw = doc_shingles(batch_df, text_col, id_col).persist()
+
+            # exact tier: the contam_q2 probe with the benchmark set
+            # as the membership side (already distinct on disk; the
+            # report's distinct() is idempotent on it)
+            bench_exact = spark.read.parquet(f"{index_path}/exact_shingles")
+            rep = contamination_report(
+                sh_raw.select("id", "shingle"), bench_exact, min_overlap
+            )
+            dirty_exact = rep.where(F.col("contaminated")).select("id")
+
+            # fuzzy tier: signatures over the hot-excluded shingle set
+            # (BOTH sides of the jaccard see the same static exclusion
+            # — the oracle's semantics)
+            hot = spark.read.parquet(f"{index_path}/hot_shingles")
+            sh_f = sh_raw.join(hot, "shingle", "left_anti")
+            sig_b = minhash_signatures(sh_f, num_hashes)
+            cands = probe_lsh_band_index(
+                spark, bands_table, sig_b, num_hashes, bands
+            )
+            bench_ids = cands.select(F.col("id_j").alias("id")).distinct()
+            bench_sh = (
+                spark.read.parquet(f"{index_path}/doc_shingles")
+                .join(bench_ids, "id", "left_semi")
+            )
+            pairs = verify_jaccard_pairs(
+                sh_f.select("id", "shingle").unionByName(bench_sh),
+                cands,
+                min_jaccard,
+            )
+            dirty_fuzzy = pairs.select(F.col("id_i").alias("id")).distinct()
+
+            dirty = (
+                dirty_exact.select("id", F.lit("exact").alias("why"))
+                .unionByName(dirty_fuzzy.select("id", F.lit("fuzzy").alias("why")))
+                .persist()
+            )
+            why = {
+                r["why"]: r["n"]
+                for r in dirty.groupBy("why")
+                .agg(F.countDistinct("id").alias("n"))
+                .collect()
+            }
+            n_rej = dirty.select("id").distinct().count()
+            accepted = batch_df.join(
+                dirty.select("id").distinct().withColumnRenamed("id", id_col),
+                id_col,
+                "left_anti",
+            ).persist()
+            n_acc = accepted.count()
+
+            accepted.write.mode("overwrite").parquet(
+                str(ms.batch_dir(batch_id, "accepted"))
+            )
+            acc_ids = accepted.select(
+                F.col(id_col).alias("id"),
+                _id_bucket(F.col(id_col), id_buckets).alias("p"),
+            )
+            touched_acc = sorted(
+                r["p"] for r in acc_ids.select("p").distinct().collect()
+            )
+            acc_ids.repartition("p").write.mode("overwrite").partitionBy(
+                "p"
+            ).parquet(str(ms.batch_dir(batch_id, "ids")))
+            ms.commit(
+                batch_id,
+                {
+                    "accepted": n_acc,
+                    "rejected": n_rej,
+                    # a doc can trip both tiers: the split double-counts
+                    # overlaps by design (it is evidence, not a ledger)
+                    "rejected_exact": why.get("exact", 0),
+                    "rejected_fuzzy": why.get("fuzzy", 0),
+                    "id_buckets": id_buckets,
+                    "touched": touched_acc,
+                    "elapsed_s": round(_time.monotonic() - t0, 3),
+                },
+            )
+        finally:
+            for df in (accepted, dirty, sh_raw):
+                if df is not None:
+                    df.unpersist()
+            src.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_decontam_accepted(spark, store_path: str, as_of: int | None = None) -> DataFrame:
+    """Surviving (clean) documents of a foreach_batch_decontam_ingest
+    store — committed batches only; `as_of=k` folds the batch-chain
+    prefix ≤ k (VERSION AS OF; survivors only ever append, so the
+    prefix union IS the post-batch-k state)."""
+    from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
+
+    ms = ManifestStore(store_path)
+    manifests = _ingest_manifests_as_of(ms, store_path, as_of)
+    dirs = ms.batch_dirs("accepted", manifests=manifests)
+    if not dirs:
+        raise ValueError(f"no committed batches under {store_path}")
+    return spark.read.parquet(*dirs)

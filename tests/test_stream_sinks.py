@@ -2537,3 +2537,117 @@ def test_cdc_sink_type_widening_both_layouts(spark, tmp_path):
         assert dict(read(as_of=0).dtypes)["v"] == "float"
         # the next layout's run 1 must see only c1 again
         os.remove(str(src / "c2.parquet"))
+
+
+def test_decontam_ingest_streamed_equals_one_shot(spark, tmp_path):
+    """Streaming decontamination (VERDICT r14 #2): the streamed
+    survivor set equals the one-shot scrub — and because the verdict
+    is a pure function of (doc, static index), it stays equal under a
+    FRESH checkpoint replay AND under DIFFERENT batching (the known-id
+    gate stops duplicate writes, determinism does the rest). Also:
+    torn-commit replay converges, and as_of= folds the exact prefix."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.queries.pipeline_queries import BENCH_SOURCE
+    from distributed_mapreduce_spark.sources import widen
+    from distributed_mapreduce_spark.sources.catalog import table
+    from distributed_mapreduce_spark.streaming.replay import stage_document_chunks
+    from distributed_mapreduce_spark.streaming.sinks import (
+        build_decontam_index,
+        foreach_batch_decontam_ingest,
+        read_decontam_accepted,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = widen(table(spark, sf, "documents"))
+    bench = docs.where(F.col("source") == BENCH_SOURCE)
+    index = str(tmp_path / "index")
+    build_decontam_index(bench, index, "t_decontam_bands", max_bench_df=50)
+
+    (tmp_path / "chunks").mkdir()
+    chunks = stage_document_chunks(sf, 3, str(tmp_path / "chunks"), BENCH_SOURCE)
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+    def run(store, ckpt, max_files=1):
+        foreach_batch_decontam_ingest(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(chunks),
+            store,
+            ckpt,
+            index,
+        ).awaitTermination()
+        return read_decontam_accepted(spark, store)
+
+    store = str(tmp_path / "store")
+    got = run(store, str(tmp_path / "ckpt"))
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    assert len(ids) == len(set(ids)), "duplicate survivors"
+
+    # one-shot scrub (same semantics in plain DataFrame code)
+    from distributed_mapreduce_spark.operators.contamination import (
+        contamination_report,
+    )
+    from distributed_mapreduce_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+    )
+
+    train = docs.where(F.col("source") != BENCH_SOURCE)
+    sh_all = doc_shingles(docs, carry=((F.col("source") == BENCH_SOURCE).alias("b"),)).persist()
+    bench_sh = sh_all.where(F.col("b")).select("id", "shingle")
+    train_sh = sh_all.where(~F.col("b")).select("id", "shingle")
+    rep = contamination_report(train_sh, bench_sh, 0.5)
+    dirty_exact = rep.where(F.col("contaminated")).select("id")
+    hot = bench_sh.groupBy("shingle").count().where(F.col("count") > 50).select("shingle")
+    sh_f = sh_all.join(hot, "shingle", "left_anti")
+    pairs = jaccard_pairs(sh_f.select("id", "shingle"), 0.5)
+    flags = sh_f.select("id", "b").distinct()
+    cross = (
+        pairs.join(flags.withColumnRenamed("id", "id_i").withColumnRenamed("b", "bi"), "id_i")
+        .join(flags.withColumnRenamed("id", "id_j").withColumnRenamed("b", "bj"), "id_j")
+        .where(F.col("bi") != F.col("bj"))
+    )
+    dirty_fuzzy = (
+        cross.select(F.when(F.col("bi"), F.col("id_j")).otherwise(F.col("id_i")).alias("id"))
+        .distinct()
+    )
+    survivors = train.join(
+        dirty_exact.unionByName(dirty_fuzzy).distinct().withColumnRenamed("id", "doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    want = sorted(r.doc_id for r in survivors.select("doc_id").collect())
+    sh_all.unpersist()
+    assert ids == want
+
+    # fresh checkpoint, same store: every committed batch short-circuits
+    got2 = run(store, str(tmp_path / "ckpt2"))
+    assert sorted(r.doc_id for r in got2.select("doc_id").collect()) == want
+
+    # fresh checkpoint, DIFFERENT batching (all files in one batch):
+    # known-id gate keeps the store duplicate-free and the set equal
+    got3 = run(store, str(tmp_path / "ckpt3"), max_files=3)
+    ids3 = sorted(r.doc_id for r in got3.select("doc_id").collect())
+    assert ids3 == want
+
+    # torn commit: last batch's manifest vanishes → the reader hides
+    # the batch (as_of prefix still exact), and a fresh-checkpoint
+    # replay re-commits it and converges
+    from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
+
+    ms = ManifestStore(store)
+    batches = [b for b, _ in ms.manifests()]
+    pre = read_decontam_accepted(spark, store, as_of=batches[0])
+    pre_ids = sorted(r.doc_id for r in pre.select("doc_id").collect())
+    (ms.man_dir / f"{batches[-1]}.json").unlink()
+    visible = sorted(
+        r.doc_id
+        for r in read_decontam_accepted(spark, store).select("doc_id").collect()
+    )
+    assert set(visible) < set(want)
+    got4 = run(store, str(tmp_path / "ckpt4"))
+    assert sorted(r.doc_id for r in got4.select("doc_id").collect()) == want
+    # as_of prefix unchanged by the replay
+    pre2 = read_decontam_accepted(spark, store, as_of=batches[0])
+    assert sorted(r.doc_id for r in pre2.select("doc_id").collect()) == pre_ids
