@@ -752,6 +752,123 @@ def st_q14_decontam_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st_q15_clean_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED cleaning ingest
+    (streaming/sinks.foreach_batch_clean_ingest) graded end-to-end:
+    the non-benchmark documents replayed as DECONTAM_CHUNKS
+    doc_id-ordered micro-batches through ONE foreachBatch pass
+    chaining every gate a production crawl ingest runs — text_q6's
+    quality predicate → both decontamination tiers against the static
+    benchmark index → exact-fingerprint keep-first → near-dup LSH
+    greedy keep-first (the foreach_batch_dedup_ingest stage, shared
+    code). Graded on the surviving training manifest.
+
+    Oracle soundness composes the tiers' individual arguments:
+    quality and decontamination are per-doc pure (batching-invariant
+    outright); the exact and near-dup tiers are keep-first folds that
+    an ascending-id feed reproduces exactly (the
+    dedup_corpus_greedy/streaming-parity contract) — so the streamed
+    survivor set equals the one-shot SQL composition, bit-exact.
+
+    Scale shape: one batch scan feeds all gates; the stateful tiers'
+    store reads are id/fp-bucket-pruned; the benchmark index is fixed
+    size — the dedup-ingest cost model with two map-shaped filters in
+    front, and ONE sink instead of four re-reading the feed."""
+    import atexit as _atexit
+    import shutil as _shutil
+
+    from distributed_mapreduce_spark.functions.text import (
+        avg_token_len,
+        stopword_ratio,
+        token_count,
+        tokens,
+    )
+    from distributed_mapreduce_spark.queries.pipeline_queries import (
+        BENCH_SOURCE,
+        CONTAM_MIN_OVERLAP,
+    )
+    from distributed_mapreduce_spark.queries.textops import (
+        MAX_SHINGLE_DF,
+        MINHASH_BANDS,
+        NEAR_DUP_JACCARD,
+        QF_MAX_TOK_LEN,
+        QF_MAX_TOKENS,
+        QF_MIN_SW_RATIO,
+        QF_MIN_TOK_LEN,
+        QF_MIN_TOKENS,
+    )
+    from distributed_mapreduce_spark.sources import widen
+    from distributed_mapreduce_spark.streaming.replay import (
+        ephemeral_dir,
+        stage_document_chunks,
+    )
+    from distributed_mapreduce_spark.streaming.sinks import (
+        build_decontam_index,
+        foreach_batch_clean_ingest,
+        read_clean_accepted,
+    )
+
+    key = ("docs", sf_dir, DECONTAM_CHUNKS)
+    if key not in _CHUNK_CACHE:
+        _CHUNK_CACHE[key] = stage_document_chunks(
+            sf_dir, DECONTAM_CHUNKS, exclude_source=BENCH_SOURCE
+        )
+        atexit.register(shutil.rmtree, _CHUNK_CACHE[key], ignore_errors=True)
+    chunks = _CHUNK_CACHE[key]
+    bench = widen(table(spark, sf_dir, "documents")).where(
+        F.col("source") == BENCH_SOURCE
+    )
+    index = ephemeral_dir("dmr_clean_index_")
+    store = ephemeral_dir("dmr_clean_store_")
+    ckpt = ephemeral_dir("dmr_clean_ckpt_")
+    _atexit.register(_shutil.rmtree, store, ignore_errors=True)
+    _atexit.register(_shutil.rmtree, index, ignore_errors=True)
+    build_decontam_index(
+        bench,
+        index,
+        "st_q15_bench_bands",
+        num_hashes=32,
+        bands=MINHASH_BANDS,
+        max_bench_df=MAX_SHINGLE_DF,
+    )
+    # the near-dup index is per-run state: a table surviving from an
+    # earlier call would pre-reject this run's first copies
+    spark.sql("DROP TABLE IF EXISTS st_q15_corpus_bands")
+    toks = tokens("text")
+    quality = (
+        token_count("text").between(QF_MIN_TOKENS, QF_MAX_TOKENS)
+        & (stopword_ratio(toks, "en") >= QF_MIN_SW_RATIO)
+        & avg_token_len(toks).between(QF_MIN_TOK_LEN, QF_MAX_TOK_LEN)
+    )
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = foreach_batch_clean_ingest(
+            (
+                spark.readStream.schema(
+                    "doc_id bigint, text string, lang string, "
+                    "source string, n_chars bigint"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(chunks)
+            ),
+            f"{store}/t",
+            ckpt,
+            "st_q15_corpus_bands",
+            index,
+            quality_predicate=quality,
+            min_overlap=CONTAM_MIN_OVERLAP,
+            min_jaccard=NEAR_DUP_JACCARD,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        _shutil.rmtree(ckpt, ignore_errors=True)
+    return read_clean_accepted(spark, f"{store}/t").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
 SHADOW_QUERIES = {
     "st_q2_sliding": st_q2_sliding,
     "st_q7_stream_static_enrich": st_q7_stream_static_enrich,
@@ -762,6 +879,7 @@ SHADOW_QUERIES = {
     "st_q12_semdedup_ingest": st_q12_semdedup_ingest,
     "st_q13_schema_evolution": st_q13_schema_evolution,
     "st_q14_decontam_ingest": st_q14_decontam_ingest,
+    "st_q15_clean_ingest": st_q15_clean_ingest,
 }
 
 
@@ -806,14 +924,14 @@ def _st_q12_oracle() -> str:
     return _semdedup_sql()
 
 
-def _st_q14_oracle() -> str:
-    # One-shot composition the per-doc-pure gate makes batching-
-    # invariant: contam_q2's exact dirty set (its CTEs verbatim —
-    # sizes/hits over UNFILTERED train shingles vs the distinct bench
-    # set) ∪ the fuzzy cross-corpus jaccard dirty set under the STATIC
-    # bench-df skew guard (contam_q3's probe with df counted over the
-    # benchmark — the only corpus a streaming ingest knows at index
-    # build time).
+def _decontam_dirty_ctes() -> str:
+    """The decontamination dirty-set CTE block (ends at `dirty`),
+    shared by _st_q14_oracle and _st_q15_oracle — one definition:
+    contam_q2's exact dirty set (sizes/hits over UNFILTERED train
+    shingles vs the distinct bench set) ∪ the fuzzy cross-corpus
+    jaccard dirty set under the STATIC bench-df skew guard
+    (contam_q3's probe with df counted over the benchmark — the only
+    corpus a streaming ingest knows at index build time)."""
     from distributed_mapreduce_spark.queries.pipeline_queries import (
         BENCH_SOURCE,
         CONTAM_MIN_OVERLAP,
@@ -825,8 +943,7 @@ def _st_q14_oracle() -> str:
         NEAR_DUP_JACCARD,
     )
 
-    return f"""
-        WITH train_sh AS ({_shingle_cte(f"source <> '{BENCH_SOURCE}'")}),
+    return f"""train_sh AS ({_shingle_cte(f"source <> '{BENCH_SOURCE}'")}),
         bench AS (
             SELECT DISTINCT shingle FROM ({_shingle_cte(f"source = '{BENCH_SOURCE}'")})
         ),
@@ -871,10 +988,133 @@ def _st_q14_oracle() -> str:
         ),
         dirty AS (
             SELECT id FROM dirty_exact UNION SELECT id FROM dirty_fuzzy
-        )
+        )"""
+
+
+def _st_q14_oracle() -> str:
+    # One-shot scrub the per-doc-pure gate makes batching-invariant:
+    # train docs minus the composed dirty set (_decontam_dirty_ctes).
+    from distributed_mapreduce_spark.queries.pipeline_queries import BENCH_SOURCE
+
+    return f"""
+        WITH {_decontam_dirty_ctes()}
         SELECT doc_id, source, lang, n_chars
         FROM documents ANTI JOIN dirty ON doc_id = dirty.id
         WHERE source <> '{BENCH_SOURCE}'
+    """
+
+
+def _st_q15_oracle() -> str:
+    # The composed cleaning pipeline, one-shot: quality filter (the
+    # text_q6 CTE shape, _manifest_sql's fragments) → decontamination
+    # scrub (_decontam_dirty_ctes, shared with st_q14) → exact dedup
+    # keep-min-id per md5-of-normalized-text fingerprint → near-dup
+    # GREEDY keep-first. The greedy fold is a recursive CTE over the
+    # verified-pair endpoints in ascending id order carrying the kept
+    # set as a list (the pack_q1 sequential-fold discipline): id j is
+    # kept iff no smaller KEPT neighbor — exactly
+    # operators/dedup.greedy_reject_ids. Pairs are exact jaccard ≥
+    # threshold over the exact-kept survivors' UNGUARDED shingles
+    # (matching _near_dup_gate, whose doc_shingles carries no max_df;
+    # feasible here because the fixture's max shingle df is 25 —
+    # measured, pair bound ~2.8M rows at sf0.1).
+    from distributed_mapreduce_spark.queries.pipeline_queries import (
+        BENCH_SOURCE,
+        _TOKS_SQL,
+    )
+    from distributed_mapreduce_spark.queries.textops import (
+        _SW_EN,
+        NEAR_DUP_JACCARD,
+        QF_MAX_TOK_LEN,
+        QF_MAX_TOKENS,
+        QF_MIN_SW_RATIO,
+        QF_MIN_TOK_LEN,
+        QF_MIN_TOKENS,
+    )
+
+    return f"""
+        WITH RECURSIVE {_decontam_dirty_ctes()},
+        t AS (
+            SELECT doc_id, lang, source, n_chars, text, {_TOKS_SQL} AS ts
+            FROM documents WHERE source <> '{BENCH_SOURCE}'
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(len(ts) AS BIGINT) AS n_tok,
+                   CASE WHEN len(ts) > 0
+                        THEN len(list_filter(ts, x -> list_contains([{_SW_EN}], x))) / len(ts)
+                        ELSE 0.0 END AS swr,
+                   CASE WHEN len(ts) > 0
+                        THEN list_sum(list_transform(ts, x -> length(x))) / len(ts)
+                        ELSE 0.0 END AS atl
+            FROM t
+        ),
+        passing AS (
+            SELECT doc_id FROM per_doc
+            WHERE n_tok BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS}
+              AND swr >= {QF_MIN_SW_RATIO}
+              AND atl BETWEEN {QF_MIN_TOK_LEN} AND {QF_MAX_TOK_LEN}
+        ),
+        clean AS MATERIALIZED (
+            SELECT t.* FROM t
+            SEMI JOIN passing USING (doc_id)
+            ANTI JOIN dirty ON doc_id = dirty.id
+        ),
+        fps AS (
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+            FROM clean
+        ),
+        exact_kept AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rk
+                FROM fps
+            ) WHERE rk = 1
+        ),
+        ek_sh AS MATERIALIZED (
+            SELECT DISTINCT doc_id AS id,
+                   unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+            FROM clean SEMI JOIN exact_kept USING (doc_id)
+        ),
+        sizes_k AS (SELECT id, count(*) AS sz FROM ek_sh GROUP BY id),
+        inter_k AS (
+            SELECT a.id AS lo, b.id AS hi, count(*) AS c
+            FROM ek_sh a JOIN ek_sh b
+              ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        edges AS MATERIALIZED (
+            SELECT lo, hi FROM inter_k
+            JOIN sizes_k sa ON sa.id = lo
+            JOIN sizes_k sb ON sb.id = hi
+            WHERE round(c / (sa.sz + sb.sz - c), 6) >= {NEAR_DUP_JACCARD}
+        ),
+        endpoints AS MATERIALIZED (SELECT lo AS id FROM edges UNION SELECT hi FROM edges),
+        seq AS MATERIALIZED (SELECT list_sort(list(id)) AS l FROM endpoints),
+        fold AS (
+            SELECT 0 AS k, CAST([] AS BIGINT[]) AS kept
+            UNION ALL
+            SELECT k + 1,
+                   CASE WHEN EXISTS (
+                            SELECT 1 FROM edges e
+                            WHERE e.hi = (SELECT l[fold.k + 1] FROM seq)
+                              AND list_contains(fold.kept, e.lo))
+                        THEN kept
+                        ELSE list_append(kept, (SELECT l[fold.k + 1] FROM seq))
+                   END
+            FROM fold WHERE k < (SELECT coalesce(len(l), 0) FROM seq)
+        ),
+        kept_final AS (SELECT kept FROM fold ORDER BY k DESC LIMIT 1),
+        neardup_rejected AS (
+            SELECT id FROM endpoints
+            WHERE NOT list_contains((SELECT kept FROM kept_final), id)
+        )
+        SELECT doc_id, source, lang, n_chars
+        FROM clean
+        SEMI JOIN exact_kept USING (doc_id)
+        ANTI JOIN neardup_rejected ON doc_id = neardup_rejected.id
     """
 
 
@@ -933,6 +1173,9 @@ SHADOW_ORACLES = {
     # static-index decontamination: per-doc-pure gate ⇒ batching-
     # invariant; see _st_q14_oracle's composition note.
     "st_q14_decontam_ingest": _st_q14_oracle(),
+    # composed pipeline: pure gates + ascending keep-first folds — see
+    # _st_q15_oracle's greedy recursive fold.
+    "st_q15_clean_ingest": _st_q15_oracle(),
     # Matched rows = the batch interval join (same as st_q6); null
     # rows = clicks with no in-window purchase whose window closed
     # before the final global watermark (min over the two sides' max

@@ -144,6 +144,7 @@ class ManifestStore:
         buckets,
         subdir: str | None = None,
         manifests: list[tuple[int, dict]] | None = None,
+        touched_key: str = "touched",
     ) -> list[str]:
         """Leaf dirs `batch=<id>[/subdir]/p=<k>` for k ∈ `buckets`,
         committed batches only — the bucket-pruned read (VERDICT r9
@@ -156,11 +157,14 @@ class ManifestStore:
         repo's sinks) means UNKNOWN, not empty — every wanted bucket is
         stat-checked for it, so pruning degrades to correctness, never
         to silent data loss. Pass `manifests` to reuse an
-        already-listed chain."""
+        already-listed chain. `touched_key` selects which manifest
+        list prunes the walk — a sidecar bucketed on a DIFFERENT hash
+        domain (the clean-ingest fingerprint sidecar) records its own
+        list under its own key."""
         want = set(buckets)
         out = []
         for b, payload in self.manifests() if manifests is None else manifests:
-            touched = payload.get("touched")
+            touched = payload.get(touched_key)
             hit = want if touched is None else want.intersection(touched)
             if not hit:
                 continue
