@@ -350,3 +350,52 @@ def test_compaction_preserves_fold_property(spark, ops, cut):
         for r in fold_kv_log(compact_kv_log(df, cut)).collect()
     }
     assert got == want
+
+
+def test_kv_point_get_prunes_to_one_shard(spark, tmp_path):
+    """VERDICT r14 #6: the materialized serving layout
+    (write_kv_state, partitioned on key2shard) makes K1 a true point
+    lookup — the probe plan's PartitionFilters carry the folded shard
+    equality (ONE directory listed, not the table), values match the
+    full-scan kv_get on present keys and read "" on absent ones."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.operators.kv import (
+        NSHARDS,
+        fold_kv_log,
+        key2shard,
+        kv_get,
+        kv_get_point,
+        write_kv_state,
+    )
+
+    ops = [
+        (k, s, op, f"v{k}.{s}")
+        for k in [str(i) for i in range(25)]
+        for s, op in [(1, "put"), (2, "append"), (3, "append")]
+    ]
+    log = spark.createDataFrame(ops, "key string, seq long, op string, value string")
+    state = fold_kv_log(log)
+    path = str(tmp_path / "kvstate")
+    write_kv_state(state, path)
+
+    # every shard directory exists (25 keys cover all 10 shards)
+    import pathlib
+
+    dirs = {p.name for p in pathlib.Path(path).glob("shard=*")}
+    assert len(dirs) == NSHARDS
+
+    for key in ["7", "19", "no-such-key"]:
+        got = kv_get_point(spark, path, key)
+        want = kv_get(state, spark, key)
+        assert got.collect() == want.collect()
+        # plan: shard equality folded into PartitionFilters
+        fmt = got._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        pf = [l for l in fmt.splitlines() if "PartitionFilters" in l]
+        assert pf, fmt
+        shard = (ord(key[0]) % NSHARDS) if key else 0
+        assert any(f"shard#" in l and f"= {shard})" in l for l in pf), pf
