@@ -2705,20 +2705,24 @@ def foreach_batch_decontam_ingest(
             acc_ids.repartition("p").write.mode("overwrite").partitionBy(
                 "p"
             ).parquet(str(ms.batch_dir(batch_id, "ids")))
-            ms.commit(
-                batch_id,
-                {
-                    "accepted": n_acc,
-                    "rejected": n_rej,
-                    # a doc can trip both tiers: the split double-counts
-                    # overlaps by design (it is evidence, not a ledger)
-                    "rejected_exact": why.get("exact", 0),
-                    "rejected_fuzzy": why.get("fuzzy", 0),
-                    "id_buckets": id_buckets,
-                    "touched": touched_acc,
-                    "elapsed_s": round(_time.monotonic() - t0, 3),
-                },
-            )
+            payload = {
+                "accepted": n_acc,
+                "rejected": n_rej,
+                # a doc can trip both tiers: the split double-counts
+                # overlaps by design (it is evidence, not a ledger)
+                "rejected_exact": why.get("exact", 0),
+                "rejected_fuzzy": why.get("fuzzy", 0),
+                "id_buckets": id_buckets,
+                "touched": touched_acc,
+                "elapsed_s": round(_time.monotonic() - t0, 3),
+            }
+            if _evidence_enabled():
+                # store-size-independence evidence: the known-id gate
+                # read is the ONLY accepted-store-dependent term (the
+                # dedup-ingest residual); every other probe hits the
+                # fixed-size benchmark index
+                payload["gate_bytes"] = _dir_bytes(_gate_dirs)
+            ms.commit(batch_id, payload)
         finally:
             for df in (accepted, dirty, sh_raw):
                 if df is not None:
@@ -2949,22 +2953,29 @@ def foreach_batch_clean_ingest(
                 .collect()
             }
             n_decontam = batch_df.count()
-            ms.commit(
-                batch_id,
-                {
-                    "accepted": n_acc,
-                    "rejected_quality": n_in - n_quality,
-                    # exact/fuzzy double-count docs tripping both tiers
-                    "rejected_decontam_exact": why.get("exact", 0),
-                    "rejected_decontam_fuzzy": why.get("fuzzy", 0),
-                    "rejected_exact_dup": n_decontam - n_clean,
-                    "rejected_near_dup": n_neardup_rej,
-                    "id_buckets": id_buckets,
-                    "touched": touched_acc,
-                    "touched_fp": touched_fp,
-                    "elapsed_s": round(_time.monotonic() - t0, 3),
-                },
-            )
+            payload = {
+                "accepted": n_acc,
+                "rejected_quality": n_in - n_quality,
+                # exact/fuzzy double-count docs tripping both tiers
+                "rejected_decontam_exact": why.get("exact", 0),
+                "rejected_decontam_fuzzy": why.get("fuzzy", 0),
+                "rejected_exact_dup": n_decontam - n_clean,
+                "rejected_near_dup": n_neardup_rej,
+                "id_buckets": id_buckets,
+                "touched": touched_acc,
+                "touched_fp": touched_fp,
+                "elapsed_s": round(_time.monotonic() - t0, 3),
+            }
+            if _evidence_enabled():
+                # accepted-store-dependent reads: the id gate, the fp
+                # gate, and the candidate shingle fetch — all bucket-
+                # pruned; the benchmark-index probes are fixed-size
+                payload["gate_bytes"] = (
+                    _dir_bytes(_gate_dirs)
+                    + _dir_bytes(fp_dirs)
+                    + _dir_bytes(_sh_dirs)
+                )
+            ms.commit(batch_id, payload)
         finally:
             for df in (accepted, sh_b, sh_raw):
                 if df is not None:
@@ -2989,3 +3000,110 @@ def read_clean_accepted(spark, store_path: str, as_of: int | None = None) -> Dat
     (survivors only ever append, so the prefix union IS the
     post-batch-k state)."""
     return read_decontam_accepted(spark, store_path, as_of)
+
+
+def compact_decontam_ingest_store(spark, src_path: str, dst_path: str) -> int:
+    """Consolidate a foreach_batch_decontam_ingest store: accepted
+    batches + the id sidecar fold into a FRESH store's `batch=-1` seed
+    (the compact_dedup_ingest_store chain-reset contract — manifests
+    K → 1, gate probes read ≤ one dir per bucket). Resume against
+    dst_path with a FRESH checkpoint: the full-feed replay converges —
+    accepted ids skip via the known-id gate, rejected docs re-reject
+    deterministically against the STATIC benchmark index (stronger
+    than the dedup case: no store-shape argument needed at all).
+    Returns the number of accepted docs seeded."""
+    import pathlib
+
+    from distributed_mapreduce_spark.streaming.commitlog import (
+        ManifestStore,
+        atomic_write_json,
+    )
+
+    src_ms, dst_ms = ManifestStore(src_path), ManifestStore(dst_path)
+    manifests = src_ms.manifests()
+    if not manifests:
+        raise ValueError(f"no committed batches under {src_path}")
+    id_buckets = _pinned_id_buckets(manifests, src_path)
+    acc_dirs = src_ms.batch_dirs("accepted", manifests=manifests)
+    acc = spark.read.parquet(*acc_dirs)
+    n = acc.count()
+    acc.write.mode("overwrite").parquet(str(dst_ms.batch_dir(-1, "accepted")))
+    touched = _fold_id_sidecar(spark, src_ms, dst_ms, id_buckets, manifests)
+    atomic_write_json(
+        pathlib.Path(dst_path) / "_history_floor.json",
+        {"floor": manifests[-1][0]},
+    )
+    dst_ms.seed(
+        {
+            "accepted": n,
+            "compacted_from": len(manifests),
+            "id_buckets": id_buckets,
+            "touched": touched,
+        }
+    )
+    return n
+
+
+def compact_clean_ingest_store(spark, src_path: str, dst_path: str) -> int:
+    """Consolidate a foreach_batch_clean_ingest store: accepted
+    batches + the id, FINGERPRINT and shingle sidecars fold into a
+    FRESH store's `batch=-1` seed. The fp sidecar keeps its own hash
+    domain (bucket re-derived from fp; `touched_fp` recorded in the
+    seed manifest so the fp gate's pruned read stays manifest-driven).
+    Compact the near-dup band-index TABLE separately with
+    compact_lsh_band_index (content-keyed, no seed trick needed).
+    Resume with a FRESH checkpoint converges: accepted ids skip via
+    the known-id gate; re-fed rejects re-reject deterministically
+    (pure gates against the static index; exact dups against the
+    seeded fp sidecar; near-dups against the identical surviving
+    state). Returns the number of accepted docs seeded."""
+    import pathlib
+
+    from distributed_mapreduce_spark.streaming.commitlog import (
+        ManifestStore,
+        atomic_write_json,
+    )
+
+    src_ms, dst_ms = ManifestStore(src_path), ManifestStore(dst_path)
+    manifests = src_ms.manifests()
+    if not manifests:
+        raise ValueError(f"no committed batches under {src_path}")
+    id_buckets = _pinned_id_buckets(manifests, src_path)
+    acc_dirs = src_ms.batch_dirs("accepted", manifests=manifests)
+    acc = spark.read.parquet(*acc_dirs)
+    n = acc.count()
+    acc.write.mode("overwrite").parquet(str(dst_ms.batch_dir(-1, "accepted")))
+    touched = _fold_id_sidecar(spark, src_ms, dst_ms, id_buckets, manifests)
+    sh_dirs = _sidecar_leaf_dirs(src_ms, "shingles", manifests=manifests)
+    if sh_dirs:
+        spark.read.parquet(*sh_dirs).select(
+            "id", "shingle", _id_bucket(F.col("id"), id_buckets).alias("p")
+        ).repartition("p").write.mode("overwrite").partitionBy("p").parquet(
+            str(dst_ms.batch_dir(-1, "shingles"))
+        )
+    fp_dirs = _sidecar_leaf_dirs(src_ms, "hashes", manifests=manifests)
+    touched_fp: list = []
+    if fp_dirs:
+        fps = spark.read.parquet(*fp_dirs).select(
+            "fp", _id_bucket(F.col("fp"), id_buckets).alias("p")
+        )
+        touched_fp = sorted(
+            r["p"] for r in fps.select("p").distinct().collect()
+        )
+        fps.repartition("p").write.mode("overwrite").partitionBy("p").parquet(
+            str(dst_ms.batch_dir(-1, "hashes"))
+        )
+    atomic_write_json(
+        pathlib.Path(dst_path) / "_history_floor.json",
+        {"floor": manifests[-1][0]},
+    )
+    dst_ms.seed(
+        {
+            "accepted": n,
+            "compacted_from": len(manifests),
+            "id_buckets": id_buckets,
+            "touched": touched,
+            "touched_fp": touched_fp,
+        }
+    )
+    return n

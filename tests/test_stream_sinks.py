@@ -2788,3 +2788,99 @@ def test_clean_ingest_streamed_equals_batch_composition(spark, tmp_path):
     # short-circuit / known-id gate dedupes — set unchanged
     got2 = run(store, str(tmp_path / "ckpt2"), max_files=3)
     assert got2 == want
+
+
+def test_decontam_and_clean_store_compaction(spark, tmp_path):
+    """Chain-reset maintenance for the r15 ingest stores: compaction
+    folds accepted batches + sidecars into a fresh store's batch=-1
+    seed (manifests K → 1); the compacted read equals the original; a
+    FRESH-checkpoint full-feed replay on the compacted store converges
+    (known-id gate + deterministic re-rejection); time travel below
+    the history floor refuses when the fold includes the seed."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.queries.pipeline_queries import BENCH_SOURCE
+    from distributed_mapreduce_spark.sources import widen
+    from distributed_mapreduce_spark.sources.catalog import table
+    from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
+    from distributed_mapreduce_spark.streaming.replay import stage_document_chunks
+    from distributed_mapreduce_spark.streaming.sinks import (
+        build_decontam_index,
+        compact_clean_ingest_store,
+        compact_decontam_ingest_store,
+        foreach_batch_clean_ingest,
+        foreach_batch_decontam_ingest,
+        read_clean_accepted,
+        read_decontam_accepted,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = widen(table(spark, sf, "documents"))
+    index = str(tmp_path / "index")
+    build_decontam_index(
+        docs.where(F.col("source") == BENCH_SOURCE),
+        index,
+        "t_compact_bench_bands",
+        max_bench_df=50,
+    )
+    (tmp_path / "chunks").mkdir()
+    chunks = stage_document_chunks(sf, 2, str(tmp_path / "chunks"), BENCH_SOURCE)
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunks)
+        )
+
+    # ── decontam store ────────────────────────────────────────────
+    store, dst = str(tmp_path / "d_store"), str(tmp_path / "d_compact")
+    foreach_batch_decontam_ingest(
+        stream(), store, str(tmp_path / "d_ckpt"), index
+    ).awaitTermination()
+    want = sorted(
+        r.doc_id for r in read_decontam_accepted(spark, store).collect()
+    )
+    n = compact_decontam_ingest_store(spark, store, dst)
+    assert n == len(want)
+    assert len(ManifestStore(dst).manifests()) == 1
+    got = sorted(r.doc_id for r in read_decontam_accepted(spark, dst).collect())
+    assert got == want
+    # fresh-checkpoint full replay on the compacted store converges
+    foreach_batch_decontam_ingest(
+        stream(), dst, str(tmp_path / "d_ckpt2"), index
+    ).awaitTermination()
+    got2 = sorted(r.doc_id for r in read_decontam_accepted(spark, dst).collect())
+    assert got2 == want
+    # history floor: a fold that includes the seed refuses below it
+    with _pytest.raises(FileNotFoundError, match="history floor"):
+        read_decontam_accepted(spark, dst, as_of=-1)
+
+    # ── clean store ───────────────────────────────────────────────
+    spark.sql("DROP TABLE IF EXISTS t_compact_corpus_bands")
+    store, dst = str(tmp_path / "c_store"), str(tmp_path / "c_compact")
+    foreach_batch_clean_ingest(
+        stream(),
+        store,
+        str(tmp_path / "c_ckpt"),
+        "t_compact_corpus_bands",
+        index,
+    ).awaitTermination()
+    want = sorted(r.doc_id for r in read_clean_accepted(spark, store).collect())
+    n = compact_clean_ingest_store(spark, store, dst)
+    assert n == len(want)
+    seed = ManifestStore(dst).manifests()
+    assert len(seed) == 1 and seed[0][1]["touched_fp"], seed
+    got = sorted(r.doc_id for r in read_clean_accepted(spark, dst).collect())
+    assert got == want
+    foreach_batch_clean_ingest(
+        stream(),
+        dst,
+        str(tmp_path / "c_ckpt2"),
+        "t_compact_corpus_bands",
+        index,
+    ).awaitTermination()
+    got2 = sorted(r.doc_id for r in read_clean_accepted(spark, dst).collect())
+    assert got2 == want
