@@ -73,6 +73,9 @@ SMOKE_SET = {
     "ml_q1_scaling_fit": "shadow",
     "dedup_q10_source_overlap": "shadow",
     "dedup_q15_incremental_lsh": "shadow",  # two-sided band probe + carry agg
+    # r15 composed clean ingest: four chained gates + static-index
+    # probes + per-batch localCheckpoint truncation under real JVMs
+    "st_q15_clean_ingest": "shadow",
 }
 
 
@@ -505,3 +508,123 @@ def test_semdedup_ingest_pipeline_on_local_cluster(cluster_spark, tmp_path):
         )
     finally:
         commitlog.ManifestStore.commit = real_commit
+
+
+def test_clean_ingest_pipeline_on_local_cluster(cluster_spark, tmp_path):
+    """The composed clean-ingest sink (r15) end-to-end under real
+    executor JVMs: torn-commit mid-chain, replay convergence, final
+    survivors ≡ an uncrashed run, compaction + fresh-checkpoint resume.
+    Covers the decontamination machinery too (shared `_decontam_dirty`
+    probes run inside every batch)."""
+    import time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.queries.pipeline_queries import BENCH_SOURCE
+    from distributed_mapreduce_spark.sources import table, widen
+    from distributed_mapreduce_spark.streaming import commitlog
+    from distributed_mapreduce_spark.streaming.sinks import (
+        build_decontam_index,
+        compact_clean_ingest_store,
+        foreach_batch_clean_ingest,
+        read_clean_accepted,
+    )
+
+    t_start = time.perf_counter()
+    spark = cluster_spark
+    docs = widen(table(spark, SF, "documents"))
+    index = str(tmp_path / "index")
+    build_decontam_index(
+        docs.where(F.col("source") == BENCH_SOURCE),
+        index,
+        "lc_clean_bench_bands",
+        max_bench_df=50,
+    )
+    rows = sorted(
+        docs.where(F.col("source") != BENCH_SOURCE).collect(),
+        key=lambda r: r.doc_id,
+    )
+    src = tmp_path / "feed"
+    src.mkdir()
+    base = time.time()
+    third = len(rows) // 3
+
+    def chunk_cols(chunk_rows):
+        import pyarrow as pa
+
+        return {
+            "doc_id": pa.array([r.doc_id for r in chunk_rows], pa.int64()),
+            "text": pa.array([r.text for r in chunk_rows], pa.string()),
+            "lang": pa.array([r.lang for r in chunk_rows], pa.string()),
+            "source": pa.array([r.source for r in chunk_rows], pa.string()),
+            "n_chars": pa.array([r.n_chars for r in chunk_rows], pa.int64()),
+        }
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+    def run(st, ckpt, tbl):
+        foreach_batch_clean_ingest(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src)),
+            st,
+            ckpt,
+            tbl,
+            index,
+        ).awaitTermination()
+
+    real_commit = commitlog.ManifestStore.commit
+    state = {"armed": False, "fired": False}
+
+    def crashing_commit(self, batch_id, payload):
+        if state["armed"] and not state["fired"]:
+            state["fired"] = True
+            raise RuntimeError("injected crash: torn clean-ingest commit")
+        return real_commit(self, batch_id, payload)
+
+    store = str(tmp_path / "store")
+    try:
+        _write_chunk(src, "c1.parquet", chunk_cols(rows[:third]), base)
+        run(store, str(tmp_path / "ckpt"), "lc_clean_idx")
+        _write_chunk(
+            src, "c2.parquet", chunk_cols(rows[third : 2 * third]), base + 5
+        )
+        commitlog.ManifestStore.commit = crashing_commit
+        state["armed"] = True
+        try:
+            run(store, str(tmp_path / "ckpt"), "lc_clean_idx")
+            raise AssertionError("injected crash did not fire")
+        except StreamingQueryException:
+            pass
+        assert state["fired"]
+        commitlog.ManifestStore.commit = real_commit
+        run(store, str(tmp_path / "ckpt"), "lc_clean_idx")  # replay batch 1
+        _write_chunk(src, "c3.parquet", chunk_cols(rows[2 * third :]), base + 10)
+        run(store, str(tmp_path / "ckpt"), "lc_clean_idx")
+        got = sorted(r.doc_id for r in read_clean_accepted(spark, store).collect())
+        assert len(got) == len(set(got))
+
+        # uncrashed reference run over the identical feed
+        spark.sql("DROP TABLE IF EXISTS lc_clean_idx_ref")
+        ref = str(tmp_path / "ref_store")
+        run(ref, str(tmp_path / "ref_ckpt"), "lc_clean_idx_ref")
+        want = sorted(r.doc_id for r in read_clean_accepted(spark, ref).collect())
+        assert got == want, "torn-commit replay diverged from the clean run"
+
+        # compaction + fresh-checkpoint full-feed resume converges
+        store2 = str(tmp_path / "store2")
+        assert compact_clean_ingest_store(spark, store, store2) == len(got)
+        run(store2, str(tmp_path / "ckpt2"), "lc_clean_idx")
+        got2 = sorted(
+            r.doc_id for r in read_clean_accepted(spark, store2).collect()
+        )
+        assert got2 == want
+        print(
+            f"\n  [local-cluster] clean ingest e2e "
+            f"(torn+replay+compact+resume): {time.perf_counter()-t_start:.1f}s"
+        )
+    finally:
+        commitlog.ManifestStore.commit = real_commit
+        spark.sql("DROP TABLE IF EXISTS lc_clean_idx")
+        spark.sql("DROP TABLE IF EXISTS lc_clean_idx_ref")

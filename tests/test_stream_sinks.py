@@ -2698,6 +2698,13 @@ def test_clean_ingest_streamed_equals_batch_composition(spark, tmp_path):
         read_clean_accepted,
     )
 
+    # the zero-blocks assertion below is about THIS sink: start from a
+    # clean slate so a block leaked by an unrelated earlier test (the
+    # suite shares one session) cannot fail it (r15 full-suite lesson)
+    spark.catalog.clearCache()
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist()
+
     sf = "/root/testdata/sf0.001"
     docs = widen(table(spark, sf, "documents"))
     bench = docs.where(F.col("source") == BENCH_SOURCE)
