@@ -669,21 +669,26 @@ def _shared_decontam_index(spark: SparkSession, sf_dir: str) -> str:
     from distributed_mapreduce_spark.streaming.replay import ephemeral_dir
     from distributed_mapreduce_spark.streaming.sinks import build_decontam_index
 
-    if sf_dir not in _DECONTAM_INDEX:
-        tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_").replace("-", "_")
-        index = ephemeral_dir("dmr_decontam_index_")
+    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_").replace("-", "_")
+    tbl = f"dmr_decontam_bench_bands_{tag}"
+    # the bands table lives in the SESSION catalog while the memoized
+    # dirs live on disk — a process that swapped sessions after the
+    # first build would hit a stale memo, so validate the table too
+    if sf_dir not in _DECONTAM_INDEX or not spark.catalog.tableExists(tbl):
+        index = _DECONTAM_INDEX.get(sf_dir) or ephemeral_dir("dmr_decontam_index_")
         build_decontam_index(
             widen(table(spark, sf_dir, "documents")).where(
                 F2.col("source") == BENCH_SOURCE
             ),
             index,
-            f"dmr_decontam_bench_bands_{tag}",
+            tbl,
             num_hashes=32,
             bands=MINHASH_BANDS,
             max_bench_df=MAX_SHINGLE_DF,
         )
-        _DECONTAM_INDEX[sf_dir] = index
-        atexit.register(shutil.rmtree, index, ignore_errors=True)
+        if sf_dir not in _DECONTAM_INDEX:
+            _DECONTAM_INDEX[sf_dir] = index
+            atexit.register(shutil.rmtree, index, ignore_errors=True)
     return _DECONTAM_INDEX[sf_dir]
 
 

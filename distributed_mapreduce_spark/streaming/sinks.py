@@ -1276,6 +1276,17 @@ def _near_dup_gate(
                 F.coalesce("fj", F.lit(False)).alias("fj"),
             )
         )
+        from distributed_mapreduce_spark.operators.dedup import GREEDY_MAX_PAIRS
+
+        n_pairs = flagged.count()
+        if n_pairs > GREEDY_MAX_PAIRS:
+            raise ValueError(
+                f"near-dup gate: {n_pairs} verified pairs in one batch "
+                f"exceeds GREEDY_MAX_PAIRS={GREEDY_MAX_PAIRS} — refusing "
+                "the driver-side keep-first collect (shrink the batch, "
+                "or the corpus is pathologically duplicated; see "
+                "operators/dedup.greedy_reject_ids)"
+            )
         nbrs: dict = defaultdict(list)
         for r in flagged.collect():
             i, j = r["id_i"], r["id_j"]
