@@ -992,3 +992,81 @@ def test_sf1_semdedup_ingest_scaling(stress_spark, sf1_dir, tmp_path):
     # end-to-end: every vector accounted for exactly once
     reps = read_semdedup_representatives(stress_spark, store)
     assert reps.groupBy().sum("n_members").collect()[0][0] == vecs.num_rows
+
+
+BUDGET_DECONTAM_INGEST_S = 600
+
+
+def test_sf1_decontam_ingest_scaling(stress_spark, sf1_dir, tmp_path):
+    """foreach_batch_decontam_ingest at 10× corpus over 16
+    micro-batches: the benchmark index is FIXED, so s/batch must stay
+    flat as the accepted store grows, and the only store-dependent
+    read — the known-id gate — must stay bounded by one listing of the
+    id sidecar (this sink maintains no other store-side artifact; the
+    exact/fuzzy probes hit the static index every batch)."""
+    import pyarrow.compute as pc
+
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.queries.pipeline_queries import BENCH_SOURCE
+    from distributed_mapreduce_spark.streaming.sinks import (
+        _dir_bytes,
+        build_decontam_index,
+        foreach_batch_decontam_ingest,
+        read_decontam_accepted,
+    )
+
+    bench = stress_spark.read.parquet(f"{sf1_dir}/documents.parquet").where(
+        F.col("source") == BENCH_SOURCE
+    )
+    index = str(tmp_path / "index")
+    build_decontam_index(
+        bench, index, "sf1_decontam_bench_bands", max_bench_df=50
+    )
+
+    docs = pq.read_table(f"{sf1_dir}/documents.parquet")
+    train = docs.filter(pc.not_equal(docs["source"], BENCH_SOURCE)).sort_by(
+        "doc_id"
+    )
+    src = tmp_path / "feed"
+    src.mkdir()
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    _write_feed_chunks(str(src), train, N_INGEST_BATCHES, cols)
+
+    store = str(tmp_path / "store")
+    try:
+        foreach_batch_decontam_ingest(
+            (
+                stress_spark.readStream.schema(
+                    "doc_id bigint, text string, lang string, "
+                    "source string, n_chars bigint"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            ),
+            store,
+            str(tmp_path / "ckpt"),
+            index,
+        ).awaitTermination()
+
+        recs = _batch_records(store)
+        assert len(recs) == N_INGEST_BATCHES
+        stats = _assert_flat(recs, BUDGET_DECONTAM_INGEST_S, "decontam_ingest")
+        sidecar_total = _dir_bytes([f"{store}/ids"])
+        print(
+            f"  [sf1 stress] decontam_ingest id sidecar total "
+            f"{sidecar_total/1e6:.2f} MB; last gate read "
+            f"{stats['gbs'][-1]/1e6:.2f} MB"
+        )
+        assert stats["gbs"][-1] <= 1.2 * sidecar_total, (
+            "final batch's gate read exceeds one listing of the id "
+            "sidecar — the decontam sink has no other store-side read "
+            "to blame"
+        )
+        n_acc = read_decontam_accepted(stress_spark, store).count()
+        assert 0 < n_acc <= train.num_rows
+        print(
+            f"  [sf1 stress] decontam_ingest accepted {n_acc}/{train.num_rows}"
+        )
+    finally:
+        stress_spark.sql("DROP TABLE IF EXISTS sf1_decontam_bench_bands")
