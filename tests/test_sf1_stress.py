@@ -1070,3 +1070,85 @@ def test_sf1_decontam_ingest_scaling(stress_spark, sf1_dir, tmp_path):
         )
     finally:
         stress_spark.sql("DROP TABLE IF EXISTS sf1_decontam_bench_bands")
+
+
+BUDGET_CLEAN_INGEST_S = 900
+
+
+def test_sf1_clean_ingest_scaling(stress_spark, sf1_dir, tmp_path):
+    """foreach_batch_clean_ingest at 10× corpus over 16 micro-batches:
+    the composed four-gate pass must keep s/batch flat as the store
+    grows (the dedup-ingest cost model with two map-shaped pure gates
+    in front), with per-batch store-side reads bounded by one listing
+    of the committed sidecars (ids + fingerprints + shingles)."""
+    import pyarrow.compute as pc
+
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.queries.pipeline_queries import BENCH_SOURCE
+    from distributed_mapreduce_spark.streaming.sinks import (
+        _dir_bytes,
+        build_decontam_index,
+        foreach_batch_clean_ingest,
+        read_clean_accepted,
+    )
+
+    bench = stress_spark.read.parquet(f"{sf1_dir}/documents.parquet").where(
+        F.col("source") == BENCH_SOURCE
+    )
+    index = str(tmp_path / "index")
+    build_decontam_index(bench, index, "sf1_clean_bench_bands", max_bench_df=50)
+
+    docs = pq.read_table(f"{sf1_dir}/documents.parquet")
+    train = docs.filter(pc.not_equal(docs["source"], BENCH_SOURCE)).sort_by(
+        "doc_id"
+    )
+    src = tmp_path / "feed"
+    src.mkdir()
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    _write_feed_chunks(str(src), train, N_INGEST_BATCHES, cols)
+
+    store = str(tmp_path / "store")
+    try:
+        foreach_batch_clean_ingest(
+            (
+                stress_spark.readStream.schema(
+                    "doc_id bigint, text string, lang string, "
+                    "source string, n_chars bigint"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            ),
+            store,
+            str(tmp_path / "ckpt"),
+            "sf1_clean_corpus_bands",
+            index,
+        ).awaitTermination()
+
+        recs = _batch_records(store)
+        assert len(recs) == N_INGEST_BATCHES
+        stats = _assert_flat(recs, BUDGET_CLEAN_INGEST_S, "clean_ingest")
+        sidecar_total = _dir_bytes(
+            [f"{store}/ids", f"{store}/hashes", f"{store}/shingles"]
+        )
+        print(
+            f"  [sf1 stress] clean_ingest sidecar total "
+            f"{sidecar_total/1e6:.2f} MB; last gate read "
+            f"{stats['gbs'][-1]/1e6:.2f} MB"
+        )
+        assert stats["gbs"][-1] <= 1.2 * sidecar_total, (
+            "final batch's store-side reads exceed one listing of the "
+            "committed sidecars — something re-reads beyond the id/fp "
+            "gates and the candidate shingle fetch"
+        )
+        # per-tier reject evidence is present and self-consistent
+        tot_rej = sum(
+            p["rejected_quality"] + p["rejected_exact_dup"] + p["rejected_near_dup"]
+            for p in recs
+        )
+        n_acc = read_clean_accepted(stress_spark, store).count()
+        assert 0 < n_acc <= train.num_rows - tot_rej
+        print(f"  [sf1 stress] clean_ingest accepted {n_acc}/{train.num_rows}")
+    finally:
+        stress_spark.sql("DROP TABLE IF EXISTS sf1_clean_bench_bands")
+        stress_spark.sql("DROP TABLE IF EXISTS sf1_clean_corpus_bands")
