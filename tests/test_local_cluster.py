@@ -35,7 +35,8 @@ session-scoped `spark` fixture would collide):
     DMR_LOCAL_CLUSTER=1 python -m pytest tests/test_local_cluster.py -v
 
 `DMR_LOCAL_CLUSTER_FULL=1` widens the run to EVERY oracle-backed query
-in both tiers (all 105) — the strongest single claim the container can
+in both tiers (the registry's full surface — see COVERAGE.md's count
+header) — the strongest single claim the container can
 make about the 100×-scale story: the entire query surface passes
 value-exact parity under real multi-process serialization.
 """
