@@ -149,6 +149,26 @@ def kv_get_point(spark: SparkSession, path: str, key: str) -> DataFrame:
     )
 
 
+def kv_multi_get(spark: SparkSession, path: str, keys: list[str]) -> DataFrame:
+    """Batched K1 Get against a write_kv_state store: one row per
+    requested key (absent ⇒ ""), reading ONLY the ≤len(keys) shard
+    directories the keys route to — the shard IN-list is literal, so
+    it folds into the scan's PartitionFilters like kv_get_point's
+    equality (plan-asserted). This is the multi-get a serving layer
+    batches client reads into: cost ∝ probed shards' bytes, never the
+    table, and the probe side is a broadcast-sized literal relation."""
+    if not keys:
+        raise ValueError("kv_multi_get: empty key list")
+    shards = sorted({(ord(k[0]) if k else 0) % NSHARDS for k in keys})
+    rows = spark.read.parquet(path).where(
+        F.col("shard").isin(shards) & F.col("key").isin(list(keys))
+    )
+    probe = spark.createDataFrame([(k,) for k in keys], "key string")
+    return probe.join(
+        F.broadcast(rows.select("key", "value")), "key", "left"
+    ).select("key", F.coalesce("value", F.lit("")).alias("value"))
+
+
 # ---------------------------------------------------------------------------
 # K4: shard routing
 # ---------------------------------------------------------------------------

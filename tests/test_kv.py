@@ -399,3 +399,46 @@ def test_kv_point_get_prunes_to_one_shard(spark, tmp_path):
         assert pf, fmt
         shard = (ord(key[0]) % NSHARDS) if key else 0
         assert any(f"shard#" in l and f"= {shard})" in l for l in pf), pf
+
+
+def test_kv_multi_get_prunes_and_pads(spark, tmp_path):
+    """Batched point lookup: one row per requested key (absent ⇒ ""),
+    the literal shard IN-list folded into the scan's PartitionFilters
+    — ≤len(keys) shard directories listed, never the table."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.operators.kv import (
+        NSHARDS,
+        fold_kv_log,
+        kv_get,
+        kv_multi_get,
+        write_kv_state,
+    )
+
+    ops = [
+        (k, s, op, f"v{k}.{s}")
+        for k in [str(i) for i in range(25)]
+        for s, op in [(1, "put"), (2, "append")]
+    ]
+    log = spark.createDataFrame(ops, "key string, seq long, op string, value string")
+    state = fold_kv_log(log)
+    path = str(tmp_path / "kvstate")
+    write_kv_state(state, path)
+
+    keys = ["3", "13", "7", "absent-key"]
+    got = {r.key: r.value for r in kv_multi_get(spark, path, keys).collect()}
+    assert set(got) == set(keys)
+    for k in keys:
+        assert got[k] == kv_get(state, spark, k).collect()[0].value
+    assert got["absent-key"] == ""
+
+    df = kv_multi_get(spark, path, keys)
+    fmt = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = [l for l in fmt.splitlines() if "PartitionFilters" in l]
+    assert pf and any("shard" in l and " IN " in l for l in pf), pf
+
+    with pytest.raises(ValueError, match="empty key list"):
+        kv_multi_get(spark, path, [])
