@@ -501,6 +501,7 @@ def probe_lsh_band_index(
     new_sig: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
+    same_corpus: bool = True,
 ) -> DataFrame:
     """Candidate pairs between an incoming batch and a maintained
     write_lsh_band_index store: batch band-rows ⋈ index on
@@ -512,11 +513,21 @@ def probe_lsh_band_index(
     the batch↔store half of incremental_minhash_pairs' candidate
     generation; batch-internal candidates come from
     lsh_candidate_pairs on the batch alone, and candidates feed the
-    usual exact verification."""
+    usual exact verification.
+
+    `same_corpus=True` (the dedup-ingest shape: batch and store share
+    one id namespace) drops id_i == id_j pairs — a doc probing the
+    index against its own stored copy is not a candidate. Pass False
+    when the store indexes an INDEPENDENT corpus (decontamination's
+    benchmark index, ADVICE r15): there an id equality is pure
+    coincidence across namespaces, and dropping the pair would
+    silently accept a document that collides with its own
+    contaminating benchmark doc."""
+    j = _band_bucket_join(band_rows(new_sig, num_hashes, bands), spark.table(table_name))
+    if same_corpus:
+        j = j.where(F.col("a.id") != F.col("b.id"))
     return (
-        _band_bucket_join(band_rows(new_sig, num_hashes, bands), spark.table(table_name))
-        .where(F.col("a.id") != F.col("b.id"))
-        .select(F.col("a.id").alias("id_i"), F.col("b.id").alias("id_j"))
+        j.select(F.col("a.id").alias("id_i"), F.col("b.id").alias("id_j"))
         .distinct()
     )
 

@@ -355,7 +355,15 @@ def foreach_batch_cdc_merge_partitioned(
     returns the OLD schema. Renames/drops and type changes refuse
     loudly at the first merge that sees them. (Within one stream run a
     schema is fixed — evolution happens across runs: stop the query,
-    restart over the same checkpoint with the widened source schema.)"""
+    restart over the same checkpoint with the widened source schema.)
+    EXCEPTION (ADVICE r15): the KEY column's type is pinned like
+    n_buckets — even lossless widenings refuse here, because xxhash64
+    hashes int and bigint to different values, so a widened key would
+    route the same logical key to a different bucket than its stored
+    row and the touched-partition merge would never see it (stale
+    duplicates, silently missed deletes). Non-key columns still widen;
+    the flat foreach_batch_cdc_merge rewrites the whole snapshot each
+    batch and keeps key widening."""
     import pathlib
 
     from pyspark.sql import functions as F
@@ -396,6 +404,27 @@ def foreach_batch_cdc_merge_partitioned(
                 f"store {store_path} routes on key={have_key!r}; hash "
                 f"routing must stay stable (got key={key!r})"
             )
+        # The key's TYPE is a routing invariant like n_buckets (ADVICE
+        # r15): xxhash64 hashes int and bigint differently, so even the
+        # LOSSLESS widenings _evolve_base accepts on the key would move
+        # every stored row to a bucket the touched-partition probe never
+        # reads — merges silently miss them (stale/duplicate rows,
+        # undetected deletes). Refuse at construction against the pinned
+        # recorded schema; the flat sink rewrites the whole snapshot and
+        # keeps key widening.
+        rec = _newest_recorded_schema(committed)
+        if rec is not None:
+            rec_key_t = dict(rec).get(key)
+            feed_key_t = changes.schema[key].dataType.simpleString()
+            if rec_key_t is not None and rec_key_t != feed_key_t:
+                raise ValueError(
+                    f"store {store_path} hash-routes partitions on "
+                    f"{key!r} as {rec_key_t}; the change feed carries it "
+                    f"as {feed_key_t} — xxhash64 hashes the two types "
+                    "differently, so stored rows would sit in buckets "
+                    "the merge never reads; retyping the key requires "
+                    "an explicit table rewrite"
+                )
     elif init is not None:
         # Seed the base as committed version v=-1, partitioned;
         # touched = ALL buckets so every partition's baseline is
@@ -585,6 +614,22 @@ def foreach_batch_cdc_merge_partitioned(
                 base = base.select(
                     *[c for c in snapshot_cols if c in base.columns]
                 )
+                # Belt for stores whose manifests predate schema
+                # recording (the construction-time pin can't see them):
+                # the key type the files actually hold must match the
+                # feed's, or bucket routing diverges (ADVICE r15).
+                stored_key_t = base.schema[key].dataType
+                feed_key_t = df.schema[key].dataType
+                if stored_key_t != feed_key_t:
+                    raise ValueError(
+                        f"store {store_path} hash-routes partitions on "
+                        f"{key!r} as {stored_key_t.simpleString()}; the "
+                        f"change feed carries it as "
+                        f"{feed_key_t.simpleString()} — xxhash64 hashes "
+                        "the two types differently, so stored rows would "
+                        "sit in buckets the merge never reads; retyping "
+                        "the key requires an explicit table rewrite"
+                    )
             else:
                 base = spark.createDataFrame([], df.select(*snapshot_cols).schema)
             merged = merge(base, df, key, ord_col, delete_col)
@@ -1202,17 +1247,57 @@ def _near_dup_gate(
     torn-append orientation flip). Returns
     (accepted, sh_b PERSISTED — caller writes the shingle sidecar and
     unpersists, n_rejected, sh_dirs read — pruning evidence)."""
+    from distributed_mapreduce_spark.operators.dedup import doc_shingles
+
+    sh_b = doc_shingles(batch_df, text_col, id_col).persist()
+    # Exception contract (ADVICE r15): on the SUCCESS path the caller
+    # owns sh_b (writes the shingle sidecar, then unpersists in its own
+    # finally) — but if THIS gate raises (the GREEDY_MAX_PAIRS refusal,
+    # any verify/collect failure), the caller's sh_b variable is still
+    # None and its finally can't reach the cached blocks, which would
+    # then leak and accumulate across redeliveries of a failing batch.
+    # So the refusal/failure path unpersists here.
+    try:
+        return _near_dup_gate_body(
+            spark,
+            ms,
+            manifests,
+            batch_df,
+            table_name,
+            min_jaccard,
+            num_hashes,
+            bands,
+            id_buckets,
+            id_col,
+            sh_b,
+        )
+    except BaseException:
+        sh_b.unpersist()
+        raise
+
+
+def _near_dup_gate_body(
+    spark,
+    ms,
+    manifests,
+    batch_df: DataFrame,
+    table_name: str,
+    min_jaccard: float,
+    num_hashes: int,
+    bands: int,
+    id_buckets: int,
+    id_col: str,
+    sh_b: DataFrame,
+):
     from collections import defaultdict
 
     from distributed_mapreduce_spark.operators.dedup import (
-        doc_shingles,
         lsh_candidate_pairs,
         minhash_signatures,
         probe_lsh_band_index,
         verify_jaccard_pairs,
     )
 
-    sh_b = doc_shingles(batch_df, text_col, id_col).persist()
     sig_b = minhash_signatures(sh_b, num_hashes)
     cands = lsh_candidate_pairs(sig_b, num_hashes, bands)
     if spark.catalog.tableExists(table_name):
@@ -2584,7 +2669,17 @@ def _decontam_dirty(
     distinct set ≥ min_overlap) and/or 'fuzzy' (LSH candidates against
     the benchmark band index, exact-verified jaccard ≥ min_jaccard
     over the hot-benchmark-shingle-excluded sets). Per-doc pure: the
-    verdict depends only on (doc, static index)."""
+    verdict depends only on (doc, static index).
+
+    Id domains (ADVICE r15): training and benchmark ids are
+    INDEPENDENT namespaces — two corpora commonly both number from
+    0/1 — so the fuzzy tier must never key the two sides by bare id.
+    The candidate probe keeps id_i == id_j pairs (same_corpus=False:
+    equality across namespaces is coincidence, and a doc colliding
+    with its own contaminating benchmark doc must still verify), and
+    the verify join runs over domain-tagged ids ('t:'/'b:' prefixes)
+    so a collision can neither merge the two docs' shingle sets nor
+    corrupt any other pair's jaccard."""
     from distributed_mapreduce_spark.operators.contamination import (
         contamination_report,
     )
@@ -2605,16 +2700,34 @@ def _decontam_dirty(
     sh_f = sh_raw.join(hot, "shingle", "left_anti")
     sig_b = minhash_signatures(sh_f, num_hashes)
     cands = probe_lsh_band_index(
-        spark, meta["bands_table"], sig_b, num_hashes, bands
+        spark, meta["bands_table"], sig_b, num_hashes, bands,
+        same_corpus=False,
     )
     bench_ids = cands.select(F.col("id_j").alias("id")).distinct()
     bench_sh = spark.read.parquet(f"{index_path}/doc_shingles").join(
         bench_ids, "id", "left_semi"
     )
-    pairs = verify_jaccard_pairs(
-        sh_f.select("id", "shingle").unionByName(bench_sh), cands, min_jaccard
+    # domain-tag both sides before the shared-id verify join — see the
+    # id-domains paragraph in the docstring
+    tagged_sh = sh_f.select(
+        F.concat(F.lit("t:"), F.col("id").cast("string")).alias("id"),
+        "shingle",
+    ).unionByName(
+        bench_sh.select(
+            F.concat(F.lit("b:"), F.col("id").cast("string")).alias("id"),
+            "shingle",
+        )
     )
-    dirty_fuzzy = pairs.select(F.col("id_i").alias("id")).distinct()
+    tagged_cands = cands.select(
+        F.concat(F.lit("t:"), F.col("id_i").cast("string")).alias("id_i"),
+        F.concat(F.lit("b:"), F.col("id_j").cast("string")).alias("id_j"),
+    )
+    pairs = verify_jaccard_pairs(tagged_sh, tagged_cands, min_jaccard)
+    train_id_t = dict(sh_raw.dtypes)["id"]
+    dirty_fuzzy = (
+        pairs.select(F.expr("substring(id_i, 3)").cast(train_id_t).alias("id"))
+        .distinct()
+    )
     return dirty_exact.select("id", F.lit("exact").alias("why")).unionByName(
         dirty_fuzzy.select("id", F.lit("fuzzy").alias("why"))
     )

@@ -639,3 +639,108 @@ def test_merge_schema_ordered_widens_ord_watermark(spark):
     assert st[2] == (None, 9, 1)
     # k=3 applies (7 >= 2)
     assert st[3] == (5.5, 7, 0)
+
+
+def test_partitioned_sink_refuses_key_type_change(spark, tmp_path):
+    """ADVICE r15 (high): the partitioned sink routes buckets by
+    pmod(xxhash64(key), n) and xxhash64 hashes int and bigint
+    DIFFERENTLY — so even the lossless key widening _evolve_base
+    accepts would leave every stored row in a bucket the
+    touched-partition probe never reads (stale duplicates, silently
+    missed deletes). The key's type is therefore pinned like
+    n_buckets: a feed that retypes the key refuses at stream
+    construction (recorded-schema pin) and, for stores whose
+    manifests predate schema recording, at the first merge that reads
+    the stored type (the write_batch belt). Payload widening through
+    the same sink still evolves."""
+    import json
+    import pathlib
+
+    from distributed_mapreduce_spark.streaming import event_stream
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_cdc_merge_partitioned,
+        read_current_partitioned,
+    )
+
+    # first, the premise the refusal rests on: the two types really do
+    # hash apart (if Spark ever unified them, the pin could relax)
+    h = spark.range(1).select(
+        F.xxhash64(F.lit(5).cast("int")).alias("hi"),
+        F.xxhash64(F.lit(5).cast("bigint")).alias("hl"),
+    ).collect()[0]
+    assert h.hi != h.hl
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = time.time()
+    _chunk(str(src / "c1.parquet"), [(1, 1, "up", 1.0), (2, 2, "up", 2.0)], base)
+
+    def changes_with_key_type(t):
+        return _to_changes(event_stream(spark, str(src))).withColumn(
+            "k", F.col("k").cast(t)
+        )
+
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    q = foreach_batch_cdc_merge_partitioned(
+        changes_with_key_type("int"), store, ckpt, "k", n_buckets=4,
+        merge_schema=True,
+    )
+    q.awaitTermination()
+    assert {r.k for r in read_current_partitioned(spark, store).collect()} == {1, 2}
+
+    # construction-time pin: the recorded schema says k is int
+    with pytest.raises(ValueError, match="xxhash64 hashes the two types"):
+        foreach_batch_cdc_merge_partitioned(
+            changes_with_key_type("bigint"),
+            store,
+            str(tmp_path / "ckpt2"),
+            "k",
+            n_buckets=4,
+            merge_schema=True,
+        )
+
+    # pre-schema-recording store: strip the recorded schemas so the
+    # construction pin is blind, then RESUME the same checkpoint with a
+    # new chunk — batch 1 reads v=0 as its base and the write_batch
+    # belt must refuse against the type the stored files actually hold
+    for mf in pathlib.Path(store).glob("v=*/_touched.json"):
+        payload = json.loads(mf.read_text())
+        payload.pop("schema", None)
+        mf.write_text(json.dumps(payload))
+    _chunk(str(src / "c2.parquet"), [(3, 1, "up", 3.0)], base + 5)
+    q2 = foreach_batch_cdc_merge_partitioned(
+        changes_with_key_type("bigint"),
+        store,
+        ckpt,
+        "k",
+        n_buckets=4,
+        merge_schema=True,
+    )
+    with pytest.raises(Exception, match="xxhash64 hashes the two types"):
+        q2.awaitTermination()
+
+    # non-key widening through the SAME sink still evolves (the pin is
+    # key-only): v float->double on a fresh int-keyed store
+    store2, ckpt4 = str(tmp_path / "store2"), str(tmp_path / "ckpt4")
+    qa = foreach_batch_cdc_merge_partitioned(
+        changes_with_key_type("int").withColumn("v", F.col("v").cast("float")),
+        store2,
+        ckpt4,
+        "k",
+        n_buckets=4,
+        merge_schema=True,
+    )
+    qa.awaitTermination()
+    qb = foreach_batch_cdc_merge_partitioned(
+        changes_with_key_type("int"),
+        store2,
+        str(tmp_path / "ckpt5"),
+        "k",
+        n_buckets=4,
+        merge_schema=True,
+    )
+    qb.awaitTermination()
+    snap = read_current_partitioned(spark, store2)
+    assert dict(snap.dtypes)["v"] == "double"
+    # c2's ord-3 upsert moved k=1 to 3.0 before the widened re-run
+    assert {r.k: r.v for r in snap.collect()} == {1: 3.0, 2: 2.0}

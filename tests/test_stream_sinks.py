@@ -2891,3 +2891,82 @@ def test_decontam_and_clean_store_compaction(spark, tmp_path):
     ).awaitTermination()
     got2 = sorted(r.doc_id for r in read_clean_accepted(spark, dst).collect())
     assert got2 == want
+
+
+def test_near_dup_gate_refusal_unpersists_shingles(spark, tmp_path, monkeypatch):
+    """ADVICE r15: on the SUCCESS path the gate hands the persisted
+    batch-shingle frame to its caller (who writes the sidecar and
+    unpersists) — but on a refusal (GREEDY_MAX_PAIRS) or any verify
+    failure the caller's variable is still None, so the gate itself
+    must unpersist before raising; otherwise the cached blocks leak
+    and accumulate across redeliveries of a failing batch."""
+    import pytest
+
+    import distributed_mapreduce_spark.operators.dedup as dedup_mod
+    from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
+    from distributed_mapreduce_spark.streaming.sinks import _near_dup_gate
+
+    def persistent():
+        return set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+
+    before = persistent()
+    txt = "the quick brown fox jumps over the lazy dog " * 4
+    batch = spark.createDataFrame(
+        [(1, txt), (2, txt)], "doc_id bigint, text string"
+    )
+    ms = ManifestStore(str(tmp_path / "store"))
+    monkeypatch.setattr(dedup_mod, "GREEDY_MAX_PAIRS", 0)
+    with pytest.raises(ValueError, match="GREEDY_MAX_PAIRS"):
+        _near_dup_gate(
+            spark, ms, [], batch, "no_such_band_table_r15", 0.5, 32, 16,
+            64, "doc_id", "text",
+        )
+    assert persistent() == before
+
+
+def test_decontam_id_collision_across_corpora(spark, tmp_path):
+    """ADVICE r15: training and benchmark ids are INDEPENDENT
+    namespaces (two corpora commonly both number from 0/1). The fuzzy
+    tier must (a) still reject a training doc that collides with its
+    OWN contaminating benchmark doc's id — the probe's same-corpus
+    id_i != id_j filter would silently drop exactly that candidate —
+    and (b) not merge a colliding pair's shingle sets in the verify
+    join, which corrupts jaccard in both directions. Ids deliberately
+    collide: bench {1,2}, train {1,2,3}."""
+    from distributed_mapreduce_spark.operators.dedup import doc_shingles
+    from distributed_mapreduce_spark.streaming.sinks import (
+        _decontam_dirty,
+        _load_decontam_meta,
+        build_decontam_index,
+    )
+
+    w = [f"tok{i}" for i in range(40)]
+    bench1 = " ".join(w[:20])
+    bench2 = " ".join(w[20:])
+    bench = spark.createDataFrame(
+        [(1, bench1), (2, bench2)], "doc_id bigint, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            # id collides with its OWN contaminating bench doc (1≈1)
+            (1, " ".join(w[:19] + ["changed"])),
+            # clean doc whose id collides with UNRELATED bench doc 2 —
+            # bare-id keying would merge its shingles into bench 2's
+            # set and dilute train 3's verification below
+            (2, " ".join(f"other{i}" for i in range(20))),
+            # near-copy of bench 2 under a NON-colliding id (3≈2)
+            (3, " ".join(w[20:39] + ["changed"])),
+        ],
+        "doc_id bigint, text string",
+    )
+    index = str(tmp_path / "index")
+    build_decontam_index(bench, index, "t_idcollision_bands", max_bench_df=50)
+    meta = _load_decontam_meta(index)
+    sh_raw = doc_shingles(train)
+    # min_overlap=2.0 disables the exact tier: the fuzzy path is the
+    # one the collision breaks, so it is graded in isolation
+    dirty = _decontam_dirty(spark, index, meta, sh_raw, 2.0, 0.5)
+    got = {(r.id, r.why) for r in dirty.collect()}
+    assert got == {(1, "fuzzy"), (3, "fuzzy")}
