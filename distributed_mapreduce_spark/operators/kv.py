@@ -159,7 +159,7 @@ def kv_multi_get(spark: SparkSession, path: str, keys: list[str]) -> DataFrame:
     table, and the probe side is a broadcast-sized literal relation."""
     if not keys:
         raise ValueError("kv_multi_get: empty key list")
-    shards = sorted({(ord(k[0]) if k else 0) % NSHARDS for k in keys})
+    shards = sorted({key2shard_py(k) for k in keys})
     rows = spark.read.parquet(path).where(
         F.col("shard").isin(shards) & F.col("key").isin(list(keys))
     )
@@ -179,6 +179,20 @@ def key2shard(key: Column) -> Column:
     (/root/reference/src/shardkv/client.go:22-29), as a partitioning
     expression usable in repartition()/groupBy()."""
     return F.pmod(F.ascii(F.substring(key, 1, 1)), F.lit(NSHARDS)).cast("int")
+
+
+def key2shard_py(key: str) -> int:
+    """THE driver-side twin of key2shard — the one place the routing
+    expression exists in Python (ADVICE r15: kv_multi_get used to
+    inline its own copy; a silent divergence between the pair would
+    make a pruned serving read miss a PRESENT key and return "" — the
+    worst failure mode of a serving path). Spark's ascii() returns the
+    first character's codepoint (multibyte included) and 0 for the
+    empty string, which is exactly `ord(key[0])` / 0 — the equivalence
+    is pinned by a hypothesis property test over ASCII, empty, and
+    astral-plane keys (tests/test_kv.py), so a change to either side
+    fails loudly instead of mis-pruning."""
+    return (ord(key[0]) if key else 0) % NSHARDS
 
 
 # ---------------------------------------------------------------------------

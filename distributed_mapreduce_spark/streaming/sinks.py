@@ -3013,6 +3013,11 @@ def foreach_batch_clean_ingest(
                     F.col("fp").alias("_fp")
                 )
                 fp_frame = fp_frame.join(known_fp, "_fp", "left_anti")
+            # _fp rides through the near-dup stage to the sidecar write
+            # below — the fingerprint is computed ONCE per batch, not
+            # recomputed over accepted survivors (VERDICT r15 #5: one
+            # fewer md5-over-full-text scan per batch; at 100 TB a
+            # real, if small, scan tax)
             gated = (
                 fp_frame.withColumn(
                     "_rk",
@@ -3021,7 +3026,7 @@ def foreach_batch_clean_ingest(
                     ),
                 )
                 .where(F.col("_rk") == 1)
-                .drop("_rk", "_fp")
+                .drop("_rk")
                 .localCheckpoint(eager=True)
             )
             n_clean = gated.count()
@@ -3043,7 +3048,7 @@ def foreach_batch_clean_ingest(
             accepted = accepted.persist()
             n_acc = accepted.count()
 
-            accepted.write.mode("overwrite").parquet(
+            accepted.drop("_fp").write.mode("overwrite").parquet(
                 str(ms.batch_dir(batch_id, "accepted"))
             )
             touched_acc = _append_dedup_state(
@@ -3058,10 +3063,12 @@ def foreach_batch_clean_ingest(
                 id_buckets,
                 id_col,
             )
-            # fp sidecar: survivors' fingerprints, bucketed on the fp
-            # hash domain with its OWN touched list
+            # fp sidecar: survivors' fingerprints — the _fp column
+            # carried from stage 4, NOT recomputed (md5 is
+            # deterministic, so the value is identical; the saved work
+            # is the second full-text scan)
             acc_fp = accepted.select(
-                fingerprint(text_col).alias("fp")
+                F.col("_fp").alias("fp")
             ).withColumn("p", _id_bucket(F.col("fp"), id_buckets))
             touched_fp = sorted(
                 r["p"] for r in acc_fp.select("p").distinct().collect()

@@ -442,3 +442,44 @@ def test_kv_multi_get_prunes_and_pads(spark, tmp_path):
 
     with pytest.raises(ValueError, match="empty key list"):
         kv_multi_get(spark, path, [])
+
+
+@given(
+    keys=st.lists(
+        st.text(
+            alphabet=st.characters(exclude_categories=["Cs"]),
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_key2shard_python_twin_matches_spark(spark, keys):
+    """ADVICE r15 / VERDICT r15 #3: the serving reads derive shard
+    lists DRIVER-SIDE (key2shard_py) while the layout was written with
+    the Spark expression (key2shard) — a divergence would make a
+    pruned read silently miss a present key and return "". Pin the
+    pair's equivalence over arbitrary keys: empty, ASCII, multibyte
+    BMP, astral-plane (surrogates excluded — not valid UTF-8)."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.operators.kv import key2shard, key2shard_py
+
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    for r in df.select("key", key2shard(F.col("key")).alias("s")).collect():
+        assert r.s == key2shard_py(r.key), (repr(r.key), r.s)
+
+
+def test_key2shard_twin_fixed_edges(spark):
+    """Deterministic anchors for the property above (the examples the
+    generator might shrink away from): empty key, NUL, ASCII digits,
+    Latin-1, CJK, an astral codepoint."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.operators.kv import key2shard, key2shard_py
+
+    keys = ["", "\x00", "0", "7", "99", "é", "日本", "\U0001d518x", "a" * 100]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    got = {r.key: r.s for r in df.select("key", key2shard(F.col("key")).alias("s")).collect()}
+    assert got == {k: key2shard_py(k) for k in keys}
