@@ -19,7 +19,7 @@ compact line points at via "full_artifact".
 
 Tiers: the default run times the 50 REGISTERED queries (the driver
 contract). `python bench.py --tier shadow` (or SPARK_GRAFT_BENCH_TIER=
-shadow) times the 50 shadow queries instead — full record to
+shadow) times the shadow tier instead — full record to
 bench_shadow_last.json, floors via
 `scripts/quiet_floor.py --floors scripts/quiet_floors_shadow.json`.
 
@@ -441,7 +441,7 @@ def main() -> int:
 
     # Tier selection (VERDICT r5 #2): the driver's default run times the
     # 50 REGISTERED queries; `--tier shadow` (or SPARK_GRAFT_BENCH_TIER=
-    # shadow) times the 50 shadow queries instead, writing its full
+    # shadow) times the shadow tier instead, writing its full
     # record to bench_shadow_last.json — perf regressions in the shadow
     # half of the surface are otherwise invisible.
     tier = os.environ.get("SPARK_GRAFT_BENCH_TIER", "registered")

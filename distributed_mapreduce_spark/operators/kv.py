@@ -103,6 +103,94 @@ def compact_kv_log(ops: DataFrame, upto_seq: int) -> DataFrame:
     return snap.unionByName(tail)
 
 
+def apply_kv_ops(base: DataFrame, ops: DataFrame) -> DataFrame:
+    """Fold ONE op-log batch onto an existing state snapshot — the
+    incremental twin of fold_kv_log, and the merge step of the
+    streaming-maintained serving store (streaming/kv_serving.py): the
+    reference's shardkv data plane is an incrementally-maintained
+    served store, not a scan-time fold
+    (/root/reference/src/shardkv/client.go:68-130; kvraft's snapshot
+    keeps exactly this (state, last-applied-index) pair,
+    /root/reference/src/kvraft/config.go:54).
+
+    `base` schema: (key, value, last_seq) — last_seq is the key's
+    last-APPLIED op seq, the exactly-once watermark (the analog of the
+    reference's per-client dedup state). `ops` schema: fold_kv_log's
+    (key, seq, op, value). Returns the new snapshot, same base schema.
+
+    Semantics per key (models/kv.go:40-54, incrementally):
+    - ops with seq <= stored last_seq are ALREADY APPLIED (a replayed
+      or duplicate delivery) — dropped, so redelivering any prefix of
+      the feed converges instead of double-appending;
+    - byte-identical duplicate rows within the batch collapse via
+      distinct() (fold_kv_log's retried-RPC dedup);
+    - a batch put supersedes everything before it in the batch; the
+      new value is the last put's value (or the stored value when the
+      batch has no put) concatenated with every later append, in seq
+      order.
+
+    Chaining apply_kv_ops over ANY seq-ordered batching of an op log
+    equals fold_kv_log of the whole log (✓property-tested, random
+    splits + redelivery injection). Cross-batch the feed must deliver
+    each key's ops at nondecreasing seq (a CDC log read in offset
+    order — merge_changes' contract); a LATE op (seq below the
+    watermark but never applied) is indistinguishable from a duplicate
+    and is dropped — the price of exactly-once without unbounded
+    op-id state, same trade the reference makes with per-client seqs.
+
+    Scale shape (the merge_changes_ordered cost model): the base is
+    NEVER shuffled — two narrow passes, (1) a broadcast-semi probe of
+    (key, value, last_seq) restricted to the batch's keys, (2) the
+    broadcast LEFT ANTI for survivors; all shuffles are batch-sized
+    (distinct + two keyed aggs)."""
+    muts = ops.where(F.col("op") != F.lit("get")).distinct()
+    batch_keys = muts.select("key").distinct()
+    # narrow probe: stored (value, watermark) for the batch's keys only
+    probe = base.join(F.broadcast(batch_keys), "key", "left_semi").select(
+        "key", F.col("value").alias("_base_value"), F.col("last_seq").alias("_base_seq")
+    )
+    fresh = (
+        muts.join(F.broadcast(probe.select("key", "_base_seq")), "key", "left")
+        .where(F.col("_base_seq").isNull() | (F.col("seq") > F.col("_base_seq")))
+        .drop("_base_seq")
+    )
+    pseq = (
+        fresh.where(F.col("op") == "put")
+        .groupBy("key")
+        .agg(F.max("seq").alias("pseq"))
+    )
+    live = fresh.join(pseq, "key", "left").where(
+        (
+            (F.col("op") == "append")
+            & (F.col("pseq").isNull() | (F.col("seq") > F.col("pseq")))
+        )
+        | ((F.col("op") == "put") & (F.col("seq") == F.col("pseq")))
+    )
+    ordered_concat = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seq", "value"))),
+            lambda s: s["value"],
+        ),
+        "",
+    )
+    delta = live.groupBy("key").agg(
+        ordered_concat.alias("_suffix"),
+        # max live seq == max fresh seq: the max fresh op is either the
+        # winning put (live) or an append above it (live)
+        F.max("seq").alias("_new_seq"),
+        F.max((F.col("op") == "put").cast("int")).alias("_has_put"),
+    )
+    merged = delta.join(F.broadcast(probe), "key", "left").select(
+        "key",
+        F.when(F.col("_has_put") == 1, F.col("_suffix"))
+        .otherwise(F.concat(F.coalesce("_base_value", F.lit("")), F.col("_suffix")))
+        .alias("value"),
+        F.col("_new_seq").alias("last_seq"),
+    )
+    survivors = base.join(F.broadcast(delta.select("key")), "key", "left_anti")
+    return survivors.select("key", "value", "last_seq").unionByName(merged)
+
+
 def kv_get(state: DataFrame, spark: SparkSession, key: str) -> DataFrame:
     """K1 Get: point lookup; absent key reads as ""
     (/root/reference/src/kvraft/client.go:27-31).

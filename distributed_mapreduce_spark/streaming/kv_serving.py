@@ -1,0 +1,206 @@
+"""Streaming-maintained KV SERVING store — the full declared product
+shape of the reference's Labs 3/4 (SURVEY.md §2.3), composed from
+pieces that already existed separately:
+
+- the op-log semantics (`operators/kv.fold_kv_log`, from
+  /root/reference/src/models/kv.go:40-54) become an INCREMENTAL merge
+  (`operators/kv.apply_kv_ops`) — the reference's shardkv is an
+  incrementally-maintained served store, not a scan-time fold
+  (/root/reference/src/shardkv/client.go:68-130);
+- the maintained snapshot is hash-partitioned on `key2shard(key)` —
+  the reference's OWN routing function
+  (/root/reference/src/shardkv/client.go:22-29) as the partition
+  domain of the versioned, manifest-committed store layout the CDC
+  sink established (streaming/sinks.foreach_batch_cdc_merge_partitioned's
+  exactly-once protocol: per-batch version dirs, touched-partition
+  manifests written LAST, torn writes invisible);
+- point/multi-get serve from the maintained snapshot reading ONLY the
+  probed keys' shard directories (the kv_get_point/kv_multi_get
+  contract, VERDICT r15 #2), with `as_of` time travel on the version
+  chain = the kvraft snapshot concept
+  (/root/reference/src/kvraft/config.go:54: state at a bounded raft
+  index).
+
+Scale shape per micro-batch: the batch shuffles (distinct + two keyed
+aggs, all ∝ batch); the stored state NEVER shuffles (broadcast
+semi-probe + broadcast anti, apply_kv_ops' contract) and only the
+shards the batch touches are read and rewritten — at 100 TB a
+selective op batch costs ∝ its own size + its shards' bytes, never the
+table. A serving get lists ONE shard directory per probed shard
+(structural: explicit leaf paths from the manifest fold).
+
+Exactly-once: whole-batch redelivery overwrites its own version dir
+before the manifest lands (the CDC sink's argument); a row REPLAYED in
+a later batch (fresh checkpoint, overlapping files) is dropped by the
+per-key `last_seq` watermark apply_kv_ops persists — the analog of
+the reference's per-client dedup seq.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from distributed_mapreduce_spark.operators.kv import (
+    NSHARDS,
+    apply_kv_ops,
+    key2shard,
+    key2shard_py,
+)
+from distributed_mapreduce_spark.streaming.sinks import (
+    _committed_manifests,
+    _newest_recorded_schema,
+    _write_manifest,
+    read_current_partitioned,
+)
+
+# the snapshot schema every kv_serving store carries (recorded in each
+# version manifest; also the construction-time store-kind pin)
+_KV_SCHEMA = [("key", "string"), ("value", "string"), ("last_seq", "bigint")]
+
+
+def foreach_batch_kv_serving(
+    ops_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Maintain a served KV state from a streaming op log
+    `(key string, seq bigint, op string, value string)` — see the
+    module docstring for the composition and its reference citations.
+
+    The feed must deliver each key's ops at nondecreasing seq across
+    batches (a CDC/op log read in offset order); within a batch any
+    order is fine, and redelivered rows are dropped by the persisted
+    last_seq watermark (apply_kv_ops). Gets in the feed are ignored
+    (reads are served from the store, not folded through it)."""
+    import pathlib
+
+    store = pathlib.Path(store_path)
+    committed = _committed_manifests(store_path)
+    if committed:
+        pin = committed[0][1]
+        rec = _newest_recorded_schema(committed)
+        if (
+            pin.get("n_buckets") != NSHARDS
+            or pin.get("key") != "key"
+            or pin.get("ordered", False)
+            or rec != [list(t) for t in _KV_SCHEMA]
+        ):
+            raise ValueError(
+                f"store {store_path} is not a kv_serving store (pinned "
+                f"n_buckets={pin.get('n_buckets')}, key={pin.get('key')!r}, "
+                f"schema={rec}) — shard routing and the snapshot schema "
+                "must stay stable for the store's lifetime"
+            )
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        # ops feed two actions (touched-shard probe + merge write)
+        df = df.select("key", "seq", "op", "value").persist()
+        try:
+            touched = [
+                r.p
+                for r in df.where(F.col("op") != F.lit("get"))
+                .select(key2shard(F.col("key")).alias("p"))
+                .distinct()
+                .collect()
+            ]
+            if not touched:
+                # dense version chain, same rationale as the CDC sink
+                (store / f"v={batch_id}").mkdir(parents=True, exist_ok=True)
+                _write_manifest(
+                    store / f"v={batch_id}", [], NSHARDS, False, "key",
+                    schema=_KV_SCHEMA,
+                )
+                return
+            manifests = _committed_manifests(store_path, below=batch_id)
+            current: dict[int, int] = {}
+            for v, m in manifests:
+                for p in m["touched"]:
+                    current[p] = v
+            base_paths = [
+                str(store / f"v={current[p]}" / f"p={p}")
+                for p in touched
+                if p in current and (store / f"v={current[p]}" / f"p={p}").exists()
+            ]
+            if base_paths:
+                # explicit leaf paths: untouched shards are never
+                # listed, opened, or scanned
+                base = spark.read.schema(
+                    "key string, value string, last_seq bigint"
+                ).parquet(*base_paths)
+            else:
+                base = spark.createDataFrame(
+                    [], "key string, value string, last_seq bigint"
+                )
+            merged = apply_kv_ops(base, df)
+            merged.withColumn("p", key2shard(F.col("key"))).repartition(
+                "p"
+            ).write.mode("overwrite").partitionBy("p").parquet(
+                str(store / f"v={batch_id}")
+            )
+            _write_manifest(
+                store / f"v={batch_id}", touched, NSHARDS, False, "key",
+                schema=_KV_SCHEMA,
+            )
+        finally:
+            df.unpersist()
+
+    return (
+        ops_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_kv_state(
+    spark: SparkSession, store_path: str, as_of: int | None = None
+) -> DataFrame:
+    """Full served state `(key, value)` of a kv_serving store — the
+    committed snapshot (newest version per shard), `as_of` = VERSION
+    AS OF on the batch chain (the kvraft snapshot concept: the exact
+    state after batch `as_of` committed, reconstructed from manifests
+    alone). The last_seq watermark is maintenance state, not payload."""
+    return read_current_partitioned(spark, store_path, as_of=as_of).select(
+        "key", "value"
+    )
+
+
+def kv_served_multi_get(
+    spark: SparkSession,
+    store_path: str,
+    keys: list[str],
+    as_of: int | None = None,
+) -> DataFrame:
+    """Batched K1 Get against the MAINTAINED store: one row per
+    requested key (absent ⇒ "", kv_get's contract,
+    /root/reference/src/kvraft/client.go:27-31), reading ONLY the
+    probed keys' shard directories — shards derived with key2shard_py,
+    THE tested driver-side twin of the layout's routing expression
+    (hypothesis-pinned equal; a divergence here would silently serve
+    "" for present keys). `as_of` serves a historical snapshot
+    (versioned reads are what make a served store safely queryable at
+    a point in time — the shardkv reconfiguration freeze-point
+    analog)."""
+    if not keys:
+        raise ValueError("kv_served_multi_get: empty key list")
+    shards = {key2shard_py(k) for k in keys}
+    rows = read_current_partitioned(
+        spark, store_path, as_of=as_of, partitions=shards
+    )
+    rows = rows.where(F.col("key").isin(list(keys))).select("key", "value")
+    probe = spark.createDataFrame([(k,) for k in keys], "key string")
+    return probe.join(F.broadcast(rows), "key", "left").select(
+        "key", F.coalesce("value", F.lit("")).alias("value")
+    )
+
+
+def kv_served_get(
+    spark: SparkSession, store_path: str, key: str, as_of: int | None = None
+) -> DataFrame:
+    """Point K1 Get from the maintained store: ONE shard directory
+    listed (structural — the manifest fold resolves exactly the key's
+    shard; ✓inputFiles-asserted in tests), absent key reads ""."""
+    return kv_served_multi_get(spark, store_path, [key], as_of=as_of)

@@ -706,6 +706,7 @@ def read_current_partitioned(
     live_only: bool = False,
     delete_col: str = "is_delete",
     as_of: int | None = None,
+    partitions=None,
 ) -> DataFrame:
     """Live snapshot of a foreach_batch_cdc_merge_partitioned store:
     for each partition, its newest committed version's directory
@@ -727,7 +728,16 @@ def read_current_partitioned(
     actually wants (tombstones are ord watermarks, not data; see
     merge_changes_ordered). The per-key ord stays: it is the row's
     freshness watermark. Refused on an unordered store, whose
-    snapshot has no tombstones to filter."""
+    snapshot has no tombstones to filter.
+
+    `partitions` (a set of partition values) PRUNES the fold to those
+    partitions — the serving-read shape (operators/kv point/multi-get
+    against a kv_serving store): only the wanted partitions' current
+    version dirs are listed and read, and the soundness guards apply
+    to exactly those partitions. A pruned read over partitions that
+    hold no data returns an EMPTY frame in the recorded schema
+    (absent = empty is well-defined per partition) rather than
+    raising."""
     import pathlib
 
     store = pathlib.Path(store_path)
@@ -744,6 +754,8 @@ def read_current_partitioned(
     for v, manifest in manifests:
         for p in manifest["touched"]:
             current[p] = v
+    if partitions is not None:
+        current = {p: v for p, v in current.items() if p in set(partitions)}
     if as_of is not None:
         # Soundness guard 1: a compacted store's v=-1 seed holds the
         # HEAD snapshot of the pre-compaction chain; its recorded
@@ -798,6 +810,8 @@ def read_current_partitioned(
                 if d > as_of:
                     continue
                 for p in touched:
+                    if partitions is not None and p not in set(partitions):
+                        continue  # pruned read never touches p
                     if current.get(p, d - 1) < d:
                         raise FileNotFoundError(
                             f"as_of={as_of} reaches version {d} of partition "
@@ -814,6 +828,18 @@ def read_current_partitioned(
         for p, v in current.items()
         if (store / f"v={v}" / f"p={p}").exists()
     ]
+    if not paths and partitions is not None:
+        # a pruned read over empty/untouched partitions is a
+        # well-defined EMPTY result — serve it in the recorded schema
+        # (all kv_serving and schema-recording CDC stores have one)
+        target = _newest_recorded_schema(manifests)
+        if target is not None:
+            empty = spark.createDataFrame([], _schema_ddl(target))
+            if live_only:
+                empty = empty.where(
+                    F.coalesce(F.col(delete_col).cast("int"), F.lit(0)) == 0
+                ).drop(delete_col)
+            return empty
     if not paths:
         # every partition empty: reconstruct the payload schema from
         # any committed version's parquet footer is impossible with no

@@ -77,6 +77,10 @@ SMOKE_SET = {
     # r15 composed clean ingest: four chained gates + static-index
     # probes + per-batch localCheckpoint truncation under real JVMs
     "st_q15_clean_ingest": "shadow",
+    # r16 streaming-maintained KV serving store: op-log foreachBatch →
+    # shard-partitioned versioned snapshot (driver-written manifests,
+    # executor-written data) → pruned multi-get + as_of time travel
+    "kv_q5_served_get": "shadow",
 }
 
 
