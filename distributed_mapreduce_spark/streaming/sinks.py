@@ -1756,6 +1756,113 @@ def _fold_id_sidecar(spark, src_ms, dst_ms, id_buckets: int, manifests) -> list[
     return touched
 
 
+class _ChainReset:
+    """The shared skeleton of the five ingest-store compactors
+    (VERDICT r15 #4): ONE committed-batch snapshot taken up front
+    (ADVICE r10 — every dir set derives from it, so a live stream
+    committing mid-compaction cannot desync data from sidecars), the
+    pinned id_buckets recovered, per-family folds, then the
+    crash-ordered finish — `_history_floor.json` written AHEAD of the
+    batch=-1 seed manifest (a crash in between leaves a store with no
+    committed batch, never a readable store missing its floor; the
+    compact_store_partitioned discipline). Each compactor composes
+    the folds it needs; family-specific state (SemDeDup's alias
+    resolution, the clean sink's fp domain) stays in the caller."""
+
+    def __init__(self, spark, src_path: str, dst_path: str):
+        from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
+
+        self.spark = spark
+        self.src_path, self.dst_path = src_path, dst_path
+        self.src_ms, self.dst_ms = ManifestStore(src_path), ManifestStore(dst_path)
+        self.manifests = self.src_ms.manifests()
+        if not self.manifests:
+            raise ValueError(f"no committed batches under {src_path}")
+        self.id_buckets = _pinned_id_buckets(self.manifests, src_path)
+
+    def fold_accepted(self) -> int:
+        """Union the committed accepted/batch=<id> partitions into the
+        destination's batch=-1 seed; returns the row count (the value
+        every compactor returns)."""
+        dirs = self.src_ms.batch_dirs("accepted", manifests=self.manifests)
+        if not dirs:
+            raise ValueError(f"no committed batches under {self.src_path}")
+        acc = self.spark.read.parquet(*dirs)
+        n = acc.count()
+        acc.write.mode("overwrite").parquet(
+            str(self.dst_ms.batch_dir(-1, "accepted"))
+        )
+        return n
+
+    def fold_rows_cell_partitioned(self):
+        """The vector-store data fold (ANN/SemDeDup): committed batch
+        trees read under basePath (cell stays a column), batch dropped,
+        written cell-partitioned into the seed. Returns the folded
+        frame LAZILY — callers count / collect cells / rewrite labels
+        on it before or instead of this helper's write, so it only
+        reads here."""
+        dirs = self.src_ms.batch_dirs(manifests=self.manifests)
+        if not dirs:
+            raise ValueError(f"no committed batches under {self.src_path}")
+        return (
+            self.spark.read.option("basePath", self.src_path)
+            .parquet(*dirs)
+            .drop("batch")
+        )
+
+    def write_rows_cell_partitioned(self, rows) -> None:
+        rows.write.mode("overwrite").partitionBy("cell").parquet(
+            str(self.dst_ms.batch_dir(-1))
+        )
+
+    def fold_ids(self) -> list[int]:
+        """The known-id-gate sidecar fold (see _fold_id_sidecar)."""
+        return _fold_id_sidecar(
+            self.spark, self.src_ms, self.dst_ms, self.id_buckets, self.manifests
+        )
+
+    def fold_bucketed_sidecar(
+        self, subdir: str, cols: list[str], bucket_col: str,
+        want_touched: bool = False,
+    ) -> list[int]:
+        """Fold a bucketed sidecar (`shingles`, `hashes`) into the
+        seed, re-deriving each bucket from `bucket_col` with the pinned
+        id_buckets (routing stays stable ⇒ post-compaction gate probes
+        prune identically). `want_touched=True` additionally collects
+        the seed's touched-bucket list (the fp domain records its own
+        `touched_fp`; the shingle fold never needed one)."""
+        dirs = _sidecar_leaf_dirs(self.src_ms, subdir, manifests=self.manifests)
+        if not dirs:
+            return []
+        df = self.spark.read.parquet(*dirs).select(
+            *cols, _id_bucket(F.col(bucket_col), self.id_buckets).alias("p")
+        )
+        touched: list[int] = []
+        if want_touched:
+            touched = sorted(
+                r["p"] for r in df.select("p").distinct().collect()
+            )
+        df.repartition("p").write.mode("overwrite").partitionBy("p").parquet(
+            str(self.dst_ms.batch_dir(-1, subdir))
+        )
+        return touched
+
+    def commit_seed(self, payload: dict) -> None:
+        """Crash-ordered finish: history floor (write-ahead), then the
+        seed manifest that makes the destination readable."""
+        import pathlib
+
+        from distributed_mapreduce_spark.streaming.commitlog import (
+            atomic_write_json,
+        )
+
+        atomic_write_json(
+            pathlib.Path(self.dst_path) / "_history_floor.json",
+            {"floor": self.manifests[-1][0]},
+        )
+        self.dst_ms.seed(payload)
+
+
 def compact_dedup_ingest_store(spark, src_path: str, dst_path: str) -> int:
     """Consolidate a foreach_batch_dedup_ingest store: all committed
     accepted batch partitions and the id/shingle sidecars fold into a
@@ -1778,50 +1885,15 @@ def compact_dedup_ingest_store(spark, src_path: str, dst_path: str) -> int:
     deterministically against the identical surviving store, so the
     surviving set — and the one-shot-batch equality — is unchanged.
     Returns the number of accepted docs seeded."""
-    from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
-
-    src_ms, dst_ms = ManifestStore(src_path), ManifestStore(dst_path)
-    # ONE committed-batch snapshot; every dir set below derives from it
-    # (a live stream committing between two independent listings would
-    # desync the folded data from the folded sidecars — ADVICE r10).
-    manifests = src_ms.manifests()
-    if not manifests:
-        raise ValueError(f"no committed batches under {src_path}")
-    id_buckets = _pinned_id_buckets(manifests, src_path)
-    acc_dirs = src_ms.batch_dirs("accepted", manifests=manifests)
-    if not acc_dirs:
-        raise ValueError(f"no committed batches under {src_path}")
-    acc = spark.read.parquet(*acc_dirs)
-    n = acc.count()
-    acc.write.mode("overwrite").parquet(str(dst_ms.batch_dir(-1, "accepted")))
-    touched = _fold_id_sidecar(spark, src_ms, dst_ms, id_buckets, manifests)
-    sh_dirs = _sidecar_leaf_dirs(src_ms, "shingles", manifests=manifests)
-    if sh_dirs:
-        spark.read.parquet(*sh_dirs).select(
-            "id", "shingle", _id_bucket(F.col("id"), id_buckets).alias("p")
-        ).repartition("p").write.mode("overwrite").partitionBy("p").parquet(
-            str(dst_ms.batch_dir(-1, "shingles"))
-        )
-    # History floor (VERDICT r13 #6): the batch=-1 seed holds the FOLD
-    # of the whole source chain, so a time-travel fold below the
-    # source's newest batch that includes the seed would fabricate
-    # history. WRITE-AHEAD of the seed manifest — a crash in between
-    # leaves a store with no committed batch (unreadable), never a
-    # readable store missing its floor (the compact_store_partitioned
-    # crash-order discipline).
-    import pathlib
-
-    from distributed_mapreduce_spark.streaming.commitlog import atomic_write_json
-
-    atomic_write_json(
-        pathlib.Path(dst_path) / "_history_floor.json",
-        {"floor": manifests[-1][0]},
-    )
-    dst_ms.seed(
+    cr = _ChainReset(spark, src_path, dst_path)
+    n = cr.fold_accepted()
+    touched = cr.fold_ids()
+    cr.fold_bucketed_sidecar("shingles", ["id", "shingle"], "id")
+    cr.commit_seed(
         {
             "accepted": n,
-            "compacted_from": len(manifests),
-            "id_buckets": id_buckets,
+            "compacted_from": len(cr.manifests),
+            "id_buckets": cr.id_buckets,
             "touched": touched,
         }
     )
@@ -2069,37 +2141,16 @@ def compact_ann_ingest_store(spark, src_path: str, dst_path: str) -> int:
     id_buckets — losing it would silently disarm the known-id gate and
     a fresh-checkpoint replay would duplicate every vector (duplicate
     ids corrupt top-k; regression-tested)."""
-    from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
-
-    src_ms, dst_ms = ManifestStore(src_path), ManifestStore(dst_path)
-    # ONE committed-batch snapshot; data dirs AND the ids sidecar both
-    # derive from it (ADVICE r10 — see compact_dedup_ingest_store).
-    manifests = src_ms.manifests()
-    dirs = src_ms.batch_dirs(manifests=manifests)
-    if not dirs:
-        raise ValueError(f"no committed batches under {src_path}")
-    id_buckets = _pinned_id_buckets(manifests, src_path)
-    rows = spark.read.option("basePath", src_path).parquet(*dirs).drop("batch")
+    cr = _ChainReset(spark, src_path, dst_path)
+    rows = cr.fold_rows_cell_partitioned()
     n = rows.count()
-    rows.write.mode("overwrite").partitionBy("cell").parquet(
-        str(dst_ms.batch_dir(-1))
-    )
-    touched = _fold_id_sidecar(spark, src_ms, dst_ms, id_buckets, manifests)
-    # history floor write-ahead of the seed — see
-    # compact_dedup_ingest_store for the crash-order argument
-    import pathlib
-
-    from distributed_mapreduce_spark.streaming.commitlog import atomic_write_json
-
-    atomic_write_json(
-        pathlib.Path(dst_path) / "_history_floor.json",
-        {"floor": manifests[-1][0]},
-    )
-    dst_ms.seed(
+    cr.write_rows_cell_partitioned(rows)
+    touched = cr.fold_ids()
+    cr.commit_seed(
         {
             "vectors": n,
-            "compacted_from": len(manifests),
-            "id_buckets": id_buckets,
+            "compacted_from": len(cr.manifests),
+            "id_buckets": cr.id_buckets,
             "touched": touched,
         }
     )
@@ -2496,33 +2547,18 @@ def compact_semdedup_ingest_store(spark, src_path: str, dst_path: str) -> int:
     refuses on the compacted store instead of surfacing the seed's
     folded state as history (the shared _ingest_manifests_as_of
     guard). Returns the number of member vectors seeded."""
-    import pathlib
-
-    from distributed_mapreduce_spark.streaming.commitlog import (
-        ManifestStore,
-        atomic_write_json,
-    )
-
-    src_ms, dst_ms = ManifestStore(src_path), ManifestStore(dst_path)
-    # ONE committed-batch snapshot: members, sidecar, and alias log all
-    # derive from it (the ADVICE r10 single-snapshot discipline)
-    manifests = src_ms.manifests()
-    dirs = src_ms.batch_dirs(manifests=manifests)
-    if not dirs:
-        raise ValueError(f"no committed batches under {src_path}")
-    id_buckets = _pinned_id_buckets(manifests, src_path)
-    rows = spark.read.option("basePath", src_path).parquet(*dirs).drop("batch")
+    cr = _ChainReset(spark, src_path, dst_path)
+    rows = cr.fold_rows_cell_partitioned()
     n = rows.count()
-    rows.write.mode("overwrite").partitionBy("cell").parquet(
-        str(dst_ms.batch_dir(-1))
-    )
+    cr.write_rows_cell_partitioned(rows)
     cells = sorted(
         r["cell"] for r in rows.select("cell").distinct().collect()
     )
     # fold the alias log once, driver-side (path-compressed), and bake
-    # the resolution into the seeded labels
+    # the resolution into the seeded labels — the id sidecar therefore
+    # folds HERE (labels rewritten), not through fold_ids
     alias: dict = {}
-    for _b, payload in manifests:
+    for _b, payload in cr.manifests:
         for old, new in payload.get("merges", []):
             alias[int(old)] = int(new)
 
@@ -2536,7 +2572,7 @@ def compact_semdedup_ingest_store(spark, src_path: str, dst_path: str) -> int:
         return c
 
     resolved = {c: canon(c) for c in list(alias)}
-    id_dirs = _sidecar_leaf_dirs(src_ms, "ids", manifests=manifests)
+    id_dirs = _sidecar_leaf_dirs(cr.src_ms, "ids", manifests=cr.manifests)
     ids = spark.read.parquet(*id_dirs).select("id", "comp", "cell")
     if resolved:
         adf = spark.createDataFrame(
@@ -2546,21 +2582,17 @@ def compact_semdedup_ingest_store(spark, src_path: str, dst_path: str) -> int:
         ids = ids.join(F.broadcast(adf), "comp", "left").select(
             "id", F.coalesce("__canon", "comp").alias("comp"), "cell"
         )
-    ids.withColumn("p", _id_bucket(F.col("id"), id_buckets)).repartition(
+    ids.withColumn("p", _id_bucket(F.col("id"), cr.id_buckets)).repartition(
         "p"
     ).write.mode("overwrite").partitionBy("p").parquet(
-        str(dst_ms.batch_dir(-1, "ids"))
+        str(cr.dst_ms.batch_dir(-1, "ids"))
     )
-    atomic_write_json(
-        pathlib.Path(dst_path) / "_history_floor.json",
-        {"floor": manifests[-1][0]},
-    )
-    dst_ms.seed(
+    cr.commit_seed(
         {
             "vectors": n,
-            "compacted_from": len(manifests),
-            "id_buckets": id_buckets,
-            "touched": list(range(id_buckets)),
+            "compacted_from": len(cr.manifests),
+            "id_buckets": cr.id_buckets,
+            "touched": list(range(cr.id_buckets)),
             "cells": cells,
             "merges": [],
         }
@@ -3169,32 +3201,14 @@ def compact_decontam_ingest_store(spark, src_path: str, dst_path: str) -> int:
     deterministically against the STATIC benchmark index (stronger
     than the dedup case: no store-shape argument needed at all).
     Returns the number of accepted docs seeded."""
-    import pathlib
-
-    from distributed_mapreduce_spark.streaming.commitlog import (
-        ManifestStore,
-        atomic_write_json,
-    )
-
-    src_ms, dst_ms = ManifestStore(src_path), ManifestStore(dst_path)
-    manifests = src_ms.manifests()
-    if not manifests:
-        raise ValueError(f"no committed batches under {src_path}")
-    id_buckets = _pinned_id_buckets(manifests, src_path)
-    acc_dirs = src_ms.batch_dirs("accepted", manifests=manifests)
-    acc = spark.read.parquet(*acc_dirs)
-    n = acc.count()
-    acc.write.mode("overwrite").parquet(str(dst_ms.batch_dir(-1, "accepted")))
-    touched = _fold_id_sidecar(spark, src_ms, dst_ms, id_buckets, manifests)
-    atomic_write_json(
-        pathlib.Path(dst_path) / "_history_floor.json",
-        {"floor": manifests[-1][0]},
-    )
-    dst_ms.seed(
+    cr = _ChainReset(spark, src_path, dst_path)
+    n = cr.fold_accepted()
+    touched = cr.fold_ids()
+    cr.commit_seed(
         {
             "accepted": n,
-            "compacted_from": len(manifests),
-            "id_buckets": id_buckets,
+            "compacted_from": len(cr.manifests),
+            "id_buckets": cr.id_buckets,
             "touched": touched,
         }
     )
@@ -3214,51 +3228,18 @@ def compact_clean_ingest_store(spark, src_path: str, dst_path: str) -> int:
     (pure gates against the static index; exact dups against the
     seeded fp sidecar; near-dups against the identical surviving
     state). Returns the number of accepted docs seeded."""
-    import pathlib
-
-    from distributed_mapreduce_spark.streaming.commitlog import (
-        ManifestStore,
-        atomic_write_json,
+    cr = _ChainReset(spark, src_path, dst_path)
+    n = cr.fold_accepted()
+    touched = cr.fold_ids()
+    cr.fold_bucketed_sidecar("shingles", ["id", "shingle"], "id")
+    touched_fp = cr.fold_bucketed_sidecar(
+        "hashes", ["fp"], "fp", want_touched=True
     )
-
-    src_ms, dst_ms = ManifestStore(src_path), ManifestStore(dst_path)
-    manifests = src_ms.manifests()
-    if not manifests:
-        raise ValueError(f"no committed batches under {src_path}")
-    id_buckets = _pinned_id_buckets(manifests, src_path)
-    acc_dirs = src_ms.batch_dirs("accepted", manifests=manifests)
-    acc = spark.read.parquet(*acc_dirs)
-    n = acc.count()
-    acc.write.mode("overwrite").parquet(str(dst_ms.batch_dir(-1, "accepted")))
-    touched = _fold_id_sidecar(spark, src_ms, dst_ms, id_buckets, manifests)
-    sh_dirs = _sidecar_leaf_dirs(src_ms, "shingles", manifests=manifests)
-    if sh_dirs:
-        spark.read.parquet(*sh_dirs).select(
-            "id", "shingle", _id_bucket(F.col("id"), id_buckets).alias("p")
-        ).repartition("p").write.mode("overwrite").partitionBy("p").parquet(
-            str(dst_ms.batch_dir(-1, "shingles"))
-        )
-    fp_dirs = _sidecar_leaf_dirs(src_ms, "hashes", manifests=manifests)
-    touched_fp: list = []
-    if fp_dirs:
-        fps = spark.read.parquet(*fp_dirs).select(
-            "fp", _id_bucket(F.col("fp"), id_buckets).alias("p")
-        )
-        touched_fp = sorted(
-            r["p"] for r in fps.select("p").distinct().collect()
-        )
-        fps.repartition("p").write.mode("overwrite").partitionBy("p").parquet(
-            str(dst_ms.batch_dir(-1, "hashes"))
-        )
-    atomic_write_json(
-        pathlib.Path(dst_path) / "_history_floor.json",
-        {"floor": manifests[-1][0]},
-    )
-    dst_ms.seed(
+    cr.commit_seed(
         {
             "accepted": n,
-            "compacted_from": len(manifests),
-            "id_buckets": id_buckets,
+            "compacted_from": len(cr.manifests),
+            "id_buckets": cr.id_buckets,
             "touched": touched,
             "touched_fp": touched_fp,
         }
