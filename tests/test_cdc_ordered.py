@@ -744,3 +744,92 @@ def test_partitioned_sink_refuses_key_type_change(spark, tmp_path):
     assert dict(snap.dtypes)["v"] == "double"
     # c2's ord-3 upsert moved k=1 to 3.0 before the widened re-run
     assert {r.k: r.v for r in snap.collect()} == {1: 3.0, 2: 2.0}
+
+
+def test_merge_schema_widens_date_to_timestamp_ntz(spark):
+    """VERDICT r15 #6: date→timestamp_ntz is in Delta's type-widening
+    table and is lossless (midnight NTZ, no timezone semantics) — the
+    flat merge evolves it, stored rows cast up to midnight. The
+    timezone-AWARE timestamp stays refused: that cast reads the
+    session timezone, so stored instants would depend on reader
+    configuration."""
+    import datetime
+
+    base = spark.createDataFrame(
+        [(1, datetime.date(2020, 3, 1)), (2, datetime.date(2021, 7, 4))],
+        "k long, d date",
+    )
+    changes = spark.sql(
+        "SELECT CAST(2 AS BIGINT) k, CAST(9 AS BIGINT) ord, 0 is_delete, "
+        "TIMESTAMP_NTZ'2022-01-02 03:04:05' d"
+    )
+    out = merge_changes(base, changes, "k", merge_schema=True)
+    assert dict(out.dtypes)["d"] == "timestamp_ntz"
+    got = {r.k: r.d for r in out.collect()}
+    assert got[1] == datetime.datetime(2020, 3, 1, 0, 0)
+    assert got[2] == datetime.datetime(2022, 1, 2, 3, 4, 5)
+
+    tz_changes = spark.sql(
+        "SELECT CAST(2 AS BIGINT) k, CAST(9 AS BIGINT) ord, 0 is_delete, "
+        "TIMESTAMP'2022-01-02 03:04:05' d"
+    )
+    with pytest.raises(ValueError, match="never silently cast"):
+        merge_changes(base, tz_changes, "k", merge_schema=True)
+
+
+def test_partitioned_sink_date_to_ntz_widening_e2e(spark, tmp_path):
+    """The widening through the PARTITIONED layout: a resumed feed
+    retypes a date payload column to timestamp_ntz — later versions
+    store NTZ, never-rewritten partitions' DATE files read back
+    promoted under the recorded schema (the probed parquet-reader
+    promotion _is_widening's docstring cites), and a time-travel read
+    below the widening returns the OLD date type."""
+    import datetime
+
+    from distributed_mapreduce_spark.streaming import event_stream
+    from distributed_mapreduce_spark.streaming.sinks import (
+        foreach_batch_cdc_merge_partitioned,
+        read_current_partitioned,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = time.time()
+    _chunk(str(src / "c1.parquet"), [(1, 1, "up", 1.0), (2, 2, "up", 2.0)], base)
+
+    def changes(date_type):
+        return _to_changes(event_stream(spark, str(src))).withColumn(
+            "d", F.to_date(F.lit("2020-03-01")).cast(date_type)
+        )
+
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    foreach_batch_cdc_merge_partitioned(
+        changes("date"), store, ckpt, "k", n_buckets=4, merge_schema=True
+    ).awaitTermination()
+    snap0 = read_current_partitioned(spark, store)
+    assert dict(snap0.dtypes)["d"] == "date"
+
+    # resume the same checkpoint with the widened feed; the new chunk
+    # touches ONLY key 3's bucket, so key 1/2's partition keeps its
+    # DATE-typed files and must read back promoted
+    _chunk(str(src / "c2.parquet"), [(5, 3, "up", 3.0)], base + 5)
+    foreach_batch_cdc_merge_partitioned(
+        changes("timestamp_ntz"), store, ckpt, "k", n_buckets=4,
+        merge_schema=True,
+    ).awaitTermination()
+    snap1 = read_current_partitioned(spark, store)
+    assert dict(snap1.dtypes)["d"] == "timestamp_ntz"
+    got = {r.k: r.d for r in snap1.collect()}
+    assert got == {
+        1: datetime.datetime(2020, 3, 1, 0, 0),
+        2: datetime.datetime(2020, 3, 1, 0, 0),
+        3: datetime.datetime(2020, 3, 1, 0, 0),
+    }
+    # time travel below the widening: the OLD schema, both layouts'
+    # contract (the r15 schema-on-read redesign)
+    pre = read_current_partitioned(spark, store, as_of=0)
+    assert dict(pre.dtypes)["d"] == "date"
+    assert {r.k: r.d for r in pre.collect()} == {
+        1: datetime.date(2020, 3, 1),
+        2: datetime.date(2020, 3, 1),
+    }
