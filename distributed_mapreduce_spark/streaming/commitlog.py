@@ -197,6 +197,7 @@ class VersionManifests:
         ordered: bool = False,
         key: str | None = None,
         schema: list | None = None,
+        bucket_expr: str | None = None,
     ) -> None:
         """Make a version visible — call LAST. `touched` lists the
         partition values this version rewrote, INCLUDING ones it
@@ -208,7 +209,12 @@ class VersionManifests:
         the anchor mergeSchema evolution needs so a time-travel read
         below a column addition returns the old schema and a read
         above it can type the NULL pad for partitions never rewritten
-        since."""
+        since. `bucket_expr` names the partition-routing expression
+        when it is NOT the CDC default pmod(xxhash64(key), n) — e.g.
+        the KV serving store's 'key2shard' — so maintenance jobs that
+        REWRITE partitions (compact_store_partitioned) re-bucket with
+        the same expression instead of silently scattering every row
+        (r16; absent = the xxhash64 default)."""
         self.version_dir(version).mkdir(parents=True, exist_ok=True)
         payload = {
             "touched": sorted(touched),
@@ -218,6 +224,8 @@ class VersionManifests:
         }
         if schema is not None:
             payload["schema"] = [[n, d] for n, d in schema]
+        if bucket_expr is not None:
+            payload["bucket_expr"] = bucket_expr
         atomic_write_json(self.version_dir(version) / self.MANIFEST, payload)
 
     def committed(self, below: int | None = None) -> list[tuple[int, dict]]:

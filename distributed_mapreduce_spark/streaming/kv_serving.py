@@ -85,6 +85,7 @@ def foreach_batch_kv_serving(
             pin.get("n_buckets") != NSHARDS
             or pin.get("key") != "key"
             or pin.get("ordered", False)
+            or pin.get("bucket_expr") != "key2shard"
             or rec != [list(t) for t in _KV_SCHEMA]
         ):
             raise ValueError(
@@ -111,7 +112,7 @@ def foreach_batch_kv_serving(
                 (store / f"v={batch_id}").mkdir(parents=True, exist_ok=True)
                 _write_manifest(
                     store / f"v={batch_id}", [], NSHARDS, False, "key",
-                    schema=_KV_SCHEMA,
+                    schema=_KV_SCHEMA, bucket_expr="key2shard",
                 )
                 return
             manifests = _committed_manifests(store_path, below=batch_id)
@@ -142,7 +143,7 @@ def foreach_batch_kv_serving(
             )
             _write_manifest(
                 store / f"v={batch_id}", touched, NSHARDS, False, "key",
-                schema=_KV_SCHEMA,
+                schema=_KV_SCHEMA, bucket_expr="key2shard",
             )
         finally:
             df.unpersist()

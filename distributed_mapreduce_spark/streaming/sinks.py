@@ -249,6 +249,7 @@ def _write_manifest(
     ordered: bool = False,
     key: str | None = None,
     schema: list | None = None,
+    bucket_expr: str | None = None,
 ) -> None:
     import pathlib
 
@@ -262,6 +263,7 @@ def _write_manifest(
         ordered,
         key,
         schema,
+        bucket_expr,
     )
 
 
@@ -403,6 +405,16 @@ def foreach_batch_cdc_merge_partitioned(
             raise ValueError(
                 f"store {store_path} routes on key={have_key!r}; hash "
                 f"routing must stay stable (got key={key!r})"
+            )
+        have_expr = committed[0][1].get("bucket_expr", "xxhash64")
+        if have_expr != "xxhash64":
+            raise ValueError(
+                f"store {store_path} routes partitions with "
+                f"bucket_expr={have_expr!r}, not this sink's "
+                "pmod(xxhash64(key), n) — merging here would write "
+                "buckets the store's own readers never probe (r16: the "
+                "KV serving store pins 'key2shard'; maintain it with "
+                "streaming/kv_serving.foreach_batch_kv_serving)"
             )
         # The key's TYPE is a routing invariant like n_buckets (ADVICE
         # r15): xxhash64 hashes int and bigint differently, so even the
@@ -912,6 +924,16 @@ def compact_store_partitioned(
     meta = manifests[0][1]
     n_buckets = meta["n_buckets"]
     ordered = meta.get("ordered", False)
+    # The routing EXPRESSION is pinned like the key (r16): rewriting
+    # a key2shard-routed store (the KV serving layout) with this
+    # function's xxhash64 default would scatter every row into shards
+    # its readers never probe — present keys would silently serve "".
+    bucket_expr = meta.get("bucket_expr", "xxhash64")
+    if bucket_expr not in ("xxhash64", "key2shard"):
+        raise ValueError(
+            f"store {src_path} pins unknown bucket_expr={bucket_expr!r}; "
+            "refusing to re-bucket with a guessed expression"
+        )
     pinned = meta.get("key")
     if pinned is not None and key is not None and pinned != key:
         raise ValueError(
@@ -942,9 +964,15 @@ def compact_store_partitioned(
         )
     snap = _read_with_recorded_schema(spark, paths, manifests)
     dst = pathlib.Path(dst_path)
-    snap.withColumn(
-        "p", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
-    ).write.mode("overwrite").partitionBy("p").parquet(str(dst / "v=-1"))
+    if bucket_expr == "key2shard":
+        from distributed_mapreduce_spark.operators.kv import key2shard
+
+        p_col = key2shard(F.col(key))
+    else:
+        p_col = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    snap.withColumn("p", p_col).write.mode("overwrite").partitionBy(
+        "p"
+    ).parquet(str(dst / "v=-1"))
     # History floor (code-review r13; scope refined per ADVICE r13):
     # the v=-1 seed holds the HEAD snapshot of the source chain, so a
     # time-travel fold below the source's newest version that resolves
@@ -971,6 +999,9 @@ def compact_store_partitioned(
             for f in snap.schema.fields
             if f.name != "p"
         ],
+        # the routing pin survives the chain reset (None keeps the
+        # xxhash64-default payload shape for CDC stores)
+        bucket_expr=None if bucket_expr == "xxhash64" else bucket_expr,
     )
     return n_buckets
 

@@ -274,3 +274,88 @@ def test_kv_served_get_empty_shard_and_gets_ignored(spark, tmp_path):
     assert kv_served_get(spark, store, "0").collect() == [("0", "x")]
     # key "1" routes to an untouched shard: served as absent
     assert kv_served_get(spark, store, "1").collect() == [("1", "")]
+
+
+def test_kv_store_maintenance_lifecycle(spark, tmp_path):
+    """The serving store composes with the partitioned layout's
+    maintenance primitives (r16): compact_store_partitioned re-buckets
+    with the PINNED routing expression — the xxhash64 default would
+    scatter a key2shard store so present keys silently serve "" — and
+    the compacted store keeps serving identical gets AND resumes
+    through the KV sink; vacuum reclaims old versions (time travel
+    below the reclaim refuses, head unaffected); the CDC sink refuses
+    a key2shard-pinned store outright."""
+    import json
+
+    from distributed_mapreduce_spark.streaming.kv_serving import (
+        foreach_batch_kv_serving,
+        kv_served_get,
+        read_kv_state,
+    )
+    from distributed_mapreduce_spark.streaming.sinks import (
+        compact_store_partitioned,
+        foreach_batch_cdc_merge_partitioned,
+        vacuum_versions_partitioned,
+    )
+
+    rng = random.Random(11)
+    keys = [str(i) for i in range(30)]
+    ops = _mk_ops([(rng.choice(keys), s) for s in range(1, 241)])
+    src = _stage(tmp_path, ops, 4)
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    foreach_batch_kv_serving(_stream(spark, src), store, ckpt).awaitTermination()
+    want = {r.key: r.value for r in read_kv_state(spark, store).collect()}
+
+    # chain reset: the compacted seed must route with key2shard
+    dst = str(tmp_path / "compacted")
+    compact_store_partitioned(spark, store, dst)
+    seed = json.loads(
+        (pathlib.Path(dst) / "v=-1" / "_touched.json").read_text()
+    )
+    assert seed["bucket_expr"] == "key2shard"
+    got = {r.key: r.value for r in read_kv_state(spark, dst).collect()}
+    assert got == want
+    for k in list(want)[:3] + ["zz-absent"]:
+        assert kv_served_get(spark, dst, k).collect() == [(k, want.get(k, ""))]
+    # every seed partition dir IS the key's shard (scatter would
+    # misplace rows even when the full-table fold still unions them)
+    for d in pathlib.Path(dst, "v=-1").glob("p=*"):
+        shard = int(d.name.split("=")[1])
+        in_dir = spark.read.parquet(str(d))
+        assert all(key2shard_py(r.key) == shard for r in in_dir.collect()), d
+
+    # fresh-checkpoint resume over the compacted store converges (the
+    # seeded last_seq watermarks drop every replayed row)
+    foreach_batch_kv_serving(
+        _stream(spark, src), dst, str(tmp_path / "ckpt2")
+    ).awaitTermination()
+    got2 = {r.key: r.value for r in read_kv_state(spark, dst).collect()}
+    assert got2 == want
+
+    # the CDC sink refuses the key2shard-pinned store
+    with pytest.raises(ValueError, match="bucket_expr"):
+        foreach_batch_cdc_merge_partitioned(
+            _stream(spark, src).select(
+                "key",
+                F.col("seq").alias("ord"),
+                F.lit(0).alias("is_delete"),
+                "value",
+            ),
+            store,
+            str(tmp_path / "cdc_ckpt"),
+            "key",
+            n_buckets=10,
+        )
+
+    # vacuum: old versions reclaimed, head unaffected, as_of below the
+    # reclaim refuses instead of fabricating history
+    reclaimed = vacuum_versions_partitioned(store, keep=2)
+    assert 0 in reclaimed
+    assert {
+        r.key: r.value for r in read_kv_state(spark, store).collect()
+    } == want
+    # (the reclaimed version's manifest is gone with its dir, so the
+    # refusal is the no-committed-version error rather than the
+    # per-partition reclaim guard — either way: refuse, don't fabricate)
+    with pytest.raises(FileNotFoundError, match="no committed version|reclaimed"):
+        read_kv_state(spark, store, as_of=0).collect()
