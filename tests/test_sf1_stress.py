@@ -1152,3 +1152,122 @@ def test_sf1_clean_ingest_scaling(stress_spark, sf1_dir, tmp_path):
     finally:
         stress_spark.sql("DROP TABLE IF EXISTS sf1_clean_bench_bands")
         stress_spark.sql("DROP TABLE IF EXISTS sf1_clean_corpus_bands")
+
+
+# r16: the KV serving sink's honest cost law differs from the ingest
+# sinks' flatness claims. Its state is a keyspace-bounded SNAPSHOT —
+# every batch rewrites the shards it touches WHOLESALE (the versioned
+# partitioned layout), so with a fixture-faithful NSHARDS=10 and a feed
+# spanning the whole keyspace, s/batch legitimately grows with the
+# accumulated state bytes of the touched shards (new keys accumulate).
+# What must NOT appear is any term scaling with the VERSION-CHAIN
+# length (the manifest fold is metadata-only) or with total ops ever
+# folded. Asserted: per-batch wall time grows no faster than touched
+# state bytes (ratio-to-ratio bound), and a served point get costs the
+# same against a 16-version chain as against a 4-version one.
+BUDGET_KV_SERVING_S = 600
+
+
+def test_sf1_kv_serving_scaling(stress_spark, tmp_path):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.streaming.kv_serving import (
+        foreach_batch_kv_serving,
+        kv_served_get,
+        read_kv_state,
+    )
+
+    rng = np.random.default_rng(16)
+    n_ops, n_keys = 1_200_000, 120_000
+    seqs = np.arange(1, n_ops + 1)
+    keys = rng.integers(0, n_keys, n_ops)
+    kinds = rng.integers(0, 10, n_ops)  # 0-6 put, 7-8 append, 9 get
+    op = np.where(kinds < 7, "put", np.where(kinds < 9, "append", "get"))
+    tbl = pa.table(
+        {
+            "key": pa.array([str(k) for k in keys]),
+            "seq": pa.array(seqs, pa.int64()),
+            "op": pa.array(op),
+            "value": pa.array([f"v{s}" for s in seqs]),
+        }
+    )
+    src = tmp_path / "oplog"
+    src.mkdir()
+    _write_feed_chunks(str(src), tbl, N_INGEST_BATCHES, ["key", "seq", "op", "value"])
+
+    store = str(tmp_path / "store")
+    t0 = time.monotonic()
+    q = foreach_batch_kv_serving(
+        (
+            stress_spark.readStream.schema(
+                "key string, seq long, op string, value string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        ),
+        store,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    total = time.monotonic() - t0
+    prog = [
+        (int(p.batchId), p.batchDuration / 1e3)
+        for p in (q.recentProgress or [])
+        if p.numInputRows > 0
+    ]
+    assert len(prog) >= N_INGEST_BATCHES - 1, prog
+
+    # touched-state bytes per version dir (what batch k actually wrote
+    # = the post-batch state of the shards it touched)
+    import pathlib as _pl
+
+    vbytes = {
+        int(d.name.split("=")[1]): sum(
+            f.stat().st_size for f in d.rglob("*.parquet")
+        )
+        for d in _pl.Path(store).glob("v=*")
+    }
+    durs = dict(prog)
+    print(
+        f"\n  [sf1 stress] kv_serving: {len(prog)} batches, total {total:.1f}s"
+    )
+    print(f"  [sf1 stress] kv_serving s/batch: "
+          f"{[round(durs.get(b, float('nan')), 2) for b in range(N_INGEST_BATCHES)]}")
+    print(f"  [sf1 stress] kv_serving state MB/version: "
+          f"{[round(vbytes.get(b, 0)/1e6, 2) for b in range(N_INGEST_BATCHES)]}")
+    assert total < BUDGET_KV_SERVING_S, f"{total:.0f}s (budget {BUDGET_KV_SERVING_S}s)"
+
+    import statistics
+
+    early_t = statistics.median(durs.get(b, 0.0) for b in range(2, 6))
+    late_t = statistics.median(durs.get(b, 0.0) for b in range(12, 16))
+    early_b = statistics.median(vbytes.get(b, 0) for b in range(2, 6))
+    late_b = statistics.median(vbytes.get(b, 0) for b in range(12, 16))
+    growth_t, growth_b = late_t / early_t, late_b / early_b
+    print(
+        f"  [sf1 stress] kv_serving growth: time {growth_t:.2f}x vs "
+        f"touched-state bytes {growth_b:.2f}x"
+    )
+    # wall time may grow only as fast as the state it rewrites (slack
+    # 1.5x + 1s absolute for scheduler noise); a chain-length or
+    # total-ops term would blow past this
+    assert late_t <= 1.5 * early_t * growth_b + 1.0, (
+        f"kv_serving s/batch grew {growth_t:.2f}x while touched state "
+        f"grew {growth_b:.2f}x — a non-state-bound cost is scaling"
+    )
+
+    # served point get: one shard dir regardless of chain length —
+    # time it against the head (16 versions) and a 4-version prefix
+    key = str(int(keys[0]))
+    for as_of, label in [(3, "4-version"), (None, "head")]:
+        t1 = time.monotonic()
+        kv_served_get(stress_spark, store, key, as_of=as_of).collect()
+        dt = time.monotonic() - t1
+        print(f"  [sf1 stress] kv_serving point get ({label}): {dt:.2f}s")
+        assert dt < 30, f"point get ({label}) took {dt:.1f}s"
+
+    n_state = read_kv_state(stress_spark, store).count()
+    assert 0 < n_state <= n_keys
+    print(f"  [sf1 stress] kv_serving final state rows: {n_state}")
