@@ -35,6 +35,17 @@ Usage:
         quiet pass (loud-run excesses are expected, reported, exit 0).
     python scripts/quiet_floor.py table
         Print the floors as a markdown table (pasted into SCALE.md).
+    python scripts/quiet_floor.py bound bench_last.json [label]
+        Record LOUD UPPER BOUNDS (VERDICT r15 #1) for queries that
+        have no quiet floor yet: min-merge the run's per-query minima
+        into a separate `loud_bounds` section tagged
+        `"loud_bound": true` with the run's calib_nt_s range over the
+        baseline attached. Bounds are committed perf state for
+        queries the host's weather has kept floor-less — an UPPER
+        bound on the quiet floor, never a floor: `update` refuses
+        loud runs exactly as before, and the first quiet merge that
+        floors a query REMOVES its bound (superseded by the real
+        thing).
 """
 
 from __future__ import annotations
@@ -238,6 +249,16 @@ def cmd_update(path: str, label: str | None, force: bool) -> int:
                     cal_updated += 1
     if not cal:
         del floors["_meta"]["calibration"]
+    # a query gaining a real floor sheds its loud bound — the bound
+    # was only ever a stand-in for this exact moment (VERDICT r15 #1)
+    bounds = floors.get("loud_bounds") or {}
+    superseded = [n for n in bounds if n in q]
+    for n in superseded:
+        del bounds[n]
+    if superseded:
+        print(f"  loud bounds superseded by new floors: {superseded}")
+    if not bounds:
+        floors.pop("loud_bounds", None)
     with open(FLOORS_PATH, "w") as f:
         json.dump(floors, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -245,6 +266,61 @@ def cmd_update(path: str, label: str | None, force: bool) -> int:
     print(f"{updated} floors updated from {label}; {len(q)} queries, "
           f"floor total {total}s -> {FLOORS_PATH}"
           + (f"; {cal_updated} calibration baselines updated" if cal_updated else ""))
+    return 0
+
+
+def cmd_bound(path: str, label: str | None) -> int:
+    """Min-merge a (typically loud) run's per-query minima into
+    `loud_bounds` for queries WITHOUT a quiet floor — see the module
+    docstring. Never touches `queries` or the calibration baseline;
+    quietness is irrelevant here (a quiet pass would have gone through
+    `update`; a bound from a quiet run is simply a tight bound)."""
+    run = _load_run(path)
+    floors = _load_floors()
+    label = label or os.path.basename(path)
+    base = _calib_baseline(floors).get("calib_nt_s")
+    nts = [
+        v
+        for p in run.get("pass_loads") or []
+        for side in ("calib", "calib_after")
+        if isinstance(v := (p.get(side) or {}).get("calib_nt_s"), (int, float))
+    ]
+    nt_range = (
+        [round(min(nts) / base, 3), round(max(nts) / base, 3)]
+        if nts and base
+        else None
+    )
+    q = floors.get("queries", {})
+    bounds = floors.setdefault("loud_bounds", {})
+    floors.setdefault("_meta", {}).setdefault(
+        "loud_bounds_definition",
+        "best-across-runs minimum recorded in LOUD runs for queries "
+        "with no quiet floor yet (VERDICT r15 #1) — an UPPER bound on "
+        "the quiet floor, never merged into `queries`; nt_x_range = "
+        "the source run's calib_nt_s spread over _meta.calibration "
+        "(how loud the window was); the first quiet `update` that "
+        "floors a query removes its bound",
+    )
+    updated = 0
+    for name, sec in run["queries"].items():
+        if name in q:
+            continue  # real floor exists; bounds cover the floor-less only
+        cur = bounds.get(name)
+        if cur is None or sec < cur["bound_s"]:
+            entry = {"bound_s": round(sec, 3), "run": label, "loud_bound": True}
+            if nt_range:
+                entry["nt_x_range"] = nt_range
+            bounds[name] = entry
+            updated += 1
+    floors["loud_bounds"] = dict(sorted(bounds.items()))
+    with open(FLOORS_PATH, "w") as f:
+        json.dump(floors, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(
+        f"{updated} loud bounds updated from {label}; "
+        f"{len(bounds)} floor-less queries bounded -> {FLOORS_PATH} "
+        "(bounds are NOT floors; a quiet merge supersedes them)"
+    )
     return 0
 
 
@@ -321,6 +397,8 @@ def main() -> int:
     cmd = args[0]
     if cmd == "update":
         return cmd_update(args[1], args[2] if len(args) > 2 else None, force)
+    if cmd == "bound":
+        return cmd_bound(args[1], args[2] if len(args) > 2 else None)
     if cmd == "diff":
         return cmd_diff(args[1], float(args[2]) if len(args) > 2 else 1.5)
     if cmd == "table":

@@ -252,3 +252,72 @@ def test_mem_only_deviation_stays_quiet(tmp_path, floors_path):
     assert qf.cmd_update(run, "m", False) == 0
     floors = json.loads(floors_path.read_text())
     assert floors["queries"]["q1"]["floor_s"] == 1.9
+
+
+def test_bound_records_loud_bounds_without_touching_floors(
+    tmp_path, floors_path, capsys
+):
+    """VERDICT r15 #1: `bound` min-merges a loud run's minima into the
+    separate loud_bounds section (tagged, nt range attached) for
+    queries WITHOUT floors; floors and calibration stay untouched, and
+    `update` keeps refusing loud runs exactly as before."""
+    # a floor exists for q1; q2 is floor-less
+    qf.cmd_update(_run(tmp_path, "a.json", {"q1": 2.0}, QUIET), "a", False)
+    loud_pass = [
+        {
+            "ext_busy_cores": 12.0,
+            "loud": True,
+            "calib": {"calib_1t_s": 0.30, "calib_nt_s": 1.50},
+            "calib_after": {"calib_1t_s": 0.31, "calib_nt_s": 1.80},
+        }
+    ]
+    run = _run(tmp_path, "loud.json", {"q1": 9.0, "q2": 5.0}, loud_pass)
+    assert qf.cmd_bound(run, "loudA") == 0
+    floors = json.loads(floors_path.read_text())
+    # floors untouched (q1 keeps its quiet floor; q2 gained none)
+    assert floors["queries"] == {"q1": {"floor_s": 2.0, "run": "a"}}
+    b = floors["loud_bounds"]["q2"]
+    assert b["bound_s"] == 5.0 and b["loud_bound"] is True and b["run"] == "loudA"
+    assert "loud_bounds_definition" in floors["_meta"]
+    # min-merge: a worse later bound does not regress it
+    qf.cmd_bound(_run(tmp_path, "loud2.json", {"q2": 7.0}, loud_pass), "loudB")
+    floors = json.loads(floors_path.read_text())
+    assert floors["loud_bounds"]["q2"]["bound_s"] == 5.0
+    # update still refuses the loud run outright
+    assert qf.cmd_update(run, None, force=False) == 1
+
+
+def test_bound_attaches_nt_range_and_quiet_merge_supersedes(
+    tmp_path, floors_path
+):
+    """The nt range is the run's calib_nt_s spread over the recorded
+    baseline; the first quiet update that floors a bounded query
+    REMOVES its bound."""
+    # seed a calibration baseline via a quiet calibrated run
+    quiet_cal = [
+        {
+            "ext_busy_cores": 0.1,
+            "loud": False,
+            "calib": {"calib_1t_s": 0.20, "calib_nt_s": 1.00},
+            "calib_after": {"calib_1t_s": 0.20, "calib_nt_s": 1.00},
+        }
+    ]
+    qf.cmd_update(_run(tmp_path, "base.json", {"q1": 2.0}, quiet_cal), "base", False)
+    loud_pass = [
+        {
+            "ext_busy_cores": 0.1,
+            "loud": True,
+            "calib": {"calib_1t_s": 0.30, "calib_nt_s": 1.30},
+            "calib_after": {"calib_1t_s": 0.30, "calib_nt_s": 1.95},
+        }
+    ]
+    qf.cmd_bound(_run(tmp_path, "loud.json", {"q2": 5.0}, loud_pass), "loudA")
+    floors = json.loads(floors_path.read_text())
+    assert floors["loud_bounds"]["q2"]["nt_x_range"] == [1.3, 1.95]
+    # a quiet run flooring q2 supersedes the bound
+    qf.cmd_update(
+        _run(tmp_path, "q.json", {"q2": 4.2}, quiet_cal), "quietQ", False
+    )
+    floors = json.loads(floors_path.read_text())
+    assert floors["queries"]["q2"]["floor_s"] == 4.2
+    assert "loud_bounds" not in floors
