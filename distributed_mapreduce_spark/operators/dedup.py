@@ -1101,3 +1101,60 @@ def dedup_corpus_greedy(
         [(int(x),) for x in sorted(rejected)], f"{id_col} bigint"
     )
     return docs.join(F.broadcast(rej_df), id_col, "left_anti")
+
+
+def paragraph_keep_first(
+    docs: DataFrame,
+    paras_col: str = "paras",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """CCNet-style corpus-wide paragraph dedup (Wenzek et al. 2020 §3.1
+    strip duplicated paragraphs by hash over the WHOLE corpus, not per
+    document): each distinct paragraph survives only at its first
+    occurrence in (id, position) order; every later occurrence — the
+    other docs' copies AND later repeats inside the first doc — is
+    dropped, and each document is reconstructed from its surviving
+    paragraphs in original order. Documents whose every paragraph is a
+    duplicate reconstruct to no row (CCNet drops emptied docs). Keyed
+    by md5(paragraph) exactly as published (a digest, collisions
+    tolerated by design) so the shuffle carries a 32-char key, never
+    the paragraph text.
+
+    Scale shape (the reason this is an agg+join, not a window): the
+    first-occurrence winner per key is min(struct(id, pos)) — a
+    map-side PARTIAL aggregation (asserted in tests/test_plans.py), so
+    a boilerplate paragraph occurring 10⁹ times across 100 TB combines
+    to one row per map task before the shuffle. The same predicate as
+    `row_number() OVER (PARTITION BY pk)` = 1 would put all 10⁹
+    occurrences in ONE window task. The winner join-back on pk reuses
+    the agg's hash partitioning; residual probe-side skew is AQE
+    skew-join territory, not a plan defect. Reconstruction groups by
+    the doc id — the natural partitioning of every downstream per-doc
+    op.
+
+    Returns (id, n_paras, n_kept, clean_text); blank paragraphs are the
+    caller's concern (split artifacts — drop them before calling, or
+    they dedup like any other repeated string)."""
+    paras = docs.select(
+        F.col(id_col),
+        F.size(paras_col).cast("bigint").alias("n_paras"),
+        F.posexplode(paras_col).alias("pos", "para"),
+    )
+    keyed = paras.withColumn("pk", F.md5("para"))
+    first = keyed.groupBy("pk").agg(
+        F.min(F.struct(id_col, "pos")).alias("w")
+    )
+    kept = keyed.join(first, "pk").where(
+        (F.col(id_col) == F.col(f"w.{id_col}")) & (F.col("pos") == F.col("w.pos"))
+    )
+    return kept.groupBy(id_col, "n_paras").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s.getField("para"),
+            ),
+            sep,
+        ).alias("clean_text"),
+    )

@@ -14,9 +14,16 @@ from pyspark.sql import functions as F
 
 from distributed_mapreduce_spark.functions.text import (
     BPE_ISH_PATTERN,
+    C4_BAD_LINE_WORD,
+    C4_BRACE,
+    C4_LOREM,
+    C4_MIN_LINES,
+    C4_MIN_WORDS,
+    C4_TERMINAL_RE,
     RH_BASE,
     RH_MOD,
     STOPWORDS,
+    c4_keep_lines,
     avg_token_len,
     bpe_ish_tokens,
     distinct_tokens,
@@ -35,6 +42,7 @@ from distributed_mapreduce_spark.operators.dedup import (
     dup_span_coverage,
     jaccard_pairs,
     minhash_near_dup_pairs,
+    paragraph_keep_first,
     simhash_near_dup_pairs,
     span_scrub,
     token_set_signature,
@@ -1462,6 +1470,106 @@ def text_q17_per_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning + CCNet paragraph dedup. The fixture's texts
+# are single-line word streams, so — following text_q15/q16's splice
+# pattern — both queries first build a synthetic "crawled page" from
+# each document with a DIALECT-SHARED SQL expression: concat_ws / chr /
+# CASE / nullif / 2-arg substring / || behave identically in Spark SQL
+# and DuckDB (including both concat_ws's skipping NULL arguments), so
+# the one Python constant below is evaluated verbatim by both engines
+# and the dirty input cannot drift between them.
+
+# A menu line (no terminal punctuation), a "please enable Javascript"
+# line on even ids, the document's content split into two prose lines,
+# an unpunctuated copyright line, a lorem-ipsum page marker on ids
+# ≡ 0 (mod 7), a curly-brace code marker on ids ≡ 0 (mod 11), and a
+# two-word "Read more." teaser — one line per C4 rule.
+_C4_PAGE_EXPR = """concat_ws(chr(10),
+    'HOME | PRODUCTS | ABOUT US | CONTACT',
+    CASE WHEN doc_id % 2 = 0 THEN 'Please enable Javascript to continue.' END,
+    substring(text, 1, 40) || '.',
+    'Copyright 2024 Example Corp',
+    CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+    CASE WHEN doc_id % 11 = 0 THEN '{ display: none }' END,
+    nullif(substring(text, 41), '') || '.',
+    'Read more.')"""
+
+
+def text_q18_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2, the Colossal
+    Clean Crawled Corpus rules) over the synthetic crawled page: keep
+    only lines that end in terminal punctuation, have ≥ C4_MIN_WORDS
+    words, and don't mention javascript; the page verdict additionally
+    requires ≥ C4_MIN_LINES surviving lines and no lorem-ipsum /
+    curly-brace marker anywhere on the page (the paper's
+    document-level discards). Returns per-page line counts, the kept
+    fraction, the verdict, and the reconstructed clean text.
+
+    Scale shape — the reason this is higher-order functions, not
+    explode: the whole pass (split → per-line predicate → rejoin) is a
+    pure narrow projection over the line ARRAY, entirely inside
+    whole-stage codegen — NO explode fan-out, NO shuffle, NO Python.
+    At 100 TB the line filter runs at parquet scan speed with zero
+    exchange (plan asserted shuffle-free in tests/test_plans.py, the
+    text_q10 guard's pattern)."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", F.expr(_C4_PAGE_EXPR).alias("dirty"))
+    lines = F.split("dirty", "\n")
+    kept = c4_keep_lines(lines)
+    return d.select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.round(F.size(kept) / F.size(lines), 6).alias("kept_frac"),
+        (
+            (F.size(kept) >= C4_MIN_LINES)
+            & ~F.lower("dirty").contains(C4_LOREM)
+            & ~F.col("dirty").contains(C4_BRACE)
+        )
+        .cast("int")
+        .alias("page_ok"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+# Paragraphs: a shared navigation header (7 variants → ~1/7 of the
+# corpus repeats each), the document's content split in two, and a
+# rights notice every page carries; the trailing content paragraph is
+# NULLed away (concat_ws skips it) when the text is short.
+_PARA_PAGE_EXPR = """concat_ws(chr(10) || chr(10),
+    'Shared navigation header variant ' || (doc_id % 7) || ' of this site.',
+    substring(text, 1, 60),
+    'All rights reserved worldwide.',
+    nullif(substring(text, 61), ''))"""
+
+
+def dedup_q20_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet corpus-wide paragraph dedup (Wenzek et al. 2020 §3.1:
+    duplicated paragraphs are removed by hash over the WHOLE corpus —
+    the pass that strips boilerplate headers/footers before any
+    document-level dedup): every distinct paragraph survives only at
+    its first (doc_id, position) occurrence; documents reconstruct
+    from their surviving paragraphs in order. On the synthetic pages,
+    exactly 8 documents keep their shared paragraphs (the 7 header
+    variants' first carriers + the rights notice's first carrier);
+    every other page loses both and keeps its unique prose.
+
+    Scale shape: see operators/dedup.paragraph_keep_first — md5-digest
+    shuffle keys, first-occurrence winners via min(struct) partial
+    aggregation (never a window over the paragraph key: a boilerplate
+    paragraph's 10⁹ occurrences combine map-side instead of landing in
+    one window task), winner join-back on the agg's own hash
+    partitioning, AQE skew-join for residual probe skew."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id", F.split(F.expr(_PARA_PAGE_EXPR), "\n\n").alias("paras")
+    )
+    return paragraph_keep_first(d).select(
+        "doc_id", "n_paras", "n_kept", "clean_text"
+    )
+
+
 SHADOW_QUERIES = {
     "text_q7_repetition": text_q7_repetition,
     "text_q8_tfidf": text_q8_tfidf,
@@ -1483,6 +1591,8 @@ SHADOW_QUERIES = {
     "text_q15_pii_redact": text_q15_pii_redact,
     "text_q16_unicode_nfc": text_q16_unicode_nfc,
     "text_q17_per_lang_quality": text_q17_per_lang_quality,
+    "text_q18_c4_line_filter": text_q18_c4_line_filter,
+    "dedup_q20_paragraph_dedup": dedup_q20_paragraph_dedup,
 }
 
 
@@ -2018,4 +2128,62 @@ SHADOW_ORACLES = {
     """,
     "text_q15_pii_redact": _pii_redact_sql(),
     "text_q16_unicode_nfc": _unicode_nfc_sql(),
+    # Mirrors text_q18 rule for rule: the SAME dialect-shared page
+    # expression, list_filter with the SAME C4 constants (terminal-
+    # punctuation regex, min-words over a trim+\s+ split — both
+    # engines split '' to [''], len 1 — and the javascript word), the
+    # SAME page-level lorem/brace/min-lines verdict. ::DOUBLE keeps
+    # the kept fraction out of DuckDB's DECIMAL division.
+    "text_q18_c4_line_filter": f"""
+        WITH dirty AS (SELECT doc_id, {_C4_PAGE_EXPR} AS dirty FROM documents),
+        lined AS (
+            SELECT doc_id, dirty, string_split(dirty, chr(10)) AS lines
+            FROM dirty
+        ),
+        kept AS (
+            SELECT doc_id, dirty, lines,
+                   list_filter(lines, ln ->
+                       regexp_matches(ln, '{C4_TERMINAL_RE}')
+                       AND len(regexp_split_to_array(trim(ln), '\\s+'))
+                           >= {C4_MIN_WORDS}
+                       AND NOT contains(lower(ln), '{C4_BAD_LINE_WORD}')
+                   ) AS keptl
+            FROM lined
+        )
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(keptl) AS BIGINT) AS n_kept,
+               round(len(keptl)::DOUBLE / len(lines), 6) AS kept_frac,
+               CAST(len(keptl) >= {C4_MIN_LINES}
+                    AND NOT contains(lower(dirty), '{C4_LOREM}')
+                    AND NOT contains(dirty, '{C4_BRACE}') AS INT) AS page_ok,
+               array_to_string(keptl, chr(10)) AS clean_text
+        FROM kept
+    """,
+    # Mirrors dedup_q20 stage by stage: the SAME shared page
+    # expression, paragraphs positioned 0-based (generate_subscripts
+    # is 1-based), first occurrence per md5(paragraph) in
+    # (doc_id, pos) order — the window form of the Spark side's
+    # min(struct) partial agg (fine HERE: the oracle has no skew
+    # concern) — and ordered string_agg reconstruction.
+    "dedup_q20_paragraph_dedup": f"""
+        WITH dirty AS (SELECT doc_id, {_PARA_PAGE_EXPR} AS d FROM documents),
+        plist AS (
+            SELECT doc_id, string_split(d, chr(10) || chr(10)) AS l FROM dirty
+        ),
+        paras AS (
+            SELECT doc_id, CAST(len(l) AS BIGINT) AS n_paras,
+                   generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS para
+            FROM plist
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(para) ORDER BY doc_id, pos
+            ) AS rn FROM paras
+        )
+        SELECT doc_id, n_paras, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean_text
+        FROM ranked WHERE rn = 1
+        GROUP BY doc_id, n_paras
+    """,
 }

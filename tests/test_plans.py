@@ -311,3 +311,31 @@ def test_knn_join_window_pre_reduces_before_exchange(spark, sf_dir):
     # tree prints root-first: Final above the Exchange above Partial
     between = lines[final:partial]
     assert any("Exchange" in l for l in between), plan
+
+
+def test_c4_line_filter_is_shuffle_and_python_free(spark, sf_dir):
+    """text_q18's scale claim, asserted: the C4 line pass is
+    higher-order functions over the line array — no keyed shuffle, no
+    explode fan-out (unlike text_q10 there is no Generate at all), and
+    no Python eval node; the whole filter runs at scan speed."""
+    from distributed_mapreduce_spark.queries.textops import text_q18_c4_line_filter
+
+    p = plans.physical_plan(text_q18_c4_line_filter(spark, sf_dir))
+    assert "hashpartitioning" not in p, p
+    assert "rangepartitioning" not in p, p
+    assert "Generate" not in p, p
+    assert "Python" not in p, p
+
+
+def test_paragraph_dedup_partial_agg_no_window(spark, sf_dir):
+    """dedup_q20's scale shape, asserted: the first-occurrence winner
+    per paragraph digest is a min(struct) aggregation with a map-side
+    partial stage (a boilerplate paragraph's occurrences combine
+    before the shuffle) and NO Window operator — the window form would
+    put a hot paragraph's entire occurrence set in one task."""
+    from distributed_mapreduce_spark.queries.textops import dedup_q20_paragraph_dedup
+
+    df = dedup_q20_paragraph_dedup(spark, sf_dir)
+    plans.assert_partial_agg(df)
+    plans.assert_no_cartesian(df)
+    assert "Window" not in plans.physical_plan(df)

@@ -169,3 +169,61 @@ def test_normalize_nfc_semantics(spark):
     df2 = spark.createDataFrame([(v,) for v in cases.values()], "text string")
     got2 = {r.text: r.n for r in df2.select("text", normalize_nfc("text").alias("n")).collect()}
     assert all(got2[v] == v for v in cases.values())
+
+
+def test_c4_line_rules(spark):
+    """Each C4 rule (Raffel et al. 2020 §2.2) on its own line class:
+    terminal punctuation, the ≥3-word floor, and the javascript drop —
+    the per-line predicate behind text_q18."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.functions.text import c4_keep_lines
+
+    cases = [
+        ("This sentence ends properly.", True),
+        ('He said "stop".', True),
+        ("Does this survive too?", True),
+        ("Trailing space after punct.  ", True),  # \s* after the mark
+        ("HOME | PRODUCTS | ABOUT", False),  # no terminal punctuation
+        ("Copyright 2024 Example Corp", False),  # no terminal punctuation
+        ("Read more.", False),  # < 3 words
+        ("OK.", False),  # < 3 words
+        ("Please enable Javascript to continue.", False),  # javascript
+        ("this needs JAVASCRIPT enabled.", False),  # case-insensitive
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "ln string")
+    kept = df.select(
+        "ln", F.size(c4_keep_lines(F.array("ln"))).alias("n")
+    ).collect()
+    got = {r.ln: r.n == 1 for r in kept}
+    for ln, want in cases:
+        assert got[ln] == want, ln
+
+
+def test_paragraph_keep_first_semantics(spark):
+    """CCNet paragraph dedup on a hand-built corpus: the corpus-wide
+    first (doc_id, pos) occurrence survives, later copies vanish —
+    including a repeat INSIDE the first document — reconstruction
+    preserves order, and a document whose every paragraph is a
+    duplicate reconstructs to no row (CCNet drops emptied docs)."""
+    from distributed_mapreduce_spark.operators.dedup import paragraph_keep_first
+
+    rows = [
+        (1, ["shared header", "alpha body", "shared header"]),
+        (2, ["shared header", "beta body"]),
+        (3, ["shared header"]),  # all duplicates -> dropped
+        (4, ["gamma body", "shared footer"]),
+        (5, ["shared footer", "delta body"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, paras array<string>")
+    got = {
+        r.doc_id: r
+        for r in paragraph_keep_first(df, sep="\n\n").collect()
+    }
+    assert set(got) == {1, 2, 4, 5}  # doc 3 emptied out
+    assert got[1].clean_text == "shared header\n\nalpha body"  # pos-2 repeat gone
+    assert (got[1].n_paras, got[1].n_kept) == (3, 2)
+    assert got[2].clean_text == "beta body"
+    assert got[4].clean_text == "gamma body\n\nshared footer"
+    assert got[5].clean_text == "delta body"
+    assert (got[5].n_paras, got[5].n_kept) == (2, 1)
