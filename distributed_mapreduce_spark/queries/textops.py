@@ -1570,6 +1570,103 @@ def dedup_q20_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher / MassiveText quality rules (Rae et al. 2021, appendix A.1.1)
+# — the published document-filter thresholds, verbatim: word count in
+# [50, 100 000]; mean word length in [3, 10]; symbol-to-word ratio
+# ≤ 0.1 for '#' and '…'; < 90 % of lines starting with a bullet;
+# < 30 % of lines ending in an ellipsis; ≥ 80 % of words containing an
+# alphabetic character; and ≥ 2 of the paper's eight English stop
+# words present.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# The synthetic page splices one driver line per rule onto the
+# document's prose (the fixture's word streams carry only "the" from
+# the stop list and no bullets/ellipses/symbols of their own): bullet
+# lines on ids ≡ 0 (mod 3), a stop-word-rich prose line on even ids,
+# an ellipsis line on ids ≡ 0 (mod 5), a symbol-word line on ids
+# ≡ 0 (mod 4). Dialect-shared SQL, evaluated verbatim by both engines.
+_GOPHER_PAGE_EXPR = """concat_ws(chr(10),
+    CASE WHEN doc_id % 3 = 0 THEN '• bullet item one' END,
+    CASE WHEN doc_id % 3 = 0 THEN '• bullet item two' END,
+    substring(text, 1, 80),
+    CASE WHEN doc_id % 2 = 0
+         THEN 'It seems to be one of the pages that have quality, with some text.'
+    END,
+    CASE WHEN doc_id % 5 = 0 THEN 'to be continued…' END,
+    CASE WHEN doc_id % 4 = 0 THEN '#### ## # ###' END,
+    nullif(substring(text, 81), ''))"""
+
+
+def text_q19_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule composite (Rae et al. 2021 A.1.1) over the
+    synthetic page: every published threshold evaluated per document,
+    plus the composite keep verdict. EVERY verdict comparison is
+    integer cross-multiplication (10·symbols ≤ n_words, 10·bullets <
+    9·n_lines, 5·alpha ≥ 4·n_words, 3·n ≤ Σlen ≤ 10·n, …) — no float
+    ever reaches a boundary test, so the two engines cannot disagree
+    at a threshold; the reported ratios are round-6 display values
+    computed AFTER the verdicts.
+
+    Scale shape: like text_q18, the entire rule set is higher-order
+    functions and string expressions over each row — NO explode, NO
+    shuffle, NO Python (plan-asserted); a 100 TB quality sweep runs at
+    parquet scan speed."""
+    docs = widen(table(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", F.expr(_GOPHER_PAGE_EXPR).alias("page"))
+    return gopher_quality_frame(d)
+
+
+def gopher_quality_frame(d: DataFrame) -> DataFrame:
+    """The A.1.1 rule computation over a (doc_id, page) frame — split
+    out so tests can feed crafted pages straight at each threshold."""
+    words = F.split(F.trim(F.col("page")), r"\s+")
+    lines = F.split("page", "\n")
+    n_words = F.size(words).cast("bigint")
+    sum_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    ).cast("bigint")
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    bullets = F.size(
+        F.filter(lines, lambda ln: ln.startswith("•"))
+    ).cast("bigint")
+    ell = F.size(
+        F.filter(lines, lambda ln: ln.endswith("…") | ln.endswith("..."))
+    ).cast("bigint")
+    symbols = (
+        (F.length("page") - F.length(F.replace(F.col("page"), F.lit("#"))))
+        + (F.length("page") - F.length(F.replace(F.col("page"), F.lit("…"))))
+    ).cast("bigint")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    ).cast("bigint")
+    ok = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (3 * n_words <= sum_len)
+        & (sum_len <= 10 * n_words)
+        & (10 * symbols <= n_words)
+        & (10 * bullets < 9 * n_lines)
+        & (10 * ell < 3 * n_lines)
+        & (5 * alpha >= 4 * n_words)
+        & (stop_hits >= 2)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(sum_len / n_words, 6).alias("mean_word_len"),
+        F.round(symbols / n_words, 6).alias("symbol_ratio"),
+        F.round(bullets / n_lines, 6).alias("bullet_frac"),
+        F.round(ell / n_lines, 6).alias("ellipsis_frac"),
+        F.round(alpha / n_words, 6).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        ok.cast("int").alias("quality_ok"),
+    )
+
+
 SHADOW_QUERIES = {
     "text_q7_repetition": text_q7_repetition,
     "text_q8_tfidf": text_q8_tfidf,
@@ -1593,6 +1690,7 @@ SHADOW_QUERIES = {
     "text_q17_per_lang_quality": text_q17_per_lang_quality,
     "text_q18_c4_line_filter": text_q18_c4_line_filter,
     "dedup_q20_paragraph_dedup": dedup_q20_paragraph_dedup,
+    "text_q19_gopher_quality": text_q19_gopher_quality,
 }
 
 
@@ -2185,5 +2283,56 @@ SHADOW_ORACLES = {
                string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean_text
         FROM ranked WHERE rn = 1
         GROUP BY doc_id, n_paras
+    """,
+    # Mirrors text_q19 rule for rule: the SAME shared page expression,
+    # the SAME integer cross-multiplied verdicts (no float reaches a
+    # threshold), ratios rounded to 6 for display only. list_intersect
+    # over list_distinct = Spark's array_intersect(array_distinct(…))
+    # (both deduplicate).
+    "text_q19_gopher_quality": f"""
+        WITH page AS (SELECT doc_id, {_GOPHER_PAGE_EXPR} AS page FROM documents),
+        feat AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(page), '\\s+') AS words,
+                   string_split(page, chr(10)) AS lines,
+                   page
+            FROM page
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(words, w -> length(w)))
+                        AS BIGINT) AS sum_len,
+                   CAST(len(list_filter(words,
+                        w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS alpha,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(list_filter(lines,
+                        ln -> starts_with(ln, '•'))) AS BIGINT) AS bullets,
+                   CAST(len(list_filter(lines,
+                        ln -> ends_with(ln, '…') OR ends_with(ln, '...')))
+                        AS BIGINT) AS ell,
+                   CAST(length(page) - length(replace(page, '#', ''))
+                        + length(page) - length(replace(page, '…', ''))
+                        AS BIGINT) AS symbols,
+                   CAST(len(list_intersect(list_distinct(words),
+                        [{", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)}]))
+                        AS BIGINT) AS stop_hits
+            FROM feat
+        )
+        SELECT doc_id, n_words,
+               round(sum_len::DOUBLE / n_words, 6) AS mean_word_len,
+               round(symbols::DOUBLE / n_words, 6) AS symbol_ratio,
+               round(bullets::DOUBLE / n_lines, 6) AS bullet_frac,
+               round(ell::DOUBLE / n_lines, 6) AS ellipsis_frac,
+               round(alpha::DOUBLE / n_words, 6) AS alpha_frac,
+               stop_hits,
+               CAST(n_words >= 50 AND n_words <= 100000
+                    AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+                    AND 10 * symbols <= n_words
+                    AND 10 * bullets < 9 * n_lines
+                    AND 10 * ell < 3 * n_lines
+                    AND 5 * alpha >= 4 * n_words
+                    AND stop_hits >= 2 AS INT) AS quality_ok
+        FROM agg
     """,
 }

@@ -339,3 +339,16 @@ def test_paragraph_dedup_partial_agg_no_window(spark, sf_dir):
     plans.assert_partial_agg(df)
     plans.assert_no_cartesian(df)
     assert "Window" not in plans.physical_plan(df)
+
+
+def test_gopher_quality_is_shuffle_and_python_free(spark, sf_dir):
+    """text_q19's scale claim, asserted: the full Gopher rule set is
+    per-row expression work — no keyed shuffle, no explode, no
+    Python."""
+    from distributed_mapreduce_spark.queries.textops import text_q19_gopher_quality
+
+    p = plans.physical_plan(text_q19_gopher_quality(spark, sf_dir))
+    assert "hashpartitioning" not in p, p
+    assert "rangepartitioning" not in p, p
+    assert "Generate" not in p, p
+    assert "Python" not in p, p

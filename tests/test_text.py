@@ -227,3 +227,39 @@ def test_paragraph_keep_first_semantics(spark):
     assert got[4].clean_text == "gamma body\n\nshared footer"
     assert got[5].clean_text == "delta body"
     assert (got[5].n_paras, got[5].n_kept) == (2, 1)
+
+
+def test_gopher_rules_each_threshold(spark):
+    """Each Gopher A.1.1 rule falsified in isolation on a crafted page
+    (every other rule passing), plus one page passing all rules — the
+    per-rule matrix behind text_q19."""
+    from distributed_mapreduce_spark.queries.textops import gopher_quality_frame
+
+    # 60 alphabetic words incl. two stop words, no bullets/ellipses/symbols
+    good = "the be " + " ".join(f"word{i}" for i in range(58)) + "."
+    cases = [
+        (1, good, 1),
+        # < 50 words
+        (2, "the be tiny page.", 0),
+        # mean word length > 10 (every word 12 chars)
+        (3, "the be " + " ".join("twelvecharsx" for _ in range(58)), 0),
+        # symbol ratio > 0.1: 7 hashes over 60 words
+        (4, good + " ## ## ###", 0),
+        # ≥ 90 % bullet lines (9 of 10)
+        (5, "\n".join(["• " + good] * 9 + [good]), 0),
+        # ≥ 30 % ellipsis lines (1 of 3)
+        (6, "\n".join([good, good, good + "…"]), 0),
+        # < 80 % alphabetic words: 20 numeric words over 60 alpha
+        (7, good + " " + " ".join("123" for _ in range(20)), 0),
+        # only one stop word
+        (8, "the " + " ".join(f"word{i}" for i in range(59)), 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in cases], "doc_id bigint, page string"
+    )
+    got = {r.doc_id: r for r in gopher_quality_frame(df).collect()}
+    for i, _, want in cases:
+        assert got[i].quality_ok == want, (i, got[i])
+    # the ratio columns agree with the verdict math on the crafted rows
+    assert got[4].symbol_ratio > 0.1 and got[6].ellipsis_frac >= 0.3
+    assert got[7].alpha_frac < 0.8 and got[8].stop_hits == 1
