@@ -116,6 +116,7 @@ BUDGET_Q19_S = 400
 # decimal partials — the narrow-plan iterative shape; expect seconds
 # at N=20k.
 BUDGET_MLQ3_S = 120
+BUDGET_Q20_S = 120
 
 
 @pytest.fixture(scope="module")
@@ -219,6 +220,26 @@ def test_sf1_dedup_q17_span_scrub(stress_spark, sf1_dir):
         f"dedup_q17 took {dt:.0f}s at sf1 (budget {BUDGET_Q17_S}s) — "
         "check the gram agg/join-back stayed keyed (no all-pairs) and "
         "the coverage window still partitions per document"
+    )
+
+
+def test_sf1_dedup_q20_paragraph_dedup(stress_spark, sf1_dir):
+    """CCNet paragraph dedup at 10× — the hot-paragraph skew case the
+    operator's agg+join design exists for: the spliced rights-notice
+    paragraph duplicates across ALL ~50k sf1 pages, so a window over
+    the paragraph key would put the whole corpus in one task; the
+    min(struct) partial agg must combine it map-side and keep the run
+    ~linear in pages."""
+    from distributed_mapreduce_spark.queries.textops import dedup_q20_paragraph_dedup
+
+    dt = _timed(
+        "dedup_q20_paragraph_dedup",
+        lambda: dedup_q20_paragraph_dedup(stress_spark, sf1_dir),
+    )
+    assert dt < BUDGET_Q20_S, (
+        f"dedup_q20 took {dt:.0f}s at sf1 (budget {BUDGET_Q20_S}s) — "
+        "check first-occurrence winners are still a partial-agg "
+        "min(struct), never a window over the paragraph key"
     )
 
 
