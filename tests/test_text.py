@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from distributed_mapreduce_spark.functions.text import (
@@ -263,3 +265,84 @@ def test_gopher_rules_each_threshold(spark):
     # the ratio columns agree with the verdict math on the crafted rows
     assert got[4].symbol_ratio > 0.1 and got[6].ellipsis_frac >= 0.3
     assert got[7].alpha_frac < 0.8 and got[8].stop_hits == 1
+
+
+def _c4_keep_py(line: str) -> bool:
+    """Pure-Python C4 keep predicate — the reference the Spark HOF
+    column is property-tested against."""
+    import re
+
+    return (
+        re.search(r'[.!?"]\s*$', line) is not None
+        and len(re.split(r"\s+", line.strip())) >= 3
+        and "javascript" not in line.lower()
+    )
+
+
+_C4_LINE = st.builds(
+    lambda ws, end: " ".join(ws) + end,
+    st.lists(
+        st.sampled_from(
+            ["alpha", "beta", "Javascript", "the", "123", "#", "word…"]
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+    st.sampled_from([".", "!", "?", '"', "", "…", ".  ", " ", "..."]),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_C4_LINE, min_size=0, max_size=8))
+def test_c4_keep_lines_matches_python_oracle(spark, lines):
+    """Engine-vs-reference property parity for the C4 predicate: the
+    Spark higher-order filter keeps exactly the lines the pure-Python
+    rule implementation keeps, over generated lines mixing endings,
+    word counts, case, and whitespace edges."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.functions.text import c4_keep_lines
+
+    df = spark.createDataFrame([(lines,)], "lines array<string>")
+    got = df.select(c4_keep_lines(F.col("lines")).alias("k")).collect()[0].k
+    assert got == [ln for ln in lines if _c4_keep_py(ln)]
+
+
+def _para_keep_first_py(docs: dict) -> dict:
+    """Pure-Python CCNet keep-first fold in global (doc_id, pos)
+    order — the reference paragraph_keep_first is tested against."""
+    seen: set = set()
+    out = {}
+    for doc_id in sorted(docs):
+        kept = [
+            p for p in docs[doc_id] if p not in seen and not seen.add(p)
+        ]
+        if kept:
+            out[doc_id] = ("\n\n".join(kept), len(docs[doc_id]), len(kept))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(0, 12),
+        st.lists(st.sampled_from(["p0", "p1", "p2", "p3", "p4"]),
+                 min_size=0, max_size=5),
+        max_size=6,
+    )
+)
+def test_paragraph_keep_first_matches_python_oracle(spark, docs):
+    """Property parity for the paragraph dedup: over generated corpora
+    with heavy cross- and within-doc duplication, the distributed
+    agg+join fold equals the sequential keep-first-in-(doc_id, pos)
+    fold — including emptied-doc drops."""
+    from distributed_mapreduce_spark.operators.dedup import paragraph_keep_first
+
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id bigint, paras array<string>"
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_paras, r.n_kept)
+        for r in paragraph_keep_first(df).collect()
+    }
+    assert got == _para_keep_first_py(docs)
