@@ -81,6 +81,10 @@ SMOKE_SET = {
     # shard-partitioned versioned snapshot (driver-written manifests,
     # executor-written data) → pruned multi-get + as_of time travel
     "kv_q5_served_get": "shadow",
+    # r16 paragraph dedup: min(struct) partial agg + winner join-back
+    # + ordered collect_list reconstruction — a shuffle shape none of
+    # the other smoke rows exercise
+    "dedup_q20_paragraph_dedup": "shadow",
 }
 
 
