@@ -118,8 +118,25 @@ def doc_shingles(
         # (code-review r7-final). (The df-count aggregation still
         # shuffles once; that pass is irreducible.) The DuckDB oracles
         # keep their HAVING ≤ form — semantics identical.
+        #
+        # The distinct expansion feeds BOTH the df count and the anti
+        # probe, so persist it (r16, measured): unpersisted, the plan
+        # tokenizes+explodes+distinct-shuffles the corpus TWICE — the
+        # two ~22 s-CPU stages that dominated every guarded dedup
+        # query's profile (Generate appeared at nodes 5 AND 8 of the
+        # graded dedup_q4 plan). One expansion pass + one exchange
+        # replaces two of each; the guard itself reads the cache. At
+        # 100 TB this intermediate is the stage a pipeline checkpoints
+        # (same argument as the post-guard persist in jaccard_pairs).
+        # Cache lifetime: attached to the returned frame (caching.py
+        # convention) — composed operators forward it to their results.
+        from distributed_mapreduce_spark.caching import attach_caches
+
+        sh = sh.persist()
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_df)
-        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+        return attach_caches(
+            sh.join(hot.select("shingle"), "shingle", "left_anti"), sh
+        )
     return sh
 
 
@@ -744,7 +761,8 @@ def simhash_near_dup_pairs(
     width = 64 // num_chunks
     mask = (1 << width) - 1
     # persist: the signature table feeds both sides of the band join.
-    sig = simhash64(doc_shingles(docs, max_df=max_df)).persist()
+    sh = doc_shingles(docs, max_df=max_df)
+    sig = simhash64(sh).persist()
     chunks = sig.select(
         "id",
         "simhash",
@@ -781,6 +799,10 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct(),
         sig,
+        # forwards the guard's expansion cache when max_df was set
+        # (simhash64 derives a fresh frame, which strips annotations —
+        # the caching.py survival rule)
+        sh,
     )
 
 
