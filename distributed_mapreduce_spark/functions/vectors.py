@@ -37,14 +37,20 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     """Σ aᵢ·bᵢ as a flat 64-term expression instead of an array fold.
 
     Same left-associative accumulation (bit-identical to `dot` and to
     the DuckDB unrolled SQL), but ~10× faster: higher-order functions
     (F.aggregate) evaluate their lambda per element in the interpreter,
     while a flat arithmetic expression stays inside whole-stage codegen.
-    Use when the dimension is statically known — the hot N² pair loops."""
+    Use when the dimension is statically known — the hot N² pair loops.
+
+    Pass column NAMES (possibly qualified) to build the identical tree
+    through ONE parsed SQL string — see the construction-cost note on
+    the *_expr_spark builders below."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(unrolled_dot_expr_spark(a, b, dim))
     import functools
     import operator
 
@@ -57,13 +63,16 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     )
 
 
-def dot_unrolled_literal(a: Column, vec: list[float]) -> Column:
+def dot_unrolled_literal(a: Column | str, vec: list[float]) -> Column:
     """Σ aᵢ·vecᵢ with the second operand as driver-held literals.
     Same per-term values and left-associative order as `dot_unrolled`
     (a float32 element cast to double equals its Python-float literal
     bit-for-bit), but the expression tree halves: no element_at/cast
     pair on the literal side, and no broadcast join to carry the
-    query row. For the driver-held-query top-k path."""
+    query row. For the driver-held-query top-k path. A column NAME
+    builds as one parsed string (construction-cost note below)."""
+    if isinstance(a, str):
+        return F.expr(unrolled_dot_literal_expr_spark(a, vec))
     import functools
     import operator
 
@@ -76,11 +85,61 @@ def dot_unrolled_literal(a: Column, vec: list[float]) -> Column:
     )
 
 
-def cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """Unrolled-codegen cosine, op-order-identical to cosine_sql."""
+def cosine_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Unrolled-codegen cosine, op-order-identical to cosine_sql.
+    Column names build as one parsed string (note below)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(cosine_unrolled_expr_spark(a, b, dim))
     d = dot_unrolled(a, b, dim)
     denom = F.sqrt(dot_unrolled(a, a, dim)) * F.sqrt(dot_unrolled(b, b, dim))
     return F.when(denom > 0, d / denom).otherwise(F.lit(0.0))
+
+
+# ── Spark-SQL string builders (construction-cost tier, r16) ──────────
+# The unrolled Column-API trees above cost ~3 py4j round-trips per
+# term to CONSTRUCT (dim=64 ⇒ hundreds of driver⇄JVM messages per
+# expression; cProfile showed send_command dominating the heavy
+# builders). These mirrors emit the SAME tree through one parsed SQL
+# string: left-associative `+` chain, identical casts, double literals
+# rendered as exact-round-trip repr with the D suffix (Spark parses
+# bare decimal literals as DECIMAL — the D is semantic, not style).
+# Plans, codegen and result bits are unchanged; only build-time py4j
+# chatter goes. Takers pass column NAMES (optionally qualified).
+
+
+def unrolled_dot_expr_spark(a: str, b: str, dim: int) -> str:
+    """Spark-SQL mirror of dot_unrolled over named columns."""
+    return " + ".join(
+        f"CAST(element_at({a}, {i}) AS DOUBLE) * CAST(element_at({b}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+
+
+def unrolled_dot_literal_expr_spark(a: str, vec: list[float]) -> str:
+    """Spark-SQL mirror of dot_unrolled_literal (driver-held query)."""
+    return " + ".join(
+        f"CAST(element_at({a}, {i + 1}) AS DOUBLE) * {float(vec[i])!r}D"
+        for i in range(len(vec))
+    )
+
+
+def cosine_unrolled_expr_spark(a: str, b: str, dim: int) -> str:
+    """Spark-SQL mirror of cosine_unrolled (same duplicated-denominator
+    shape — codegen's subexpression elimination collapses it in both
+    forms)."""
+    d = unrolled_dot_expr_spark(a, b, dim)
+    na = unrolled_dot_expr_spark(a, a, dim)
+    nb = unrolled_dot_expr_spark(b, b, dim)
+    return (
+        f"CASE WHEN sqrt({na}) * sqrt({nb}) > 0 "
+        f"THEN ({d}) / (sqrt({na}) * sqrt({nb})) ELSE 0.0D END"
+    )
+
+
+def pair_dot_expr_spark(a_prefix: str, b_prefix: str, dim: int) -> str:
+    """Spark-SQL mirror of the flat pair multiply-add chain
+    (Σ a.__vi * b.__vi over flat_normalized columns)."""
+    return " + ".join(f"{a_prefix}{i} * {b_prefix}{i}" for i in range(dim))
 
 
 def unrolled_dot_sql(a: str, b: str, dim: int) -> str:
@@ -164,8 +223,12 @@ def flat_normalized(
             ).alias("__v"),
         )
     )
-    return n.select(
+    # selectExpr: the dim-column unpack as parsed strings — one py4j
+    # call instead of 2×dim (`__v[i]` is the same 0-based GetArrayItem
+    # as Column.__getitem__); id_alias/carry are names, so they pass
+    # through the parser unchanged.
+    return n.selectExpr(
         id_alias,
         *carry,
-        *[F.col("__v")[i].alias(f"{prefix}{i}") for i in range(dim)],
+        *[f"__v[{i}] as {prefix}{i}" for i in range(dim)],
     )

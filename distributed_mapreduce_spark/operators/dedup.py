@@ -209,16 +209,20 @@ def minhash_signatures(
     id — the doc_shingles carry contract) through the aggregation via
     first(), so a caller tagging documents (e.g. the incremental
     batch flag) signs the corpus in ONE aggregation instead of one
-    per subset."""
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    per subset.
+
+    Construction note (r16, measured): the k min-aggregates build as
+    ONE parsed SQL expression instead of k Column-API terms — the
+    Column form cost ~6 py4j round-trips per hash (lit, xxhash64, min,
+    alias, ...), a fixed multi-second driver tax on every plan
+    CONSTRUCTION (cProfile: send_command dominated the builder). The
+    parsed tree is identical (SQL integer literals are IntegerType,
+    same as F.lit(int) — the xxhash64 seed hashes the same), so plans
+    and results are bit-for-bit unchanged; only the build-side chatter
+    goes."""
+    sig = ", ".join(f"min(xxhash64({i}, shingle))" for i in range(num_hashes))
     extra = [F.first(c).alias(c) for c in carry]
-    agg = sh.groupBy("id").agg(*mins, *extra)
-    return agg.select(
-        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"), *carry
-    )
+    return sh.groupBy("id").agg(F.expr(f"array({sig})").alias("sig"), *extra)
 
 
 def band_rows(
@@ -228,23 +232,21 @@ def band_rows(
     minhashes, bucket = xxhash64 of the band's rows). This IS the
     serving-side LSH index: at scale it is written out partitioned (or
     bucketed) by (band, bucket), so probing a new batch is a
-    co-located equi join that touches only colliding buckets."""
+    co-located equi join that touches only colliding buckets.
+
+    Built as one parsed expression (not bands× Column-API structs) for
+    the same construction-cost reason as minhash_signatures — the
+    parsed tree (0-based sig[i] subscripts ≡ Column.getItem) and hence
+    the stored/probed bucket values are identical."""
     r = num_hashes // bands
+    structs = ", ".join(
+        "struct({b} as band, xxhash64({cols}) as bucket)".format(
+            b=bi, cols=", ".join(f"sig[{bi * r + j}]" for j in range(r))
+        )
+        for bi in range(bands)
+    )
     return sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(*[F.col("sig")[bi * r + j] for j in range(r)]).alias(
-                            "bucket"
-                        ),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "id", F.explode(F.expr(f"array({structs})")).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
 
 
@@ -712,6 +714,11 @@ def simhash64(sh: DataFrame) -> DataFrame:
     expression tree, −20% on the registered query's fresh
     construct+execute time (analysis/codegen of 64 aggregate columns
     was a third of the query's cost); results are bit-identical."""
+    # Both big expression trees build as ONE parsed SQL string each
+    # (r16): the Column-API form cost ~6 py4j round-trips per lane/bit
+    # (~500 per plan construction). The parsed trees — same shifts,
+    # same masks, same left-associative `+` chain — are identical, so
+    # signatures stay bit-for-bit and the oracle mirror is untouched.
     halves = sh.select(
         "id",
         F.md5(F.col("shingle").cast("binary")).alias("hx"),
@@ -724,19 +731,19 @@ def simhash64(sh: DataFrame) -> DataFrame:
         "id", F.shiftleft(F.col("hhi"), 32).bitwiseOR(F.col("hlo")).alias("h")
     )
     accs = [
-        F.sum(F.shiftright(F.col("h"), s).bitwiseAND(F.lit(_LANE_MASK))).alias(f"a{s}")
+        F.expr(f"sum(shiftright(h, {s}) & {_LANE_MASK}L)").alias(f"a{s}")
         for s in range(16)
     ]
     agg = hp.groupBy("id").agg(F.count("*").alias("n"), *accs)
 
-    def bit(b: int) -> F.Column:
-        cnt = F.shiftright(F.col(f"a{b % 16}"), (b // 16) * 16).bitwiseAND(
-            F.lit(0xFFFF)
+    def bit(b: int) -> str:
+        return (
+            f"shiftleft(cast((shiftright(a{b % 16}, {(b // 16) * 16}) "
+            f"& 65535) * 2 > n as bigint), {b})"
         )
-        return F.shiftleft((cnt * 2 > F.col("n")).cast("bigint"), b)
 
-    sig = functools.reduce(operator.add, [bit(b) for b in range(64)])
-    return agg.select("id", sig.alias("simhash"))
+    sig = " + ".join(bit(b) for b in range(64))
+    return agg.select("id", F.expr(sig).alias("simhash"))
 
 
 def simhash_near_dup_pairs(

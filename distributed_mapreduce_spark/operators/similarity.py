@@ -48,7 +48,7 @@ def topk_cosine(
     from distributed_mapreduce_spark.functions.vectors import cosine_unrolled
 
     score = (
-        cosine_unrolled(F.col(vec_col), F.col("qv"), dim)
+        cosine_unrolled(vec_col, "qv", dim)
         if dim
         else cosine(F.col(vec_col), F.col("qv"))
     )
@@ -89,9 +89,8 @@ def topk_cosine_literal(
     for x in query_vec:
         qbb = qbb + float(x) * float(x)
     qnorm = math.sqrt(qbb)
-    a = F.col(vec_col)
-    d = dot_unrolled_literal(a, query_vec)
-    denom = F.sqrt(dot_unrolled(a, a, len(query_vec))) * F.lit(qnorm)
+    d = dot_unrolled_literal(vec_col, query_vec)
+    denom = F.sqrt(dot_unrolled(vec_col, vec_col, len(query_vec))) * F.lit(qnorm)
     score = F.when(denom > 0, d / denom).otherwise(F.lit(0.0))
     scored = emb.select(F.col(id_col), F.round(score, 6).alias("cos_sim"))
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
@@ -333,9 +332,6 @@ def pq_encode(
     the minhash_signatures carry contract) through both aggregations
     via first(), so e.g. the IVF cell rides along for free when
     building the partitioned IVFADC store."""
-    import functools
-    import operator
-
     m = len(codebooks)
     cb_size = len(codebooks[0])
     sub = len(codebooks[0][0])
@@ -347,12 +343,14 @@ def pq_encode(
     exploded = emb.select(id_col, vec_col, *carry).withColumn(
         "sub", F.explode(F.array(*[F.lit(j) for j in range(m)]))
     )
-    diff = [
-        F.element_at(vec_col, F.col("sub") * sub + i + 1).cast("double")
-        - F.element_at("cvec", i + 1)
+    # (elem - cw)^2 chain as ONE parsed expression (r16 construction-
+    # cost discipline): same subtrees, same left-assoc sum
+    terms = [
+        f"(CAST(element_at({vec_col}, sub * {sub} + {i + 1}) AS DOUBLE)"
+        f" - element_at(cvec, {i + 1}))"
         for i in range(sub)
     ]
-    dist = functools.reduce(operator.add, [d * d for d in diff])
+    dist = F.expr(" + ".join(f"{t} * {t}" for t in terms))
     best = (
         exploded.join(F.broadcast(cb), "sub")
         .select(id_col, "sub", "code", dist.alias("dist"), *carry)
@@ -395,9 +393,6 @@ def pq_adc_topk(
 
     Scale shape: pure map expression over the codes table + global
     TakeOrdered(k) — ADC over 100 TB of codes streams at scan speed."""
-    import functools
-    import operator
-
     m = len(codebooks)
     sub = len(codebooks[0][0])
     luts = []
@@ -409,14 +404,18 @@ def pq_adc_topk(
                 d = d + float(query_vec[j * sub + i]) * cw[i]
             row.append(round(d, 12))
         luts.append(row)
+    # literal LUT arrays as parsed strings: the Column form cost
+    # ~2 py4j calls per codeword (m*cb_size literals per query); the
+    # parsed double literals (exact repr + D suffix) cast to the same
+    # DECIMAL(22,12), so scores are bit-identical
     partials = [
-        F.element_at(
-            F.array(*[F.lit(v).cast("decimal(22,12)") for v in luts[j]]),
-            F.col(f"c{j}") + 1,
+        "element_at(array({vals}), c{j} + 1)".format(
+            vals=", ".join(f"CAST({v!r}D AS DECIMAL(22,12))" for v in luts[j]),
+            j=j,
         )
         for j in range(m)
     ]
-    score = functools.reduce(operator.add, partials)
+    score = F.expr(" + ".join(partials))
     return (
         codes.select(id_col, F.round(score, 6).cast("double").alias("approx_dot"))
         .orderBy(F.desc("approx_dot"), F.asc(id_col))
@@ -638,20 +637,19 @@ def power_iteration(
     projection onto the final component, rounded to 6 — the score a
     pipeline thresholds for outlier removal or uses as the SemDeDup
     cell-splitting direction."""
-    import functools
-    import operator
-
-    from distributed_mapreduce_spark.functions.vectors import (
-        round12_decimal_mean,
-        round12_decimal_sum,
-    )
-
     spark = emb.sparkSession
     flat = emb.select(
         id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")
     ).persist()
+    from distributed_mapreduce_spark.functions.vectors import (
+        round12_decimal_mean_sql,
+    )
+
     mrow = flat.agg(
-        *[round12_decimal_mean(F.col("v")[i]).alias(f"m{i}") for i in range(dim)]
+        *[
+            F.expr(round12_decimal_mean_sql(f"v[{i}]")).alias(f"m{i}")
+            for i in range(dim)
+        ]
     ).collect()[0]
     if mrow["m0"] is None:
         # avg over zero rows is NULL; float(None) one line down would
@@ -662,19 +660,28 @@ def power_iteration(
     m = [float(mrow[f"m{i}"]) for i in range(dim)]
     v = [1.0] + [0.0] * (dim - 1)
 
+    # Every dim-wide chain below builds as ONE parsed SQL string (the
+    # r16 construction-cost discipline, functions/vectors.py): same
+    # subscripts, same exact-repr double literals, same left-assoc
+    # order — the oracle replay stays bit-for-bit.
     def centered_dot(vec: list[float]):
-        return functools.reduce(
-            operator.add,
-            [(F.col("v")[i] - F.lit(m[i])) * F.lit(vec[i]) for i in range(dim)],
+        return F.expr(
+            " + ".join(
+                f"(v[{i}] - {m[i]!r}D) * {float(vec[i])!r}D" for i in range(dim)
+            )
         )
+
+    from distributed_mapreduce_spark.functions.vectors import (
+        round12_decimal_sum_sql,
+    )
 
     for _ in range(iters):
         srow = (
             flat.select("v", centered_dot(v).alias("d"))
             .agg(
                 *[
-                    round12_decimal_sum(
-                        (F.col("v")[i] - F.lit(m[i])) * F.col("d")
+                    F.expr(
+                        round12_decimal_sum_sql(f"(v[{i}] - {m[i]!r}D) * d")
                     ).alias(f"s{i}")
                     for i in range(dim)
                 ]
@@ -696,12 +703,10 @@ def power_iteration(
             )
         # Normalize ENGINE-side (1-row select): the same left-assoc
         # norm chain and HALF_UP rounds the oracle's v-CTE computes.
-        sq = functools.reduce(
-            operator.add, [F.lit(x) * F.lit(x) for x in s]
-        )
-        nrm = F.round(F.sqrt(sq), 12)
-        vrow = spark.range(1).select(
-            *[F.round(F.lit(s[i]) / nrm, 12).alias(f"v{i}") for i in range(dim)]
+        sq = " + ".join(f"{x!r}D * {x!r}D" for x in s)
+        nrm = f"round(sqrt({sq}), 12)"
+        vrow = spark.range(1).selectExpr(
+            *[f"round({s[i]!r}D / {nrm}, 12) as v{i}" for i in range(dim)]
         ).collect()[0]
         v = [float(vrow[f"v{i}"]) for i in range(dim)]
     from distributed_mapreduce_spark.caching import attach_caches
@@ -1037,7 +1042,7 @@ def assign_probe_cells(
             qid_col,
             qvec_col,
             "cell",
-            cosine_unrolled(F.col("cvec"), F.col(qvec_col), dim).alias("score"),
+            cosine_unrolled("cvec", qvec_col, dim).alias("score"),
         )
         .withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= nprobe)
@@ -1074,7 +1079,7 @@ def _batch_exact_topk(
         .select(
             qid_col,
             id_col,
-            F.round(cosine_unrolled(F.col(vec_col), F.col(qvec_col), dim), 6).alias(
+            F.round(cosine_unrolled(vec_col, qvec_col, dim), 6).alias(
                 "cos_sim"
             ),
         )
@@ -1172,18 +1177,14 @@ def _batch_adc_topk(
     DECIMAL(22,12) — the pq_adc_topk exactness contract, so batched
     scores equal the per-query literal chain bit-for-bit — and keep
     the per-query top-k."""
-    import functools
-    import operator
-
     from pyspark.sql import Window
 
-    partials = [
-        F.element_at(F.col("lut"), j * cb_size + F.col(f"c{j}") + 1).cast(
-            "decimal(22,12)"
+    score = F.expr(
+        " + ".join(
+            f"CAST(element_at(lut, {j * cb_size} + c{j} + 1) AS DECIMAL(22,12))"
+            for j in range(m)
         )
-        for j in range(m)
-    ]
-    score = functools.reduce(operator.add, partials)
+    )
     w = Window.partitionBy(qid_col).orderBy(F.desc("approx_dot"), F.asc(id_col))
     return (
         cand.join(F.broadcast(probe_df), "cell")
@@ -1321,30 +1322,29 @@ def knn_join_ivf(
     centroid table: ties break (cos_sim desc, nb asc), so the whole
     pipeline replays in SQL — the shadow query's DuckDB oracle runs
     it end to end."""
-    import functools
-    import operator
-
     from pyspark.sql import Window
 
     from distributed_mapreduce_spark.functions.vectors import (
         cosine_unrolled,
         norm,
+        pair_dot_expr_spark,
     )
 
     nprobe = max(int(nprobe), 1)  # both paths: a row always probes its own cell
     dim = len(centroids[0][1])
 
     def flat(df, idc, vc, out_id, prefix):
+        # dim-wide unpack as parsed strings (the r16 construction-cost
+        # discipline, functions/vectors.py) — same 0-based subscripts,
+        # casts and divide, one py4j call instead of ~5*dim
         return (
             df.withColumn("__n", norm(F.col(vc)))
             .where(F.col("__n") > 0)
-            .select(
-                F.col(idc).alias(out_id),
+            .selectExpr(
+                f"{idc} as {out_id}",
                 "cell",
                 *[
-                    (F.col(vc)[i].cast("double") / F.col("__n")).alias(
-                        f"{prefix}{i}"
-                    )
+                    f"CAST({vc}[{i}] AS DOUBLE) / __n as {prefix}{i}"
                     for i in range(dim)
                 ],
             )
@@ -1374,7 +1374,7 @@ def knn_join_ivf(
                 "__id",
                 "__v",
                 "cell",
-                cosine_unrolled(F.col("cvec"), F.col("__v"), dim).alias("__score"),
+                cosine_unrolled("cvec", "__v", dim).alias("__score"),
             )
             .withColumn("__rk", F.row_number().over(wr))
             .where(F.col("__rk") <= nprobe)
@@ -1394,9 +1394,7 @@ def knn_join_ivf(
         )
         a = flat(qcells, "__qid", "__qv", "__qid", "__a")
         b = flat(members, id_col, vec_col, "__nb", "__b")
-    dot = functools.reduce(
-        operator.add, [F.col(f"__a{i}") * F.col(f"__b{i}") for i in range(dim)]
-    )
+    dot = F.expr(pair_dot_expr_spark("__a", "__b", dim))
     w = Window.partitionBy("__qid").orderBy(F.desc("cos_sim"), F.asc("__nb"))
     from distributed_mapreduce_spark.caching import attach_caches
 

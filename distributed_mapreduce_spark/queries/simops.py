@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from distributed_mapreduce_spark.functions.vectors import (
     cosine_sql,
+    pair_dot_expr_spark,
     unrolled_dot_sql,
 )
 from distributed_mapreduce_spark.operators.multimodal import (
@@ -78,9 +79,6 @@ def sim_q2_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled form never broadcasts the table or relies on a cross join."""
     from distributed_mapreduce_spark.sources import widen
 
-    import functools
-    import operator
-
     emb = _emb(spark, sf_dir).where(F.pmod("vec_id", F.lit(PAIR_SAMPLE_MOD)) == 0)
 
     # Flatten vectors to scalar columns AND precompute each row's norm
@@ -92,16 +90,12 @@ def sim_q2_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vectors + a norm column rather than pre-normalizing — the
     # oracle's cosine divides once per pair, and x/n then dot reorders
     # the float ops.) widen BEFORE persist: see dedup_q6.
-    cols = [F.col("embedding")[i].cast("double").alias(f"__v{i}") for i in range(DIM)]
-    sq = functools.reduce(
-        operator.add, [F.col(f"__v{i}") * F.col(f"__v{i}") for i in range(DIM)]
-    )
+    cols = [f"CAST(embedding[{i}] AS DOUBLE) as __v{i}" for i in range(DIM)]
+    sq = F.expr(pair_dot_expr_spark("__v", "__v", DIM))
     flat = widen(
-        emb.select(F.col("vec_id").alias("id"), *cols).withColumn("__norm", F.sqrt(sq))
+        emb.selectExpr("vec_id as id", *cols).withColumn("__norm", F.sqrt(sq))
     ).persist()
-    d = functools.reduce(
-        operator.add, [F.col(f"a.__v{i}") * F.col(f"b.__v{i}") for i in range(DIM)]
-    )
+    d = F.expr(pair_dot_expr_spark("a.__v", "b.__v", DIM))
     denom = F.col("a.__norm") * F.col("b.__norm")
     cos = F.when(denom > 0, d / denom).otherwise(F.lit(0.0))
     from distributed_mapreduce_spark.caching import attach_caches
@@ -351,9 +345,6 @@ def dedup_q6_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpacks once before replication, so the per-pair math is a flat
     left-associated multiply-add chain — the same operation order as
     the oracle, keeping scores bit-identical."""
-    import functools
-    import operator
-
     from distributed_mapreduce_spark.sources import widen
 
     emb = _emb(spark, sf_dir)
@@ -369,10 +360,7 @@ def dedup_q6_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole normalize pass and every downstream explode would run
     # on one core. (On a real multi-partition table this is a no-op.)
     flat = widen(_flat_normalized(emb, "id", "__v")).persist()
-    dot = functools.reduce(
-        operator.add,
-        [F.col(f"a.__v{i}") * F.col(f"b.__v{i}") for i in range(DIM)],
-    )
+    dot = F.expr(pair_dot_expr_spark("a.__v", "b.__v", DIM))
     from distributed_mapreduce_spark.caching import attach_caches
 
     return attach_caches(
@@ -442,9 +430,6 @@ def semdedup_representatives(
     normalize+flatten projection is computed once and persisted (the
     dedup_q6 rationale); component labels come from the audited CC
     operator; the final keep-min-id is one groupBy over components."""
-    import functools
-    import operator
-
     from distributed_mapreduce_spark.operators.components import connected_components
     from distributed_mapreduce_spark.operators.similarity import (
         KM_ITERS,
@@ -466,10 +451,7 @@ def semdedup_representatives(
         assign = kmeans_lloyd(emb, dim, k, iters)  # (vec_id, cell)
     flat = widen(_flat_normalized(emb, "vec_id", "__v", dim))
     j = flat.join(assign, "vec_id").persist()
-    dot = functools.reduce(
-        operator.add,
-        [F.col(f"a.__v{i}") * F.col(f"b.__v{i}") for i in range(dim)],
-    )
+    dot = F.expr(pair_dot_expr_spark("a.__v", "b.__v", dim))
     a, b = j.alias("a"), j.alias("b")
     pairs = (
         a.join(
@@ -587,33 +569,33 @@ def label_centroid_profile(
     (order-independent); member cosine is the left-assoc flat-column
     chain rounded to 6 (the dedup_q6 discipline); the cohesion mean
     stages the rounded cosines through DECIMAL again."""
-    import functools
-    import operator
-
-    from distributed_mapreduce_spark.functions.vectors import round12_decimal_mean
 
     def dec12(c):
         return F.round(c, 12).cast("decimal(22,12)")
 
+    from distributed_mapreduce_spark.functions.vectors import (
+        round12_decimal_mean_sql,
+    )
+
     d = dim
-    flat = emb.select(
-        F.col(label_col).alias("label"),
-        *[F.col("embedding")[i].cast("double").alias(f"x{i}") for i in range(d)],
+    # dim-wide projections/aggregates/chains build as parsed strings —
+    # the r16 construction-cost discipline (see functions/vectors.py);
+    # round12_decimal_mean_sql is the same staging both engines run,
+    # so using it as the Spark-side source keeps ONE definition.
+    flat = emb.selectExpr(
+        f"{label_col} as label",
+        *[f"CAST(embedding[{i}] AS DOUBLE) as x{i}" for i in range(d)],
     ).persist()
     cents = flat.groupBy("label").agg(
         F.count("*").alias("n_vecs"),
-        *[round12_decimal_mean(F.col(f"x{i}")).alias(f"m{i}") for i in range(d)],
+        *[
+            F.expr(round12_decimal_mean_sql(f"x{i}")).alias(f"m{i}")
+            for i in range(d)
+        ],
     )
-    add = operator.add
-    dotxm = functools.reduce(
-        add, [F.col(f"x{i}") * F.col(f"m{i}") for i in range(d)]
-    )
-    nx = F.sqrt(
-        functools.reduce(add, [F.col(f"x{i}") * F.col(f"x{i}") for i in range(d)])
-    )
-    nm = F.sqrt(
-        functools.reduce(add, [F.col(f"m{i}") * F.col(f"m{i}") for i in range(d)])
-    )
+    dotxm = F.expr(pair_dot_expr_spark("x", "m", d))
+    nx = F.sqrt(F.expr(pair_dot_expr_spark("x", "x", d)))
+    nm = F.sqrt(F.expr(pair_dot_expr_spark("m", "m", d)))
     cos = F.round(
         F.when(nx * nm > 0, dotxm / (nx * nm)).otherwise(F.lit(0.0)), 6
     )
@@ -1016,19 +998,13 @@ def sim_q10_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid's wall at recall 0.656 (SCALE.md). Oracle: quadratic DuckDB
     replay (every ordered pair, rank per id) — feasible at grading
     scale, which is exactly why the exact tier is the graded one."""
-    import functools
-    import operator
-
     from pyspark.sql import Window
 
     from distributed_mapreduce_spark.sources import widen
 
     emb = _emb(spark, sf_dir)
     flat = widen(_flat_normalized(emb, "id", "__v")).persist()
-    dot = functools.reduce(
-        operator.add,
-        [F.col(f"a.__v{i}") * F.col(f"b.__v{i}") for i in range(DIM)],
-    )
+    dot = F.expr(pair_dot_expr_spark("a.__v", "b.__v", DIM))
     both = (
         _grid_self_pair_join(flat, EMB_GRID_BLOCKS)
         .select(
