@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from distributed_mapreduce_spark.sources import load, table
+from distributed_mapreduce_spark.sources import load, table, widen
 
 
 def dec(col: str | Column) -> Column:
@@ -49,8 +49,23 @@ def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide aggregate with 8 simultaneous measures; the filter is a raw
     column predicate so it pushes into the parquet scan. Partial agg
     (map-side combine) keeps the shuffle at group-cardinality — the
-    optimization the reference's wc lacks entirely (wc.go:29-33)."""
-    li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2000-12-01"))
+    optimization the reference's wc lacks entirely (wc.go:29-33).
+
+    widen() after project (r16, measured): the fixture fact files are
+    single-row-group, so the scan AND the 8-measure decimal partial agg
+    ran on ONE task; projecting to the 6 needed columns and widening
+    moves the partial agg onto every core for one narrow round-robin
+    exchange (1.96 -> 1.20 s at sf0.1; decimal sums/avgs are exact, so
+    repartitioning cannot change a bit). No-op on a real multi-split
+    table — the same contract as every other widen() call site."""
+    li = widen(
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") <= F.lit("2000-12-01"))
+        .select(
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus",
+        )
+    )
     disc_price = dec("l_extendedprice") * (1 - dec("l_discount"))
     charge = disc_price.cast("decimal(18,4)") * (1 + dec("l_tax"))
     return (
@@ -207,8 +222,15 @@ def rel_q7_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def rel_q8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (returnflag, linestatus) with subtotal levels
-    rendered as 'ALL' so the grouping-null convention is engine-neutral."""
-    li = table(spark, sf_dir, "lineitem")
+    rendered as 'ALL' so the grouping-null convention is engine-neutral.
+    widen() after project: the Expand (3 grouping levels) and its
+    partial agg otherwise run on the single-row-group scan's one task
+    (see rel_q1)."""
+    li = widen(
+        table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_quantity"
+        )
+    )
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
@@ -304,8 +326,14 @@ def rel_q12_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFr
 def rel_q13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (order year, priority): all 4 grouping levels in one
     pass — Catalyst expands then partial-aggregates, so the shuffle
-    carries group-cardinality rows per level, not the fact table."""
-    orders = table(spark, sf_dir, "orders")
+    carries group-cardinality rows per level, not the fact table.
+    widen() after project: see rel_q1 (single-row-group fixture scan;
+    the 4-level Expand runs on every core)."""
+    orders = widen(
+        table(spark, sf_dir, "orders").select(
+            "o_orderdate", "o_orderpriority", "o_totalprice"
+        )
+    )
     return (
         orders.withColumn("o_year", F.year("o_orderdate").cast("bigint"))
         .cube("o_year", "o_orderpriority")
@@ -385,8 +413,17 @@ def rel_q15_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition of a fact table. F.percentile is the exact sort-based
     aggregate (both engines interpolate at rank p·(n−1)); at 100 TB
     the approx_percentile sketch replaces it at 100× less memory, same
-    query shape."""
-    li = table(spark, sf_dir, "lineitem")
+    query shape.
+
+    widen() after project: single-row-group fixture scan, see rel_q1 —
+    the exact percentile buffers build on every core (2.22 -> 1.83 s
+    at sf0.1); percentile is a value-count fold, so row order cannot
+    change a bit."""
+    li = widen(
+        table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice", "l_quantity"
+        )
+    )
     price = F.col("l_extendedprice").cast("double")
     qty = F.col("l_quantity").cast("double")
     return (
