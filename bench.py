@@ -10,12 +10,18 @@ local[$SPARK_GRAFT_CPUS] and print the result JSON:
      "methodology": "..."}
 
 Two stdout lines are printed (full record first, then a compact
-summary line carrying metric/value/total_s/passes/load) so that a
-tail-truncating capture still records the headline number; the full
-record is also written to ./bench_last.json (committed). The compact
-line deliberately omits "queries"/"spread"/"samples" — per-query data
-parsed from a truncated capture comes from bench_last.json, which the
-compact line points at via "full_artifact".
+summary line) so that a tail-truncating capture still records the
+headline number. Since r17 the compact line CARRIES the per-query
+minima ("queries"): r16's PERF comparator came back empty because the
+compact line omitted them and the full artifact had been overwritten
+by a later same-round run at different cpus — per-query driver
+visibility is part of the contract. The compact line still omits
+"spread"/"samples"/"pass_loads" detail (those live in the artifacts).
+The full record is written BOTH to ./bench_last.json (stable name,
+backwards compatible) and to an immutable per-run name
+./bench_<tier>_c<cpus>.json so same-round runs at different core
+counts cannot clobber each other; "full_artifact" points at the
+per-run file.
 
 Tiers: the default run times the 50 REGISTERED queries (the driver
 contract). `python bench.py --tier shadow` (or SPARK_GRAFT_BENCH_TIER=
@@ -656,6 +662,10 @@ def main() -> int:
     artifact = (
         "bench_last.json" if tier == "registered" else "bench_shadow_last.json"
     )
+    # Immutable per-run artifact (VERDICT r16 #1): the driver benches the
+    # same round at several core counts; each run overwriting
+    # bench_last.json destroyed the 32-core per-query evidence in r16.
+    run_artifact = f"bench_{tier}_c{_cores()}.json"
     full = {
         "metric": metric,
         "value": total,
@@ -680,26 +690,35 @@ def main() -> int:
     # (b) emit a LAST, compact line that survives any tail truncation
     #     and still satisfies the one-JSON-line contract on its own.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    try:
-        with open(os.path.join(repo_dir, artifact), "w") as f:
-            json.dump(full, f, indent=1, sort_keys=True)
-            f.write("\n")
-    except OSError as exc:  # pragma: no cover - never kill the run
-        print(f"  ({artifact} not written: {exc})", file=sys.stderr)
+    for fname in (artifact, run_artifact):
+        try:
+            with open(os.path.join(repo_dir, fname), "w") as f:
+                json.dump(full, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError as exc:  # pragma: no cover - never kill the run
+            print(f"  ({fname} not written: {exc})", file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": metric,
                 "value": total,
                 "unit": "sec",
+                # per-query minima IN the compact line (VERDICT r16 #1):
+                # the driver's comparator reads this line, so per-query
+                # regressions/geomeans are only computable if it carries
+                # the map. ~1.8 KB for 50 queries — well inside the
+                # driver's observed ~3 KB tail-capture window, and the
+                # compact line is LAST so a truncated head cannot cut it.
+                "queries": timings,
                 "total_s": total,
                 "sf": sf,
                 "passes": runs,
+                "cpus": _cores(),
                 "load_avg": full["load_avg"],
                 "pass_loads": [
                     [p["load_1m"], p["ext_busy_cores"]] for p in pass_loads
                 ],
-                "full_artifact": artifact,
+                "full_artifact": run_artifact,
             }
         )
     )

@@ -105,6 +105,31 @@ def cosine_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
 # bare decimal literals as DECIMAL — the D is semantic, not style).
 # Plans, codegen and result bits are unchanged; only build-time py4j
 # chatter goes. Takers pass column NAMES (optionally qualified).
+#
+# IDENTIFIER-ONLY CONTRACT (ADVICE r16): interpolated names are NOT
+# quoted — a name that is not a plain (optionally dot-qualified) SQL
+# identifier raises ParseException or resolves wrongly where the old
+# Column API accepted it. Every in-repo caller passes repo-controlled
+# names (`embedding`, `a.__v3`, ...); callers with user-supplied names
+# must backtick-quote them (`` f"`{name}`" ``) before passing. Blanket
+# quoting here is not possible: qualified names ("a.__v3") cannot be
+# split on "." without corrupting names that contain literal dots.
+
+
+def _finite_literal(v: float) -> str:
+    """Render a float as an exact-round-trip Spark SQL DOUBLE literal.
+    Non-finite values have no bare-literal SQL spelling ('infD'/'nanD'
+    fail to parse where F.lit produced a valid Double) — refuse loudly
+    (ADVICE r16): a NaN/Inf in a query vector or codebook is corrupt
+    input, not a scoring request."""
+    import math
+
+    if not math.isfinite(v):
+        raise ValueError(
+            f"non-finite literal {v!r} cannot render as a SQL double; "
+            "NaN/Inf in a query vector or codebook is corrupt input"
+        )
+    return f"{v!r}D"
 
 
 def unrolled_dot_expr_spark(a: str, b: str, dim: int) -> str:
@@ -118,7 +143,7 @@ def unrolled_dot_expr_spark(a: str, b: str, dim: int) -> str:
 def unrolled_dot_literal_expr_spark(a: str, vec: list[float]) -> str:
     """Spark-SQL mirror of dot_unrolled_literal (driver-held query)."""
     return " + ".join(
-        f"CAST(element_at({a}, {i + 1}) AS DOUBLE) * {float(vec[i])!r}D"
+        f"CAST(element_at({a}, {i + 1}) AS DOUBLE) * {_finite_literal(float(vec[i]))}"
         for i in range(len(vec))
     )
 

@@ -30,6 +30,48 @@ from pyspark.sql import functions as F
 DEFAULT_MIN_OVERLAP = 0.5
 
 
+def contamination_report_tagged(
+    sh: DataFrame,
+    min_overlap: float = DEFAULT_MIN_OVERLAP,
+    is_bench_col: str = "is_bench",
+) -> DataFrame:
+    """One-pass contamination report over a TAGGED distinct
+    (id, shingle, is_bench) expansion (doc_shingles with a carry flag)
+    — same rows/values as contamination_report(bench, train) split from
+    the same expansion, restructured for the case where the PER-DOC
+    side is the small one (r17, guide §2.4/§3.1):
+
+      1. per-shingle train-hit flag in ONE keyed aggregation over the
+         whole expansion — replaces the full distinct exchange over the
+         corpus-sized train side (the flag agg shuffles the same rows
+         once, and partial aggregation collapses duplicates map-side);
+      2. the bench rows (small by construction: eval sets are
+         ~10^3..10^5 docs) BROADCAST onto the flag table — the train
+         side never reshuffles on shingle;
+      3. one groupBy(id) computes n_shingles and n_hit together —
+         replaces the separate sizes agg + hits agg + outer join.
+
+    Equivalence: hit = max(any train row per shingle) ⟺ shingle ∈
+    distinct(train); every bench (id, shingle) row joins exactly one
+    flag row, so count(*) = n_shingles and sum(hit) = n_hit; rounding
+    and types match the two-sided form (oracle-verified). Use the
+    two-sided contamination_report when the per-doc side is the BIG one
+    (contam_q2's reverse probe): there the reference side's distinct is
+    small and this shape would shuffle the big side instead."""
+    flags = sh.groupBy("shingle").agg(
+        F.max(F.when(~F.col(is_bench_col), 1).otherwise(0)).alias("hit")
+    )
+    bench_sh = sh.where(F.col(is_bench_col)).select("id", "shingle")
+    per = flags.join(F.broadcast(bench_sh), "shingle")
+    overlap = F.round(F.col("n_hit") / F.col("n_shingles"), 6)
+    return (
+        per.groupBy("id")
+        .agg(F.count("*").alias("n_shingles"), F.sum("hit").alias("n_hit"))
+        .select("id", "n_shingles", "n_hit", overlap.alias("overlap"))
+        .withColumn("contaminated", F.col("overlap") >= F.lit(min_overlap))
+    )
+
+
 def contamination_report(
     bench_sh: DataFrame,
     train_sh: DataFrame,

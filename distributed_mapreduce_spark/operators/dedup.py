@@ -130,6 +130,13 @@ def doc_shingles(
         # (same argument as the post-guard persist in jaccard_pairs).
         # Cache lifetime: attached to the returned frame (caching.py
         # convention) — composed operators forward it to their results.
+        # Footprint note (ADVICE r16): callers that ALSO persist the
+        # returned anti-joined frame (jaccard_pairs,
+        # minhash_near_dup_pairs) hold two near-identical cached copies
+        # of the shingle table for the query's lifetime — deliberate
+        # (the guard subtree and the 3 downstream readers each avoid a
+        # recompute), but long-lived sessions must release_caches the
+        # composed result (or clearCache) or both copies stay resident.
         from distributed_mapreduce_spark.caching import attach_caches
 
         sh = sh.persist()

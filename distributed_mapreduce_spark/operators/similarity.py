@@ -407,10 +407,17 @@ def pq_adc_topk(
     # literal LUT arrays as parsed strings: the Column form cost
     # ~2 py4j calls per codeword (m*cb_size literals per query); the
     # parsed double literals (exact repr + D suffix) cast to the same
-    # DECIMAL(22,12), so scores are bit-identical
+    # DECIMAL(22,12), so scores are bit-identical. _finite_literal
+    # refuses NaN/Inf (ADVICE r16): a non-finite LUT entry means the
+    # query vector or codebook is corrupt, and 'nanD' would otherwise
+    # die as an opaque ParseException.
+    from distributed_mapreduce_spark.functions.vectors import _finite_literal
+
     partials = [
         "element_at(array({vals}), c{j} + 1)".format(
-            vals=", ".join(f"CAST({v!r}D AS DECIMAL(22,12))" for v in luts[j]),
+            vals=", ".join(
+                f"CAST({_finite_literal(v)} AS DECIMAL(22,12))" for v in luts[j]
+            ),
             j=j,
         )
         for j in range(m)

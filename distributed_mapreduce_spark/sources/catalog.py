@@ -72,8 +72,22 @@ def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     (shingling, language-ID, media decode) would run on one core. At
     real scale the scan already has hundreds of partitions and this is
     a no-op; the check is driver-side only (no job is triggered).
-    """
-    n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+
+    The partition probe (`df.rdd`) physically plans the subtree — not
+    free on wide plans, and at real scale the answer is always "no-op"
+    (VERDICT r16 #6). `spark.dmr.widen=false` (conf/--conf, read per
+    call so a session can flip it) disables the probe AND the
+    repartition outright — set it in production deployments where
+    every table is multi-split; the default `true` keeps the
+    fixture-scale behavior and the driver's bench comparable."""
+    spark = df.sparkSession
+    try:
+        enabled = spark.conf.get("spark.dmr.widen", "true")
+    except Exception:  # pragma: no cover - conf service unavailable
+        enabled = "true"
+    if str(enabled).lower() == "false":
+        return df
+    n = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df

@@ -1305,13 +1305,13 @@ def _near_dup_gate(
     (accepted, sh_b PERSISTED — caller writes the shingle sidecar and
     unpersists, n_rejected, sh_dirs read — pruning evidence)."""
     from distributed_mapreduce_spark.operators.dedup import doc_shingles
-    from distributed_mapreduce_spark.sources import widen
 
-    # widen(): a fixture micro-batch is ONE file = one scan partition,
-    # so the tokenize+explode otherwise runs on one core per batch
-    # (r16, profiled ~1 s/batch single-task); no-op on a real
-    # multi-split batch — the widen() contract.
-    sh_b = doc_shingles(widen(batch_df), text_col, id_col).persist()
+    # A fixture micro-batch is ONE file = one scan partition, so the
+    # tokenize+explode would otherwise run on one core per batch (r16,
+    # profiled ~1 s/batch single-task); doc_shingles widens its input
+    # internally (operators/dedup.py), which covers this — no outer
+    # widen() needed (ADVICE r16).
+    sh_b = doc_shingles(batch_df, text_col, id_col).persist()
     # Exception contract (ADVICE r15): on the SUCCESS path the caller
     # owns sh_b (writes the shingle sidecar, then unpersists in its own
     # finally) — but if THIS gate raises (the GREEDY_MAX_PAIRS refusal,
@@ -2324,7 +2324,8 @@ def foreach_batch_semdedup_ingest(
             )
             from distributed_mapreduce_spark.sources import widen
 
-            # widen: one-file micro-batch (the near-dup-gate rationale)
+            # widen: one-file micro-batch (the near-dup-gate rationale;
+            # flat_normalized does NOT widen internally)
             bm = flat_normalized(
                 widen(coded), "__id", "__v", dim, id_col=id_col, vec_col=vec_col,
                 carry=("cell",),
@@ -2697,11 +2698,11 @@ def build_decontam_index(
 
     base = pathlib.Path(index_path)
     spark = bench_docs.sparkSession
-    from distributed_mapreduce_spark.sources import widen
 
-    # widen: the benchmark corpus is typically one fixture file — the
-    # three index writes below otherwise shingle it on one core
-    sh_all = doc_shingles(widen(bench_docs), text_col, id_col).persist()
+    # The benchmark corpus is typically one fixture file; doc_shingles
+    # widens internally, so the three index writes below shingle on all
+    # cores without an outer widen() (ADVICE r16).
+    sh_all = doc_shingles(bench_docs, text_col, id_col).persist()
     try:
         sh_all.select("shingle").distinct().write.mode("overwrite").parquet(
             str(base / "exact_shingles")
@@ -2878,7 +2879,6 @@ def foreach_batch_decontam_ingest(
     accepted (the gate read grows only with corpus/id_buckets, the
     dedup-ingest residual; size id_buckets to batch cardinality)."""
     from distributed_mapreduce_spark.operators.dedup import doc_shingles
-    from distributed_mapreduce_spark.sources import widen
     from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
 
     meta = _load_decontam_meta(index_path)
@@ -2899,9 +2899,10 @@ def foreach_batch_decontam_ingest(
             batch_df, _gate_dirs = _known_id_gate(
                 spark, ms, manifests, batch_df, id_buckets, id_col
             )
-            # one scan+tokenize pass feeds both tiers (widen: the
-            # near-dup-gate rationale — one-file micro-batch scans)
-            sh_raw = doc_shingles(widen(batch_df), text_col, id_col).persist()
+            # one scan+tokenize pass feeds both tiers (one-file
+            # micro-batch scans parallelize via doc_shingles' internal
+            # widen — ADVICE r16)
+            sh_raw = doc_shingles(batch_df, text_col, id_col).persist()
             dirty = _decontam_dirty(
                 spark, index_path, meta, sh_raw, min_overlap, min_jaccard
             ).persist()
@@ -3045,7 +3046,6 @@ def foreach_batch_clean_ingest(
     )
     from distributed_mapreduce_spark.functions.text import fingerprint
     from distributed_mapreduce_spark.operators.dedup import doc_shingles
-    from distributed_mapreduce_spark.sources import widen
     from distributed_mapreduce_spark.streaming.commitlog import ManifestStore
 
     meta = _load_decontam_meta(index_path)
@@ -3084,9 +3084,10 @@ def foreach_batch_clean_ingest(
                 batch_df = batch_df.where(quality_predicate)
             n_quality = batch_df.count()
 
-            # 3. decontamination (per-doc pure, static index; widen:
-            # the near-dup-gate rationale — one-file micro-batch scans)
-            sh_raw = doc_shingles(widen(batch_df), text_col, id_col).persist()
+            # 3. decontamination (per-doc pure, static index;
+            # one-file micro-batch scans parallelize via doc_shingles'
+            # internal widen — ADVICE r16)
+            sh_raw = doc_shingles(batch_df, text_col, id_col).persist()
             dirty = _decontam_dirty(
                 spark, index_path, meta, sh_raw, min_overlap, min_jaccard
             ).localCheckpoint(eager=True)

@@ -91,8 +91,94 @@ def _exp_lineitem_agg(spark):
     }
 
 
+def _exp_contam_prefilter(spark):
+    """contam_q1 (r17): broadcast bench-key prefilter of the train side
+    vs the old full train distinct (VERDICT r16 #3)."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.operators.contamination import (
+        contamination_report,
+    )
+    from distributed_mapreduce_spark.operators.dedup import doc_shingles
+    from distributed_mapreduce_spark.queries.pipeline_queries import (
+        BENCH_SOURCE,
+        CONTAM_MIN_OVERLAP,
+        contam_q1_benchmark_overlap,
+    )
+    from distributed_mapreduce_spark.sources import table, widen
+
+    def old_shape(s):
+        docs = widen(table(s, SF_DIR, "documents"))
+        sh = doc_shingles(
+            docs, carry=((F.col("source") == BENCH_SOURCE).alias("is_bench"),)
+        ).persist()
+        bench_sh = sh.where(F.col("is_bench")).select("id", "shingle")
+        train_sh = sh.where(~F.col("is_bench")).select("id", "shingle")
+        rep = contamination_report(bench_sh, train_sh, CONTAM_MIN_OVERLAP)
+        return rep.select(
+            F.col("id").alias("doc_id"), "n_shingles", "n_hit", "overlap",
+            F.col("contaminated").cast("int").alias("contaminated"),
+        )
+
+    def string_prefilter(s):
+        docs = widen(table(s, SF_DIR, "documents"))
+        sh = doc_shingles(
+            docs, carry=((F.col("source") == BENCH_SOURCE).alias("is_bench"),)
+        ).persist()
+        bench_sh = sh.where(F.col("is_bench")).select("id", "shingle")
+        train_sh = sh.where(~F.col("is_bench")).select("id", "shingle")
+        bench_keys = bench_sh.select("shingle").distinct()
+        train_pref = train_sh.join(F.broadcast(bench_keys), "shingle", "left_semi")
+        rep = contamination_report(bench_sh, train_pref, CONTAM_MIN_OVERLAP)
+        return rep.select(
+            F.col("id").alias("doc_id"), "n_shingles", "n_hit", "overlap",
+            F.col("contaminated").cast("int").alias("contaminated"),
+        )
+
+    def expansion_only(s):
+        docs = widen(table(s, SF_DIR, "documents"))
+        return doc_shingles(
+            docs, carry=((F.col("source") == BENCH_SOURCE).alias("is_bench"),)
+        )
+
+    def one_pass(s):
+        docs = widen(table(s, SF_DIR, "documents"))
+        sh = doc_shingles(
+            docs, carry=((F.col("source") == BENCH_SOURCE).alias("is_bench"),)
+        ).persist()
+        # per-shingle train-hit flag in ONE agg over the tagged
+        # expansion; bench rows broadcast onto it; one groupBy(id)
+        # replaces sizes+hits+outer-join
+        flags = sh.groupBy("shingle").agg(
+            F.max(F.when(~F.col("is_bench"), 1).otherwise(0)).alias("hit")
+        )
+        bench_sh = sh.where(F.col("is_bench")).select("id", "shingle")
+        per = flags.join(F.broadcast(bench_sh), "shingle")
+        agg = per.groupBy("id").agg(
+            F.count("*").alias("n_shingles"), F.sum("hit").alias("n_hit")
+        )
+        return agg.select(
+            F.col("id").alias("doc_id"),
+            "n_shingles",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias("overlap"),
+            (
+                F.round(F.col("n_hit") / F.col("n_shingles"), 6) >= CONTAM_MIN_OVERLAP
+            ).cast("int").alias("contaminated"),
+        )
+
+    return {
+        "contam_q1_old_full_distinct": old_shape,
+        "contam_q1_new_prefilter": lambda s: contam_q1_benchmark_overlap(s, SF_DIR),
+        "contam_q1_string_prefilter": string_prefilter,
+        "contam_q1_expansion_only": expansion_only,
+        "contam_q1_one_pass": one_pass,
+    }
+
+
 EXPERIMENTS = {
     "lineitem_agg": _exp_lineitem_agg,
+    "contam_prefilter": _exp_contam_prefilter,
 }
 
 

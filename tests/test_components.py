@@ -47,6 +47,22 @@ def test_components_long_chain_converges(spark, driver_max):
     assert len(got) == n + 1
 
 
+def test_components_chain_deeper_than_max_iters(spark):
+    """Star contraction (r17) converges in O(log² n) rounds: a chain
+    whose DIAMETER exceeds MAX_ITERS must still label correctly through
+    the distributed path. The previous min-label propagation moved the
+    minimum one hop per round, so this graph silently returned
+    partially-converged labels at the 25-round cap."""
+    n = 60  # diameter 59 > MAX_ITERS = 25
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_i bigint, id_j bigint"
+    )
+    got = {r["id"]: r["component"]
+           for r in connected_components(edges, driver_max_edges=0).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
 @PATHS
 def test_components_self_loop_node_is_labeled(spark, driver_max):
     # A node whose ONLY edge is reflexive must still appear in the
