@@ -176,9 +176,134 @@ def _exp_contam_prefilter(spark):
     }
 
 
+def _exp_q6_width(spark):
+    """dedup_q6 width tax (VERDICT r16 #7): 65-column flat self-join vs
+    keeping the normalized ARRAY through the grid join with (b) an
+    interpreted HOF fold and (c) an unrolled element_at chain."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.functions.vectors import (
+        norm,
+        unrolled_dot_expr_spark,
+    )
+    from distributed_mapreduce_spark.queries.simops import (
+        DIM,
+        EMB_DUP_THRESHOLD,
+        EMB_GRID_BLOCKS,
+        _grid_self_pair_join,
+        dedup_q6_embedding_cosine,
+    )
+    from distributed_mapreduce_spark.sources import table, widen
+
+    def _norm_array(s):
+        emb = table(s, SF_DIR, "embeddings")
+        return widen(
+            emb.withColumn("__n", norm(F.col("embedding")))
+            .where(F.col("__n") > 0)
+            .select(
+                F.col("vec_id").alias("id"),
+                F.transform("embedding", lambda x: x.cast("double") / F.col("__n")).alias("__v"),
+            )
+        ).persist()
+
+    def _pairs(s, dot):
+        flat = _norm_array(s)
+        return (
+            _grid_self_pair_join(flat, EMB_GRID_BLOCKS)
+            .select(
+                F.least(F.col("a.id"), F.col("b.id")).alias("id_i"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("id_j"),
+                F.round(dot, 6).alias("cos_sim"),
+            )
+            .where(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
+        )
+
+    def array_hof(s):
+        dot = F.aggregate(
+            F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return _pairs(s, dot)
+
+    def array_unrolled(s):
+        dot = F.expr(
+            " + ".join(
+                f"element_at(a.__v, {i}) * element_at(b.__v, {i})"
+                for i in range(1, DIM + 1)
+            )
+        )
+        return _pairs(s, dot)
+
+    return {
+        "q6_flat65_current": lambda s: dedup_q6_embedding_cosine(s, SF_DIR),
+        "q6_array_hof": array_hof,
+        "q6_array_unrolled": array_unrolled,
+    }
+
+
+def _exp_rel_widen(spark):
+    """rel_q3/rel_q2 (r17): widen+project the lineitem side before the
+    orderkey join — the rel_q1 treatment (r16) applied to the join
+    queries whose scan+probe+partial-agg stage profiled single-task."""
+    from pyspark.sql import functions as F
+
+    from distributed_mapreduce_spark.queries.relational import (
+        dec,
+        money,
+        rel_q2_region_revenue,
+        rel_q3_top_customers,
+    )
+    from distributed_mapreduce_spark.sources import load, table, widen
+
+    def q3_widened(s):
+        t = load(s, SF_DIR, "lineitem", "orders", "customer")
+        li = widen(
+            t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
+        )
+        return (
+            li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_custkey", "c_name")
+            .agg(money(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(10)
+        )
+
+    def q2_widened(s):
+        t = load(s, SF_DIR, "lineitem", "orders", "customer", "nation", "region")
+        orders = t["orders"].where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        li = widen(
+            t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
+        )
+        return (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("r_name", "n_name")
+            .agg(
+                money(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))).alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+        )
+
+    return {
+        "rel_q3_current": lambda s: rel_q3_top_customers(s, SF_DIR),
+        "rel_q3_widened": q3_widened,
+        "rel_q2_current": lambda s: rel_q2_region_revenue(s, SF_DIR),
+        "rel_q2_widened": q2_widened,
+    }
+
+
 EXPERIMENTS = {
     "lineitem_agg": _exp_lineitem_agg,
     "contam_prefilter": _exp_contam_prefilter,
+    "q6_width": _exp_q6_width,
+    "rel_widen": _exp_rel_widen,
 }
 
 

@@ -109,6 +109,7 @@ def test_ordered_merge_redelivery_idempotent(spark):
     }
 
 
+@pytest.mark.full_tier
 def test_ordered_merge_permutation_invariance(spark):
     """Random change sets, random batch partitions, random delivery
     orders: every permutation converges to the Python LWW oracle."""
@@ -382,6 +383,7 @@ def test_streaming_cdc_ordered_unpartitioned_sink(spark, tmp_path):
         )
 
 
+@pytest.mark.full_tier
 def test_compact_store_resets_chain_and_replay_converges(spark, tmp_path):
     """compact_store_partitioned: the live snapshot (tombstones
     INCLUDED — their ord watermarks must survive compaction, or

@@ -154,6 +154,7 @@ def test_hll_measure_merges_exactly(spark, facts, tmp_path):
         assert abs(incr[key] - n) <= max(2, 0.1 * n), (key, incr[key], n)
 
 
+@pytest.mark.full_tier
 def test_kll_measure_maintains_quantiles(spark, facts, tmp_path):
     """Percentile maintenance via the mergeable KLL kind: the
     incrementally maintained store's per-group p50 must sit within KLL

@@ -4,6 +4,7 @@ fold-order tests replace porcupine)."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -331,6 +332,7 @@ def test_compaction_preserves_fold(spark):
     cut=st.integers(min_value=0, max_value=41),
 )
 @settings(max_examples=15, deadline=None)
+@pytest.mark.full_tier
 def test_compaction_preserves_fold_property(spark, ops, cut):
     """Property form: arbitrary op soup + arbitrary cut. The retry
     model requires a redelivered (key, seq) to be byte-identical (same

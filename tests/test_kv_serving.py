@@ -53,6 +53,7 @@ def _mk_ops(raw):
     redeliver=st.booleans(),
 )
 @settings(max_examples=12, deadline=None)
+@pytest.mark.full_tier
 def test_apply_kv_ops_chained_equals_one_shot_fold(spark, raw, cuts, redeliver):
     ops = _mk_ops(raw)
     want = {

@@ -31,6 +31,7 @@ def test_oracle_parity(spark, sf_dir, name):
 
 
 @pytest.mark.parametrize("name", sorted(_SHADOW_O))
+@pytest.mark.full_tier
 def test_shadow_oracle_parity(spark, sf_dir, name):
     """Shadow-tier queries (near-twin variants kept out of the driver's
     grading window, registry.py) get the same DuckDB parity check."""

@@ -5,6 +5,8 @@ into the parquet scan, whole-stage codegen, top-k as TakeOrdered."""
 
 from __future__ import annotations
 
+import pytest
+
 from distributed_mapreduce_spark import plans
 from distributed_mapreduce_spark.queries.mapreduce_queries import mr_q1_wordcount
 from distributed_mapreduce_spark.queries.relational import (
@@ -44,6 +46,7 @@ def test_anti_join_no_cartesian(spark, sf_dir):
     plans.assert_no_cartesian(rel_q12_customers_without_orders(spark, sf_dir))
 
 
+@pytest.mark.full_tier
 def test_no_cartesian_in_any_registered_query(spark, sf_dir):
     """Registry-wide plan guard over BOTH tiers (50 registered + all
     shadow queries): no batch query may plan a CartesianProduct, and
@@ -134,15 +137,19 @@ def test_stratified_sample_broadcasts_rates_and_pushes_scan(spark, sf_dir):
     plans.assert_no_cartesian(df)
 
 
-def test_contamination_is_hash_semi_join(spark, sf_dir):
-    """The train-side membership probe must plan as a semi join on the
-    shingle key, never a pair-space join."""
+def test_contamination_probe_is_flag_agg_plus_broadcast(spark, sf_dir):
+    """The train-side membership probe must never plan as a pair-space
+    join. Since r17 the one-pass form replaces the semi join outright:
+    a per-shingle hit-flag aggregation plus a BROADCAST of the small
+    bench side — the corpus-sized train expansion appears under no
+    shuffle-keyed join at all."""
     from distributed_mapreduce_spark.queries.pipeline_queries import (
         contam_q1_benchmark_overlap,
     )
 
     p = plans.physical_plan(contam_q1_benchmark_overlap(spark, sf_dir))
-    assert "LeftSemi" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "CartesianProduct" not in p
 
 
@@ -225,6 +232,7 @@ def test_dup_spans_partial_agg_and_semi_join(spark, sf_dir):
     assert "LeftSemi" in p, p
 
 
+@pytest.mark.full_tier
 def test_no_global_window_in_any_query(spark, sf_dir):
     """Registry-wide scale guard (VERDICT r7 #5): `row_number() OVER
     (ORDER BY …)` with no PARTITION BY plans a single-partition Window

@@ -135,6 +135,7 @@ def test_ivfpq_store_probe_matches_in_memory_and_reads_only_codes(
     assert rs and "embedding" not in rs[0] and "c0:int" in rs[0], fmt
 
 
+@pytest.mark.full_tier
 def test_kmeans_ivf_recall_beats_deterministic_on_clustered_data(spark):
     """The pyspark.ml KMeans centroid build (non-graded variant) must
     match-or-beat the deterministic sampling build at equal nprobe.
@@ -1024,6 +1025,7 @@ def test_knn_join_ivf_exhaustive_probe_is_exact(spark, emb, sf_dir):
     assert got == [tuple(r) for r in want]
 
 
+@pytest.mark.full_tier
 def test_knn_join_ivf_recall_volume_store_and_plan(spark, emb, tmp_path):
     """The approximate tier's three contracts (VERDICT r11 #2):
     (a) recall vs the exact result: above a stated floor at the

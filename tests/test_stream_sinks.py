@@ -3,6 +3,7 @@ checkpoint must not duplicate rows; new data appends incrementally."""
 
 from __future__ import annotations
 
+import pytest
 import pyarrow as pa
 import pyarrow.parquet as pq
 import os
@@ -800,6 +801,7 @@ def test_vacuum_versions_keeps_redelivery_window(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.full_tier
 def test_streaming_dedup_ingest_matches_one_shot(spark, tmp_path):
     """foreach_batch_dedup_ingest (VERDICT r8 #6): streamed ingest
     over an id-ordered chunked feed must keep EXACTLY the same
@@ -919,6 +921,7 @@ def test_streaming_dedup_ingest_matches_one_shot(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl_name}")
 
 
+@pytest.mark.full_tier
 def test_dedup_ingest_compaction_and_fresh_checkpoint_replay(spark, tmp_path):
     """compact_dedup_ingest_store + the known-id gate: the batch
     chain folds into a fresh store's batch=-1 seed (manifest chain
@@ -1021,6 +1024,7 @@ def test_dedup_ingest_compaction_and_fresh_checkpoint_replay(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl_name}")
 
 
+@pytest.mark.full_tier
 def test_streaming_ann_ingest_matches_one_shot_store(spark, tmp_path):
     """foreach_batch_ann_ingest: a chunked vector feed committed as
     manifest-gated batch/cell partitions probes IDENTICALLY to a
@@ -1141,6 +1145,7 @@ def test_streaming_ann_ingest_matches_one_shot_store(spark, tmp_path):
     ]
 
 
+@pytest.mark.full_tier
 def test_dedup_ingest_torn_append_replay(spark, tmp_path):
     """The torn-append replay edge the dedup sink's docstring claims
     (sinks.py keep-first normalization, ADVICE r9): crash BETWEEN
@@ -1246,6 +1251,7 @@ def test_dedup_ingest_torn_append_replay(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl_name}")
 
 
+@pytest.mark.full_tier
 def test_ann_ingest_batch_probe_equals_per_query_loop(spark, tmp_path):
     """ann_ingest_topk_batch (VERDICT r8 #6 on the ingest layout): a
     multi-query serving batch probed in one manifest-gated,
@@ -1355,6 +1361,7 @@ def test_ann_ingest_batch_probe_equals_per_query_loop(spark, tmp_path):
     assert "BroadcastHashJoin" in fmt2 and "SortMergeJoin" not in fmt2, fmt2
 
 
+@pytest.mark.full_tier
 def test_knn_join_over_maintained_ann_ingest_store(spark, tmp_path):
     """The all-rows kNN join composed with the MAINTAINED index
     (VERDICT r11 #2's 100 TB shape end-to-end): knn_join_ivf with
@@ -1682,6 +1689,7 @@ def _semdedup_feed(spark, tmp_path, n_chunks=3):
     return emb, cents, src, bounds
 
 
+@pytest.mark.full_tier
 def test_streaming_semdedup_matches_one_shot(spark, tmp_path):
     """foreach_batch_semdedup_ingest (VERDICT r13 #2): the streamed
     surviving representative set over an ascending-id chunked feed
@@ -1923,6 +1931,7 @@ def _cdc_to_changes_cols(df):
     return df
 
 
+@pytest.mark.full_tier
 def test_ingest_store_time_travel(spark, tmp_path):
     """VERSION AS OF on the ingest-store batch chains (VERDICT r13
     #6): as_of=k on read_dedup_accepted / ann_ingest_members /
@@ -2108,6 +2117,7 @@ def test_ingest_store_time_travel(spark, tmp_path):
     assert ann_ingest_members(spark, estore2, as_of=2).count() == len(erows)
 
 
+@pytest.mark.full_tier
 def test_semdedup_ingest_compaction_and_resume(spark, tmp_path):
     """compact_semdedup_ingest_store: the batch chain folds into a
     batch=-1 seed with RESOLVED labels and an empty alias log; the
@@ -2539,6 +2549,7 @@ def test_cdc_sink_type_widening_both_layouts(spark, tmp_path):
         os.remove(str(src / "c2.parquet"))
 
 
+@pytest.mark.full_tier
 def test_decontam_ingest_streamed_equals_one_shot(spark, tmp_path):
     """Streaming decontamination (VERDICT r14 #2): the streamed
     survivor set equals the one-shot scrub — and because the verdict
@@ -2656,6 +2667,7 @@ def test_decontam_ingest_streamed_equals_one_shot(spark, tmp_path):
     assert sorted(r.doc_id for r in pre2.select("doc_id").collect()) == pre_ids
 
 
+@pytest.mark.full_tier
 def test_clean_ingest_streamed_equals_batch_composition(spark, tmp_path):
     """Composed cleaning ingest (VERDICT r14 #5): ONE foreachBatch
     pass chaining quality → decontam → exact dedup → near-dup greedy
@@ -2797,6 +2809,7 @@ def test_clean_ingest_streamed_equals_batch_composition(spark, tmp_path):
     assert got2 == want
 
 
+@pytest.mark.full_tier
 def test_decontam_and_clean_store_compaction(spark, tmp_path):
     """Chain-reset maintenance for the r15 ingest stores: compaction
     folds accepted batches + sidecars into a fresh store's batch=-1
